@@ -1,0 +1,424 @@
+"""Cube / Image / Spectrum containers.
+
+Replaces the subset of ``mpdaf.obj.Cube/Image/Spectrum`` used by the reference
+(see reference steps.py:284-299, source_masks.py:77-108,
+source_creation.py:219-279): data + optional variance + optional boolean mask
+(True = invalid), world coordinates, FITS round-trips (DATA/STAT extensions
+with NaN-encoded masks), cutouts that keep the requested size and flag
+out-of-field pixels, and the handful of reductions the pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import fitsio
+from .coords import WCS, WaveCoord
+
+__all__ = ["Cube", "Image", "Spectrum"]
+
+
+class _Base:
+    """Shared implementation: data/var/mask + FITS I/O."""
+
+    _ndim = None
+
+    def __init__(self, filename=None, data=None, var=None, mask=None, wcs=None,
+                 wave=None, primary_header=None, copy=True):
+        self.filename = filename
+        self.primary_header = primary_header or fitsio.Header()
+        self.data_header = fitsio.Header()
+        self.wcs = wcs
+        self.wave = wave
+        if filename is not None and data is None:
+            self._load(filename)
+        else:
+            data = np.asarray(data)
+            self.data = np.array(data, copy=copy)
+            self.var = None if var is None else np.array(var, copy=copy)
+            if mask is None:
+                m = ~np.isfinite(self.data) if self.data.dtype.kind == "f" else None
+                self.mask = m if (m is not None and m.any()) else None
+            elif mask is False:
+                self.mask = None
+            else:
+                self.mask = np.array(mask, dtype=bool, copy=copy)
+        self._sync_coord_shapes()
+
+    def _sync_coord_shapes(self):
+        if self.wcs is not None and self.wcs.shape is None:
+            self.wcs.shape = self.shape[-2:] if self.data.ndim >= 2 else None
+        if self.wave is not None and self.wave.shape is None and self.data.ndim != 2:
+            self.wave.shape = self.shape[0]
+
+    # -- basic properties ----------------------------------------------------
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def ndim(self):
+        return self.data.ndim
+
+    @property
+    def _data(self):
+        # mpdaf-compatible alias for raw data access
+        return self.data
+
+    @_data.setter
+    def _data(self, val):
+        self.data = np.asarray(val)
+
+    @property
+    def _mask(self):
+        if self.mask is None:
+            return np.zeros(self.shape, dtype=bool)
+        return self.mask
+
+    def get_mask(self):
+        return self._mask
+
+    def masked_invalid(self):
+        m = ~np.isfinite(self.data)
+        if self.mask is not None:
+            m |= self.mask
+        return m
+
+    def filled(self, fill_value=0.0):
+        """Data with masked entries replaced by fill_value."""
+        if self.mask is None and np.isfinite(self.data).all():
+            return self.data
+        out = np.array(self.data, copy=True)
+        out[self.masked_invalid()] = fill_value
+        return out
+
+    def var_filled(self, fill_value=np.inf):
+        if self.var is None:
+            return None
+        out = np.array(self.var, copy=True)
+        bad = ~np.isfinite(out)
+        if self.mask is not None:
+            bad |= self.mask
+        out[bad] = fill_value
+        return out
+
+    def copy(self):
+        new = type(self)(
+            data=self.data, var=self.var, mask=self.mask,
+            wcs=self._copy_wcs(), wave=self._copy_wave(), copy=True,
+        )
+        new.primary_header = self.primary_header.copy()
+        return new
+
+    def _copy_wcs(self):
+        if self.wcs is None:
+            return None
+        return WCS(crpix=tuple(self.wcs.crpix), crval=tuple(self.wcs.crval),
+                   cd=self.wcs.cd.copy(), shape=self.wcs.shape)
+
+    def _copy_wave(self):
+        if self.wave is None:
+            return None
+        return WaveCoord(crpix=self.wave.crpix, crval=self.wave.crval,
+                         cdelt=self.wave.cdelt, ctype=self.wave.ctype,
+                         shape=self.wave.shape)
+
+    def abs(self):
+        return type(self)(data=np.abs(self.data), var=self.var, mask=self.mask,
+                          wcs=self._copy_wcs(), wave=self._copy_wave(), copy=False)
+
+    # -- arithmetic ------------------------------------------------------------
+    def _binop(self, other, op):
+        if isinstance(other, _Base):
+            odata, omask = other.data, other.mask
+        else:
+            odata, omask = np.asarray(other), None
+        data = op(self.data, odata)
+        mask = None
+        if self.mask is not None or omask is not None:
+            mask = np.broadcast_to(self._mask, data.shape).copy()
+            if omask is not None:
+                mask |= np.broadcast_to(omask, data.shape)
+        cls = {3: Cube, 2: Image, 1: Spectrum}[data.ndim]
+        return cls(data=data, mask=mask, wcs=self.wcs if data.ndim >= 2 else None,
+                   wave=self.wave if data.ndim != 2 else None, copy=False)
+
+    def __mul__(self, other):
+        return self._binop(other, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        return self._binop(other, lambda a, b: a + b)
+
+    def __sub__(self, other):
+        return self._binop(other, lambda a, b: a - b)
+
+    # -- reductions --------------------------------------------------------------
+    def _reduce(self, func, axis):
+        data = self.filled(np.nan)
+        with np.errstate(invalid="ignore"):
+            out = func(data, axis=axis)
+        if np.ndim(out) == 0:
+            return float(out)
+        mask = ~np.isfinite(out)
+        if out.ndim == 2:
+            return Image(data=out, mask=mask if mask.any() else None, wcs=self.wcs,
+                         copy=False)
+        if out.ndim == 1 and self.ndim == 3 and axis in ((1, 2), (-2, -1)):
+            return Spectrum(data=out, mask=mask if mask.any() else None,
+                            wave=self.wave, copy=False)
+        return out
+
+    def mean(self, axis=None):
+        return self._reduce(np.nanmean, axis)
+
+    def sum(self, axis=None):
+        return self._reduce(np.nansum, axis)
+
+    def max(self, axis=None):
+        return self._reduce(np.nanmax, axis)
+
+    def min(self, axis=None):
+        return self._reduce(np.nanmin, axis)
+
+    # -- I/O ----------------------------------------------------------------------
+    def write(self, filename, savemask="nan", convert_float32=False, **kwargs):
+        data = self.data
+        if savemask == "nan" and self.mask is not None and data.dtype.kind == "f":
+            data = np.array(data, copy=True)
+            data[self.mask] = np.nan
+        if convert_float32 and data.dtype == np.float64:
+            data = data.astype(np.float32)
+        dhdr = fitsio.Header()
+        if self.wcs is not None:
+            self.wcs.to_header(dhdr)
+        if self.wave is not None:
+            self.wave.to_header(dhdr, axis=3 if self.ndim == 3 else 1)
+        dhdr["EXTNAME"] = "DATA"
+        hdus = [
+            fitsio.HDU(header=self.primary_header.copy()),
+            fitsio.HDU(data=data, header=dhdr),
+        ]
+        if self.var is not None:
+            shdr = dhdr.copy()
+            shdr["EXTNAME"] = "STAT"
+            hdus.append(fitsio.HDU(data=self.var, header=shdr))
+        fitsio.write(filename, hdus)
+
+    def _load(self, filename):
+        hdus = fitsio.read(filename)
+        self.primary_header = hdus[0].header
+        data_hdu = None
+        stat_hdu = None
+        for h in hdus:
+            if h.data is None or isinstance(h.data, dict):
+                continue
+            if h.name == "DATA" or data_hdu is None and h.name not in ("STAT",):
+                if data_hdu is None or h.name == "DATA":
+                    data_hdu = h
+            if h.name == "STAT":
+                stat_hdu = h
+        if data_hdu is None:
+            raise OSError(f"no image data in {filename}")
+        self.data = np.asarray(data_hdu.data)
+        self.var = None if stat_hdu is None else np.asarray(stat_hdu.data)
+        if self.data.dtype.kind == "f":
+            m = ~np.isfinite(self.data)
+            self.mask = m if m.any() else None
+        else:
+            self.mask = None
+        hdr = data_hdu.header
+        if self.data.ndim >= 2:
+            self.wcs = WCS.from_header(hdr, shape=self.data.shape[-2:])
+        if self.data.ndim in (1, 3):
+            axis = 3 if self.data.ndim == 3 else 1
+            self.wave = WaveCoord.from_header(hdr, axis=axis, shape=self.data.shape[0])
+        self.data_header = hdr
+
+
+def _norm_slice(sl, n):
+    if isinstance(sl, slice):
+        return sl
+    return slice(sl, sl + 1)
+
+
+class Cube(_Base):
+    """(Nz, Ny, Nx) spectral cube."""
+
+    _ndim = 3
+
+    def __getitem__(self, item):
+        if isinstance(item, (int, np.integer)):
+            item = (item,)
+        if not isinstance(item, tuple):
+            item = (item,)
+        item = item + (slice(None),) * (3 - len(item))
+        zsl, ysl, xsl = item
+        data = self.data[zsl, ysl, xsl]
+        var = self.var[zsl, ysl, xsl] if self.var is not None else None
+        mask = self.mask[zsl, ysl, xsl] if self.mask is not None else None
+        if data.ndim == 3:
+            wave = self.wave[_norm_slice(zsl, self.shape[0])] if (
+                self.wave is not None and isinstance(zsl, slice)) else self.wave
+            wcs = self.wcs[ysl, xsl] if self.wcs is not None else None
+            return Cube(data=data, var=var, mask=mask, wcs=wcs, wave=wave, copy=False)
+        if data.ndim == 2:  # one channel
+            wcs = self.wcs[ysl, xsl] if self.wcs is not None else None
+            return Image(data=data, var=var, mask=mask, wcs=wcs, copy=False)
+        if data.ndim == 1:  # one spaxel
+            wave = self.wave[_norm_slice(zsl, self.shape[0])] if (
+                self.wave is not None and isinstance(zsl, slice)) else self.wave
+            return Spectrum(data=data, var=var, mask=mask, wave=wave, copy=False)
+        return data
+
+    def subcube(self, center, size, lbda=None, unit_center=None, unit_size=None):
+        """Extract a (size x size) spatial cutout centred on ``center``.
+
+        ``center`` is (y, x) in pixels when ``unit_center`` is None, else
+        (dec, ra) in degrees.  The returned cube always has the requested
+        size; pixels outside the field are masked.
+        """
+        if unit_center is not None:
+            (y, x), = self.wcs.sky2pix([center])
+        else:
+            y, x = center
+        size = int(size)
+        nz, ny, nx = self.shape
+        y0 = int(np.rint(y)) - size // 2
+        x0 = int(np.rint(x)) - size // 2
+        zsl = slice(0, nz)
+        if lbda is not None:
+            k1 = int(self.wave.pixel(lbda[0], nearest=True))
+            k2 = int(self.wave.pixel(lbda[1], nearest=True))
+            zsl = slice(k1, k2 + 1)
+        nzz = zsl.stop - zsl.start
+        data = np.zeros((nzz, size, size), dtype=self.data.dtype)
+        mask = np.ones((nzz, size, size), dtype=bool)
+        var = None
+        if self.var is not None:
+            var = np.full((nzz, size, size), np.inf, dtype=self.var.dtype)
+        sy0, sy1 = max(0, y0), min(ny, y0 + size)
+        sx0, sx1 = max(0, x0), min(nx, x0 + size)
+        if sy0 < sy1 and sx0 < sx1:
+            dy0, dx0 = sy0 - y0, sx0 - x0
+            data[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = self.data[
+                zsl, sy0:sy1, sx0:sx1
+            ]
+            mask[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = (
+                self.mask[zsl, sy0:sy1, sx0:sx1] if self.mask is not None else False
+            )
+            if var is not None:
+                var[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = self.var[
+                    zsl, sy0:sy1, sx0:sx1
+                ]
+        wcs = None
+        if self.wcs is not None:
+            wcs = WCS(
+                crpix=(self.wcs.crpix[0] - y0, self.wcs.crpix[1] - x0),
+                crval=tuple(self.wcs.crval),
+                cd=self.wcs.cd.copy(),
+                shape=(size, size),
+            )
+        wave = self._copy_wave()
+        if lbda is not None and wave is not None:
+            wave = self.wave[zsl]
+        return Cube(data=data, var=var, mask=mask, wcs=wcs, wave=wave, copy=False)
+
+    def get_image(self, wave, unit_wave=None, method="sum"):
+        """Image reduced over an (inclusive) spectral range.
+
+        ``wave`` is (zmin, zmax) in pixels when ``unit_wave`` is None, else in
+        wavelength units.
+        """
+        z1, z2 = wave
+        if unit_wave is not None:
+            z1 = int(self.wave.pixel(z1, nearest=True))
+            z2 = int(self.wave.pixel(z2, nearest=True))
+        z1 = max(0, int(z1))
+        z2 = min(self.shape[0] - 1, int(z2))
+        sub = self.data[z1 : z2 + 1]
+        func = {"sum": np.nansum, "mean": np.nanmean, "max": np.nanmax}[method]
+        with np.errstate(invalid="ignore"):
+            img = func(np.where(self._mask[z1 : z2 + 1], np.nan, sub), axis=0)
+        mask = ~np.isfinite(img)
+        img = np.where(mask, 0.0, img)
+        return Image(data=img, mask=mask if mask.any() else None, wcs=self.wcs,
+                     copy=False)
+
+
+class Image(_Base):
+    """(Ny, Nx) image."""
+
+    _ndim = 2
+
+    def __getitem__(self, item):
+        if not isinstance(item, tuple):
+            item = (item, slice(None))
+        ysl, xsl = item
+        data = self.data[ysl, xsl]
+        var = self.var[ysl, xsl] if self.var is not None else None
+        mask = self.mask[ysl, xsl] if self.mask is not None else None
+        if data.ndim == 2:
+            wcs = self.wcs[ysl, xsl] if self.wcs is not None else None
+            return Image(data=data, var=var, mask=mask, wcs=wcs, copy=False)
+        return data
+
+    def subimage(self, center, size, unit_center=None, unit_size=None):
+        if unit_center is not None:
+            (y, x), = self.wcs.sky2pix([center])
+        else:
+            y, x = center
+        size = int(size)
+        ny, nx = self.shape
+        y0 = int(np.rint(y)) - size // 2
+        x0 = int(np.rint(x)) - size // 2
+        data = np.zeros((size, size), dtype=self.data.dtype)
+        mask = np.ones((size, size), dtype=bool)
+        sy0, sy1 = max(0, y0), min(ny, y0 + size)
+        sx0, sx1 = max(0, x0), min(nx, x0 + size)
+        if sy0 < sy1 and sx0 < sx1:
+            dy0, dx0 = sy0 - y0, sx0 - x0
+            data[dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = self.data[
+                sy0:sy1, sx0:sx1
+            ]
+            mask[dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = (
+                self.mask[sy0:sy1, sx0:sx1] if self.mask is not None else False
+            )
+        wcs = None
+        if self.wcs is not None:
+            wcs = WCS(
+                crpix=(self.wcs.crpix[0] - y0, self.wcs.crpix[1] - x0),
+                crval=tuple(self.wcs.crval),
+                cd=self.wcs.cd.copy(),
+                shape=(size, size),
+            )
+        return Image(data=data, mask=mask, wcs=wcs, copy=False)
+
+
+class Spectrum(_Base):
+    """(Nz,) spectrum."""
+
+    _ndim = 1
+
+    def __getitem__(self, item):
+        data = self.data[item]
+        var = self.var[item] if self.var is not None else None
+        mask = self.mask[item] if self.mask is not None else None
+        if np.ndim(data) == 1:
+            wave = self.wave[_norm_slice(item, self.shape[0])] if (
+                self.wave is not None and isinstance(item, slice)) else None
+            return Spectrum(data=data, var=var, mask=mask, wave=wave, copy=False)
+        return data
+
+    def subspec(self, lmin, lmax, unit=None):
+        """Trimmed spectrum over [lmin, lmax] (pixels when unit is None)."""
+        if unit is not None:
+            lmin = int(self.wave.pixel(lmin, nearest=True))
+            lmax = int(self.wave.pixel(lmax, nearest=True))
+        lmin = max(0, int(lmin))
+        lmax = min(self.shape[0] - 1, int(lmax))
+        return self[lmin : lmax + 1]
+
+    def mean(self, axis=None):
+        return float(np.nanmean(self.filled(np.nan)))

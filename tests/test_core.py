@@ -1,0 +1,333 @@
+"""Tests for the host-side data substrate: fitsio, containers, coords, table,
+FSF model, profile dictionaries."""
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+from origin_tpu import fitsio
+from origin_tpu.core import (
+    Cube,
+    Image,
+    Spectrum,
+    Table,
+    WCS,
+    WaveCoord,
+    MoffatFSF,
+    FieldsMap,
+    default_dictionary_path,
+    gaussian_profile,
+    load_dictionary,
+    read_fsf_from_header,
+    vstack,
+    join,
+)
+
+
+# ---------------------------------------------------------------------------
+# fitsio
+# ---------------------------------------------------------------------------
+
+def test_fits_image_roundtrip(tmp_path):
+    for dtype in (np.float32, np.float64, np.int16, np.int32, np.int64):
+        data = (np.arange(24).reshape(2, 3, 4) * 1.5).astype(dtype)
+        fn = str(tmp_path / f"img_{np.dtype(dtype).name}.fits")
+        hdr = fitsio.Header()
+        hdr["FOO"] = 42, "a comment"
+        hdr["BAR"] = "hello world"
+        hdr["BAZ"] = 3.14159
+        hdr["QUX"] = True
+        fitsio.writeto(fn, data, header=hdr)
+        back = fitsio.read(fn)
+        assert len(back) == 1
+        np.testing.assert_array_equal(back[0].data, data)
+        h = back[0].header
+        assert h["FOO"] == 42
+        assert h.comment("FOO") == "a comment"
+        assert h["BAR"] == "hello world"
+        assert h["QUX"] is True
+        assert abs(h["BAZ"] - 3.14159) < 1e-12
+
+
+def test_fits_multi_extension(tmp_path):
+    fn = str(tmp_path / "multi.fits")
+    hdus = [fitsio.HDU()]
+    for i in range(3):
+        hdr = fitsio.Header()
+        hdr["EXTNAME"] = f"EXT{i}"
+        hdus.append(fitsio.HDU(data=np.full((5,), float(i)), header=hdr))
+    fitsio.write(fn, hdus)
+    back = fitsio.read(fn)
+    assert [h.name for h in back[1:]] == ["EXT0", "EXT1", "EXT2"]
+    np.testing.assert_array_equal(fitsio.getdata(fn, "EXT2"), np.full(5, 2.0))
+
+
+def test_fits_bintable_roundtrip(tmp_path):
+    fn = str(tmp_path / "table.fits")
+    cols = OrderedDict(
+        [
+            ("ID", np.arange(5, dtype=np.int64)),
+            ("flux", np.linspace(0, 1, 5).astype(np.float64)),
+            ("T_GLR", np.array([1, np.nan, 3, 4, 5], dtype=np.float32)),
+            ("flag", np.array([True, False, True, False, True])),
+            ("name", np.array(["aa", "bb", "c", "dddd", "e"])),
+        ]
+    )
+    hdr = fitsio.Header()
+    hdr["CAT3_TS"] = "2026-01-01T00:00:00"
+    fitsio.write(fn, [fitsio.HDU(), fitsio.HDU(data=cols, header=hdr)])
+    back = fitsio.read(fn)
+    tab = back[1].data
+    np.testing.assert_array_equal(tab["ID"], cols["ID"])
+    np.testing.assert_allclose(tab["flux"], cols["flux"])
+    assert np.isnan(tab["T_GLR"][1])
+    np.testing.assert_array_equal(tab["flag"], cols["flag"])
+    assert list(tab["name"]) == ["aa", "bb", "c", "dddd", "e"]
+    assert back[1].header["CAT3_TS"] == "2026-01-01T00:00:00"
+
+
+def test_fits_block_alignment(tmp_path):
+    # file sizes must be multiples of 2880
+    fn = str(tmp_path / "align.fits")
+    fitsio.writeto(fn, np.zeros((7, 13), dtype=np.float32))
+    assert os.path.getsize(fn) % 2880 == 0
+
+
+# ---------------------------------------------------------------------------
+# coords
+# ---------------------------------------------------------------------------
+
+def test_wcs_roundtrip():
+    wcs = WCS(crpix=(40.0, 40.0), crval=(-30.0, 53.0), cdelt=2e-4 / 3.6)
+    pix = np.array([[0.0, 0.0], [40.0, 40.0], [79.0, 12.0]])
+    sky = wcs.pix2sky(pix)
+    back = wcs.sky2pix(sky)
+    np.testing.assert_allclose(back, pix, atol=1e-8)
+    # center maps to crval
+    np.testing.assert_allclose(wcs.pix2sky([[40.0, 40.0]])[0], [-30.0, 53.0])
+    # pixel scale
+    np.testing.assert_allclose(wcs.get_step(unit="arcsec"), [0.2, 0.2], rtol=1e-12)
+
+
+def test_wcs_header_roundtrip():
+    wcs = WCS(crpix=(10.0, 20.0), crval=(-5.0, 100.0), cdelt=2e-4 / 3.6)
+    hdr = wcs.to_header()
+    wcs2 = WCS.from_header(hdr)
+    assert wcs == wcs2
+
+
+def test_wcs_slicing():
+    wcs = WCS(crpix=(40.0, 40.0), crval=(-30.0, 53.0))
+    sub = wcs[10:30, 5:25]
+    p_full = wcs.pix2sky([[12.0, 8.0]])
+    p_sub = sub.pix2sky([[2.0, 3.0]])
+    np.testing.assert_allclose(p_full, p_sub)
+
+
+def test_wavecoord():
+    wave = WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25, shape=100)
+    assert wave.coord(0) == 4750.0
+    assert wave.coord(2) == 4752.5
+    assert wave.pixel(4752.5) == 2.0
+    assert wave.pixel(4752.6, nearest=True) == 2
+    sub = wave[10:20]
+    assert sub.coord(0) == wave.coord(10)
+    hdr = wave.to_header()
+    wave2 = WaveCoord.from_header(hdr, shape=100)
+    assert wave == wave2
+
+
+# ---------------------------------------------------------------------------
+# containers
+# ---------------------------------------------------------------------------
+
+def _make_cube(nz=30, ny=16, nx=14, with_var=True):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(nz, ny, nx))
+    var = rng.uniform(0.5, 1.5, size=(nz, ny, nx)) if with_var else None
+    wcs = WCS(crpix=(ny / 2, nx / 2), crval=(-30.0, 53.0), shape=(ny, nx))
+    wave = WaveCoord(crval=4750.0, cdelt=1.25, shape=nz)
+    return Cube(data=data, var=var, wcs=wcs, wave=wave)
+
+
+def test_cube_roundtrip(tmp_path):
+    cube = _make_cube()
+    cube.data[3, 4, 5] = np.nan
+    cube.mask = ~np.isfinite(cube.data)
+    fn = str(tmp_path / "cube.fits")
+    cube.write(fn)
+    back = Cube(fn)
+    assert back.shape == cube.shape
+    assert back.mask[3, 4, 5]
+    np.testing.assert_allclose(back.filled(0), cube.filled(0), rtol=1e-6)
+    np.testing.assert_allclose(back.var, cube.var, rtol=1e-6)
+    assert back.wcs == cube.wcs
+    assert back.wave == cube.wave
+
+
+def test_cube_reductions():
+    cube = _make_cube(with_var=False)
+    img = cube.mean(axis=0)
+    assert isinstance(img, Image)
+    np.testing.assert_allclose(img.data, cube.data.mean(axis=0))
+    sp = cube.mean(axis=(1, 2))
+    assert isinstance(sp, Spectrum)
+    np.testing.assert_allclose(sp.data, cube.data.mean(axis=(1, 2)))
+
+
+def test_cube_subcube_padding():
+    cube = _make_cube()
+    sub = cube.subcube(center=(2, 3), size=9)
+    assert sub.shape == (30, 9, 9)
+    # center pixel maps to the middle of the cutout
+    np.testing.assert_allclose(sub.data[:, 4, 4], cube.data[:, 2, 3])
+    # out-of-field pixels masked
+    assert sub.mask[:, 0, 0].all()
+    assert not sub.mask[:, 4, 4].any()
+    # WCS consistency: same sky position
+    p1 = cube.wcs.pix2sky([[2.0, 3.0]])
+    p2 = sub.wcs.pix2sky([[4.0, 4.0]])
+    np.testing.assert_allclose(p1, p2)
+
+
+def test_cube_get_image():
+    cube = _make_cube(with_var=False)
+    img = cube.get_image(wave=(5, 10), unit_wave=None, method="max")
+    np.testing.assert_allclose(img.data, cube.data[5:11].max(axis=0))
+
+
+def test_spectrum_subspec():
+    sp = Spectrum(data=np.arange(50, dtype=float),
+                  wave=WaveCoord(crval=4750.0, cdelt=1.25, shape=50))
+    sub = sp.subspec(10, 19)
+    assert sub.shape == (10,)
+    assert sub.wave.coord(0) == sp.wave.coord(10)
+    # clipping
+    sub2 = sp.subspec(-5, 200)
+    assert sub2.shape == (50,)
+
+
+def test_image_subimage():
+    img = Image(data=np.arange(100, dtype=float).reshape(10, 10),
+                wcs=WCS(crpix=(5, 5), crval=(0, 0), shape=(10, 10)))
+    sub = img.subimage(center=(8, 8), size=5)
+    assert sub.shape == (5, 5)
+    assert sub.data[2, 2] == img.data[8, 8]
+    assert sub.mask[4, 4]  # outside
+
+
+# ---------------------------------------------------------------------------
+# Table
+# ---------------------------------------------------------------------------
+
+def test_table_basics(tmp_path):
+    t = Table(data=[np.arange(5), np.linspace(0, 1, 5)], names=("a", "b"))
+    assert len(t) == 5
+    assert t.colnames == ["a", "b"]
+    t["c"] = t["a"] * 2
+    sub = t[t["a"] > 2]
+    assert len(sub) == 2
+    row = t[3]
+    assert row["a"] == 3
+    assert row[["a", "c"]] == (3, 6)
+    row["c"] = 99
+    assert t["c"][3] == 99
+    t.sort("c")
+    assert t["c"][-1] == 99
+
+    t.meta["CAT3_TS"] = "2026-01-01"
+    fn = str(tmp_path / "t.fits")
+    t.write(fn)
+    back = Table.read(fn)
+    assert back.meta["CAT3_TS"] == "2026-01-01"
+    np.testing.assert_array_equal(np.sort(back["a"]), np.arange(5))
+
+
+def test_table_group_by_and_join():
+    t = Table(data=[[1, 1, 2, 2, 3], [10.0, 20.0, 30.0, 40.0, 50.0]],
+              names=("ID", "flux"))
+    g = t.group_by("ID")
+    assert len(g.groups) == 3
+    keys = [k for k in g.groups.keys["ID"]]
+    assert keys == [1, 2, 3]
+    agg = g.groups.aggregate(np.max)
+    np.testing.assert_array_equal(agg["flux"], [20.0, 40.0, 50.0])
+
+    t2 = Table(data=[[3, 1, 2], ["x", "y", "z"]], names=("ID", "tag"))
+    j = join(t, t2, key="ID")
+    assert len(j) == 5
+    assert list(j[j["ID"] == 3]["tag"]) == ["x"]
+
+
+def test_table_vstack_fills_missing():
+    t1 = Table(data=[[1, 2], [0.5, 0.6]], names=("x0", "T_GLR"))
+    t2 = Table(data=[[3], [9.0]], names=("x0", "STD"))
+    out = vstack([t1, t2])
+    assert len(out) == 3
+    assert np.isnan(out["STD"][0]) and np.isnan(out["T_GLR"][2])
+
+
+def test_table_add_columns_indexes():
+    t = Table(data=[[1], [2], [3], [4], [5], [6], [7], [8]],
+              names=list("abcdefgh"))
+    t.add_columns([[10], [11], [12]], names=["x", "y", "z"], indexes=[4, 5, 6])
+    assert t.colnames == ["a", "b", "c", "d", "x", "e", "y", "f", "z", "g", "h"]
+
+
+# ---------------------------------------------------------------------------
+# FSF / profiles
+# ---------------------------------------------------------------------------
+
+def test_moffat_fsf_header_roundtrip():
+    fsf = MoffatFSF(fwhm_pol=[-0.136, 0.631], beta_pol=[2.8],
+                    lbrange=(5000.0, 9000.0), pixstep=0.2)
+    hdr = fsf.to_header()
+    back = read_fsf_from_header(hdr, pixstep=0.2)
+    np.testing.assert_allclose(back.fwhm_pol, fsf.fwhm_pol)
+    np.testing.assert_allclose(back.beta_pol, fsf.beta_pol)
+    # at the blue reference wavelength fwhm = last coefficient
+    np.testing.assert_allclose(back.get_fwhm(5000.0), 0.631)
+    np.testing.assert_allclose(back.get_fwhm(9000.0), 0.631 - 0.136)
+    np.testing.assert_allclose(back.get_fwhm(5000.0, unit="pix"), 0.631 / 0.2)
+
+
+def test_moffat_psf_cube():
+    fsf = MoffatFSF(fwhm_pol=[0.7], beta_pol=[2.8], pixstep=0.2)
+    psf = fsf.get_3darray(np.array([5000.0, 7000.0]), (25, 25))
+    assert psf.shape == (2, 25, 25)
+    # centered, symmetric, positive, nearly unit flux
+    assert psf[0].argmax() == 12 * 25 + 12
+    np.testing.assert_allclose(psf[0], psf[0][::-1, ::-1])
+    assert abs(psf[0].sum() - 1.0) < 0.05
+    np.testing.assert_allclose(psf[0], fsf.get_2darray(5000.0, (25, 25)))
+
+
+def test_profile_dictionaries():
+    path3 = default_dictionary_path("Dico_3FWHM.fits")
+    profiles, fwhms = load_dictionary(path3)
+    assert len(profiles) == 3
+    np.testing.assert_allclose(fwhms, [2.0, np.linspace(2, 12, 20)[9], 12.0])
+    for p, f in zip(profiles, fwhms):
+        assert p.shape == (201,)
+        np.testing.assert_allclose(np.linalg.norm(p), 1.0, rtol=1e-12)
+        assert p.argmax() == 100
+        np.testing.assert_allclose(p, gaussian_profile(f))
+    path20 = default_dictionary_path("Dico_FWHM_2_12.fits")
+    profiles, fwhms = load_dictionary(path20)
+    assert len(profiles) == 20
+    np.testing.assert_allclose(fwhms, np.linspace(2, 12, 20))
+
+
+def test_fieldsmap_weights():
+    fmap = np.zeros((10, 10), dtype=int)
+    fmap[:, :5] = 1
+    fmap[:, 5:] = 2
+    fmap[0, 0] = 0
+    fm = FieldsMap(data=fmap, nfields=2)
+    w = fm.compute_weights()
+    assert len(w) == 2
+    total = w[0] + w[1]
+    np.testing.assert_allclose(total[fmap > 0], 1.0)
+    assert total[0, 0] == 0
