@@ -1,0 +1,224 @@
+"""Spatial area decomposition for the zone-wise PCA.
+
+Host-side reimplementation of reference lib_origin.py:91-124 and 360-765
+(`spatial_segmentation`, `fusion_areas`, `area_segmentation_*`,
+`area_growing`): the exposed field is cut into a square grid, grid cells are
+fused until they exceed a minimum size, continuum sources are attached
+wholesale to the area they overlap most, areas are replaced by the (closed)
+convex hulls of their sources and finally grown until every exposed pixel is
+covered; small areas merge into their most compact neighbour.
+
+These are millisecond-scale label-map algorithms on (Ny, Nx) images, so they
+stay numpy.  On the TPU side the areamap doubles as the device/shard
+assignment for the per-area PCA (origin_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage as ndi
+from scipy.signal import fftconvolve
+from scipy.spatial import ConvexHull, QhullError
+
+__all__ = [
+    "spatial_segmentation",
+    "fusion_areas",
+    "area_segmentation_square_fusion",
+    "area_segmentation_sources_fusion",
+    "area_segmentation_convex_fusion",
+    "area_growing",
+    "area_segmentation_final",
+]
+
+
+def spatial_segmentation(nx, ny, nb_subcube, start=None):
+    """Row/column cut indices for an nb_subcube^2 grid.
+
+    Rows are cut from the top down, columns left to right (reference
+    lib_origin.py:91-124).  Returns (inty, intx).
+    """
+    inty = np.linspace(ny, 0, nb_subcube + 1, dtype=int)
+    intx = np.linspace(0, nx, nb_subcube + 1, dtype=int)
+    if start is not None:
+        inty += start[0]
+        intx += start[1]
+    return inty, intx
+
+
+def _radial_variance(mask):
+    """Variance of the radial distance of active pixels to their centroid."""
+    y, x = np.where(mask > 0)
+    r = np.hypot(y - y.mean(), x - x.mean())
+    return np.var(r)
+
+
+def fusion_areas(label, min_size, max_size, option=None):
+    """Merge areas smaller than min_size into a neighbour.
+
+    ``label`` is a (N, Ny, Nx) stack of area masks.  The neighbour is chosen
+    by smallest size (option=None) or by most compact merged footprint
+    (option='var').  Merging is refused if the result would exceed max_size.
+    Iterates until stable.  (Reference lib_origin.py:389-459.)
+    """
+    label = np.asarray(label, dtype=float).copy()
+    while True:
+        sizes = np.sum(label, axis=(1, 2))
+        before = label.copy()
+        for n in np.argsort(sizes):
+            cu = label[n]
+            cu_size = np.sum(cu)
+            if not (0 < cu_size < min_size):
+                continue
+            dilated = ndi.binary_dilation(cu > 0, iterations=1)
+            overlap = np.sum(label * dilated[None], axis=(1, 2)) > 0
+            candidates = np.where(overlap)[0]
+            candidates = candidates[candidates != n]
+            if len(candidates) == 0:
+                continue
+            others = label[candidates]
+            if option is None:
+                score = np.sum(others, axis=(1, 2))
+            elif option == "var":
+                score = np.array([_radial_variance(cu + o) for o in others])
+            else:
+                raise ValueError("bad option")
+            best = int(np.argmin(score))
+            cand = candidates[best]
+            merged_size = np.sum(label[n]) + (
+                np.sum(others[best]) if option == "var" else score[best]
+            )
+            if option == "var":
+                merged_size = np.sum(label[n]) + np.sum(label[cand])
+            if merged_size < max_size:
+                label[n] += label[cand]
+                label[cand] = 0
+        keep = np.sum(label, axis=(1, 2)) > 0
+        label = label[keep]
+        before = before[keep]
+        if np.sum(np.abs(before - label)) == 0:
+            break
+    return label
+
+
+def area_segmentation_square_fusion(nexpmap, min_s, max_s, nb_subcube, ny, nx):
+    """Grid-cut the exposed map, label each cell, fuse small pieces."""
+    vert = np.sum(nexpmap, axis=1)
+    hori = np.sum(nexpmap, axis=0)
+    y1 = np.where(vert > 0)[0][0]
+    x1 = np.where(hori > 0)[0][0]
+    y2 = ny - np.where(vert[::-1] > 0)[0][0]
+    x2 = nx - np.where(hori[::-1] > 0)[0][0]
+    inty, intx = spatial_segmentation(nx, ny, nb_subcube, start=(y1, x1))
+
+    planes = []
+    for ky in range(nb_subcube):
+        for kx in range(nb_subcube):
+            ya, yb = inty[ky + 1], inty[ky]
+            xa, xb = intx[kx], intx[kx + 1]
+            cell = nexpmap[ya:yb, xa:xb]
+            if np.mean(cell) == 0:
+                continue
+            comp, ncomp = ndi.label(cell)
+            for c in range(1, ncomp + 1):
+                plane = np.zeros((ny, nx))
+                plane[ya:yb, xa:xb] = comp == c
+                planes.append(plane)
+    return fusion_areas(np.array(planes), min_s, max_s)
+
+
+def area_segmentation_sources_fusion(labsrc, label, pfa, ny, nx):
+    """Attach each continuum source wholly to its best-overlap area.
+
+    Returns (label, src_map) where src_map is the union of all sources.
+    (Reference lib_origin.py:522-578.)
+    """
+    labsrc = np.asarray(labsrc)
+    nlab = int(labsrc.max())
+    label = np.asarray(label, dtype=float).copy()
+    nlabel = label.shape[0]
+    src_map = np.zeros((ny, nx))
+    for n in range(1, nlab + 1):
+        src = (labsrc == n).astype(float)
+        src_map += src
+        overlap = np.sum(src[None] * label, axis=(1, 2))
+        if len(overlap) == 0:
+            continue
+        ind = int(np.argmax(overlap))
+        label[ind] = (label[ind] + src) > 0
+        others = np.delete(np.arange(nlabel), ind)
+        label[others] *= (1 - label[ind])[None]
+    return label, src_map
+
+
+def _fill_convex(points, shape):
+    """Rasterized, slightly dilated convex hull of integer points."""
+    sny, snx = shape
+    if len(points) < 3:
+        out = np.zeros(shape, dtype=bool)
+        out[points[:, 0], points[:, 1]] = True
+        return ndi.binary_dilation(out, iterations=1)
+    try:
+        hull = ConvexHull(points)
+    except QhullError:
+        out = np.zeros(shape, dtype=bool)
+        out[points[:, 0], points[:, 1]] = True
+        return ndi.binary_dilation(out, iterations=1)
+    # half-plane test against every hull facet (equations: n.x + d <= 0)
+    yy, xx = np.mgrid[:sny, :snx]
+    pts = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(float)
+    inside = np.ones(len(pts), dtype=bool)
+    for eq in hull.equations:
+        inside &= pts @ eq[:2] + eq[2] <= 1e-9
+    out = inside.reshape(shape)
+    # the reference closes its rasterized hull outline with a radius-1 disc
+    # (lib_origin.py:679-688); dilating by one pixel reproduces that margin
+    return ndi.binary_dilation(out, iterations=1)
+
+
+def area_segmentation_convex_fusion(label, src):
+    """Replace each area by the filled convex hull of its sources."""
+    out = []
+    for n in range(label.shape[0]):
+        lab = label[n]
+        data = src * lab
+        if not np.sum(data > 0):
+            continue
+        points = np.array(np.where(data > 0)).T
+        y0, x0 = points[:, 0].min(), points[:, 1].min()
+        local = points - [y0, x0]
+        sny, snx = local[:, 0].max() + 1, local[:, 1].max() + 1
+        hull = _fill_convex(local, (sny, snx))
+        plane = np.zeros_like(lab)
+        plane[y0 : y0 + sny, x0 : x0 + snx] = hull
+        plane *= lab
+        out.append(plane)
+    return np.array(out)
+
+
+def area_growing(label, mask, niter=20):
+    """Grow every area (closing + 1 dilation per pass) until the exposed map
+    is covered; areas never overtake one another."""
+    order = np.argsort(np.sum(label, axis=(1, 2)))
+    out = label.copy().astype(float)
+    nlab = out.shape[0]
+    while True:
+        total = np.sum(out)
+        for n in order:
+            cu = out[n] > 0
+            others = np.delete(np.arange(nlab), n)
+            border = (1 - (np.sum(out[others], axis=0) > 0)) * mask
+            cu = ndi.binary_dilation(cu, iterations=niter + 1)
+            cu = ndi.binary_erosion(cu, border_value=1, iterations=niter)
+            out[n] = cu * border
+        if np.sum(out) == np.sum(mask) or np.sum(out) == total:
+            break
+    return out
+
+
+def area_segmentation_final(label, min_s, max_s):
+    """Fuse remaining small areas by compactness and emit the label map."""
+    label = fusion_areas(label, min_s, max_s, option="var")
+    areamap = np.zeros(label.shape[1:])
+    for i in range(label.shape[0]):
+        areamap[label[i] > 0] = i + 1
+    return areamap

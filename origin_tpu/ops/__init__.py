@@ -1,0 +1,33 @@
+"""Device kernels: the jit-compiled numerical core of the pipeline."""
+
+from .convolve import fft2_shape, fftconvolve2d_same
+from .dct import dct_residual, dctmat
+from .glr import correlation_glr_test, glr_spatial, glr_spectral, prepare_profiles
+from .lines import (
+    estimation_line_arrays,
+    grid_analysis_batch,
+    ls_deconv_wgt,
+    method_pca_wgt,
+)
+from .localmax import compute_local_max, local_maxima
+from .pca import (
+    compute_pca_threshold,
+    greedy_pca,
+    greedy_pca_by_area,
+    rank1_left_vector,
+)
+from .purity import compute_threshold_purity, counts_above_thresholds
+from .stats import compute_thresh_gaussfit, o2test, sigma_clip, standardize
+
+__all__ = [
+    "fft2_shape", "fftconvolve2d_same",
+    "dct_residual", "dctmat",
+    "correlation_glr_test", "glr_spatial", "glr_spectral", "prepare_profiles",
+    "estimation_line_arrays", "grid_analysis_batch", "ls_deconv_wgt",
+    "method_pca_wgt",
+    "compute_local_max", "local_maxima",
+    "compute_pca_threshold", "greedy_pca", "greedy_pca_by_area",
+    "rank1_left_vector",
+    "compute_threshold_purity", "counts_above_thresholds",
+    "compute_thresh_gaussfit", "o2test", "sigma_clip", "standardize",
+]

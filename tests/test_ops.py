@@ -1,0 +1,356 @@
+"""Kernel-level parity tests: JAX device kernels vs numpy/scipy oracles."""
+
+import numpy as np
+import pytest
+
+import oracle
+from origin_tpu.ops import (
+    compute_local_max,
+    compute_thresh_gaussfit,
+    compute_threshold_purity,
+    correlation_glr_test,
+    counts_above_thresholds,
+    dct_residual,
+    dctmat,
+    greedy_pca,
+    greedy_pca_by_area,
+    ls_deconv_wgt,
+    method_pca_wgt,
+    o2test,
+    rank1_left_vector,
+    standardize,
+    estimation_line_arrays,
+)
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def small_cube():
+    rng = np.random.default_rng(7)
+    nz, ny, nx = 80, 12, 10
+    cube = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, size=(nz, ny, nx)).astype(np.float32)
+    mask = np.zeros((nz, ny, nx), dtype=bool)
+    mask[:, 0, 0] = True  # fully masked spaxel
+    mask[3, 1, 1] = True  # partially masked spaxel
+    # add continuum on some spaxels
+    z = np.arange(nz)
+    cube[:, 5, 5] += 3.0 * np.cos(np.pi * z / nz)
+    cube[:, 6, 6] += 2.0 + 0.01 * z
+    return cube, var, mask
+
+
+def test_dctmat_orthonormal():
+    d = dctmat(100, 10)
+    np.testing.assert_allclose(d.T @ d, np.eye(11), atol=2e-6)
+
+
+def test_dct_residual_approx(small_cube):
+    cube, var, mask = small_cube
+    cont = np.asarray(dct_residual(cube, 10, approx=True))
+    d = oracle.dct_basis(cube.shape[0], 10)
+    expected = np.einsum("zi,iyx->zyx", d, np.einsum("zi,zyx->iyx", d, cube))
+    np.testing.assert_allclose(cont, expected, atol=2e-4)
+
+
+def test_dct_residual_gls_matches_oracle(small_cube):
+    cube, var, mask = small_cube
+    cont = np.asarray(dct_residual(cube, 10, var=var, mask=mask))
+    valid = ~np.any(mask, axis=0)
+    expected = oracle.dct_continuum_gls(cube, 10, var, valid)
+    np.testing.assert_allclose(cont, expected, atol=5e-4, rtol=1e-3)
+
+
+def test_o2test(small_cube):
+    cube = small_cube[0]
+    np.testing.assert_allclose(
+        np.asarray(o2test(cube)), oracle.o2(cube), rtol=1e-5
+    )
+
+
+def test_standardize(small_cube):
+    cube, var, mask = small_cube
+    cont = np.asarray(dct_residual(cube, 10, var=var, mask=mask))
+    std_cube, cont_std = standardize(cube, cont, var, mask)
+    std_cube = np.asarray(std_cube)
+    # oracle: nan-based computation
+    data = cube - cont
+    data[mask] = np.nan
+    mean = np.nanmean(data, axis=(1, 2))
+    expected = (data - mean[:, None, None]) / np.sqrt(var)
+    expected[mask] = 0
+    np.testing.assert_allclose(std_cube, expected, atol=2e-4)
+    assert np.all(std_cube[mask] == 0)
+
+
+def test_local_max_matches_scipy(small_cube):
+    cube, var, mask = small_cube
+    rng = np.random.default_rng(3)
+    correl = rng.normal(size=cube.shape).astype(np.float32)
+    correl_min = rng.normal(size=cube.shape).astype(np.float32)
+    lm, lmin = compute_local_max(correl, correl_min, mask, 3)
+    elm, elmin = oracle.local_max_oracle(correl, correl_min, mask, 3)
+    np.testing.assert_allclose(np.asarray(lm), elm, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lmin), elmin, atol=1e-6)
+
+
+def test_local_max_size5(small_cube):
+    cube, var, mask = small_cube
+    rng = np.random.default_rng(4)
+    correl = rng.normal(size=cube.shape).astype(np.float32)
+    lm, lmin = compute_local_max(correl, correl, mask, 5)
+    elm, elmin = oracle.local_max_oracle(correl, correl, mask, 5)
+    np.testing.assert_allclose(np.asarray(lm), elm, atol=1e-6)
+
+
+def test_gaussfit_threshold_recovers_noise_stats():
+    rng = np.random.default_rng(5)
+    data = rng.normal(loc=1.0, scale=0.1, size=20000)
+    hist, bins, thres, mea, std = compute_thresh_gaussfit(data, 0.01)
+    assert abs(mea - 1.0) < 0.02
+    assert abs(std - 0.1) < 0.03
+    # threshold ~ mean + 2.33 sigma for pfa=0.01
+    assert 1.15 < thres < 1.35
+
+
+def test_glr_matches_oracle():
+    rng = np.random.default_rng(11)
+    nz, ny, nx = 60, 9, 8
+    cube = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    # wavelength-dependent PSF
+    from origin_tpu.core import MoffatFSF, gaussian_profile
+
+    fsf = MoffatFSF(fwhm_pol=[0.2, 0.6], beta_pol=[2.8], pixstep=0.2)
+    lbda = np.linspace(5000, 9000, nz)
+    psf = fsf.get_3darray(lbda, (7, 7)).astype(np.float32)
+    profiles = [gaussian_profile(f, 41, 20) for f in (2.0, 6.0)]
+
+    correl, prof, correl_min = correlation_glr_test(cube, psf, None, profiles)
+    ecorrel, eprof, ecorrel_min = oracle.glr_oracle(cube, psf, profiles)
+
+    np.testing.assert_allclose(correl, ecorrel, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(correl_min, ecorrel_min, atol=2e-3, rtol=1e-3)
+    # profile argmax can differ at near-ties; demand 99% agreement
+    agree = np.mean(prof == eprof)
+    assert agree > 0.99
+
+
+def test_glr_mosaic_weighted_sum():
+    rng = np.random.default_rng(12)
+    nz, ny, nx = 40, 8, 8
+    cube = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    from origin_tpu.core import MoffatFSF, gaussian_profile
+
+    fsf = MoffatFSF(fwhm_pol=[0.6], beta_pol=[2.8], pixstep=0.2)
+    psf = fsf.get_3darray(np.linspace(5000, 9000, nz), (5, 5)).astype(np.float32)
+    w1 = np.zeros((ny, nx), np.float32)
+    w1[:, :4] = 1
+    w2 = 1 - w1
+    profiles = [gaussian_profile(4.0, 31, 15)]
+    correl, prof, correl_min = correlation_glr_test(
+        cube, [psf, psf], [w1, w2], profiles
+    )
+    # with identical PSFs and complementary weights, must equal single field
+    correl1, _, _ = correlation_glr_test(cube, psf, None, profiles)
+    np.testing.assert_allclose(correl, correl1, atol=2e-3, rtol=1e-3)
+
+
+def test_rank1_left_vector_matches_svd():
+    rng = np.random.default_rng(13)
+    m = rng.normal(size=(50, 30)).astype(np.float32)
+    # make dominant direction pronounced
+    u_true = rng.normal(size=50)
+    u_true /= np.linalg.norm(u_true)
+    m += 10 * np.outer(u_true, rng.normal(size=30)).astype(np.float32)
+    u = np.asarray(rank1_left_vector(jnp.asarray(m)))
+    u_svd = np.linalg.svd(m, full_matrices=False)[0][:, 0]
+    assert min(np.linalg.norm(u - u_svd), np.linalg.norm(u + u_svd)) < 1e-3
+
+
+def _pca_problem(nz=60, npix=40, seed=21):
+    rng = np.random.default_rng(seed)
+    cube = rng.normal(size=(nz, npix)).astype(np.float32)
+    # strong nuisance sources in a few columns
+    spec = np.exp(-0.5 * ((np.arange(nz) - 30) / 8.0) ** 2)
+    for j, amp in [(5, 10.0), (6, 8.0), (20, 12.0)]:
+        cube[:, j] += amp * spec
+    test = np.mean(cube ** 2, axis=0)
+    thres = np.percentile(test, 80)
+    return cube, test.astype(np.float32), float(thres)
+
+
+def test_greedy_pca_matches_oracle():
+    cube, test, thres = _pca_problem()
+    faint, mapo2, nstop = greedy_pca(
+        jnp.asarray(cube),
+        jnp.ones(cube.shape[1], dtype=bool),
+        jnp.asarray(test),
+        thres,
+        noise_population=50.0,
+        itermax=100,
+    )
+    efaint, emapo2, enstop = oracle.greedy_pca_oracle(cube, test, thres, 50, 100)
+    np.testing.assert_array_equal(np.asarray(mapo2), emapo2)
+    assert int(nstop) == enstop
+    np.testing.assert_allclose(np.asarray(faint), efaint, atol=5e-3)
+    # all spaxels must now pass the test
+    assert np.all(np.mean(np.asarray(faint) ** 2, axis=0) <= thres + 1e-5)
+
+
+def test_greedy_pca_padding_invariance():
+    cube, test, thres = _pca_problem()
+    nz, npix = cube.shape
+    pad = 64
+    cube_pad = np.zeros((nz, npix + pad), np.float32)
+    cube_pad[:, :npix] = cube
+    valid = np.zeros(npix + pad, bool)
+    valid[:npix] = True
+    test_pad = np.zeros(npix + pad, np.float32)
+    test_pad[:npix] = test
+    f1, m1, _ = greedy_pca(
+        jnp.asarray(cube), jnp.ones(npix, bool), jnp.asarray(test), thres
+    )
+    f2, m2, _ = greedy_pca(
+        jnp.asarray(cube_pad), jnp.asarray(valid), jnp.asarray(test_pad), thres
+    )
+    np.testing.assert_allclose(np.asarray(f2)[:, :npix], np.asarray(f1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m2)[:npix], np.asarray(m1))
+    assert np.all(np.asarray(f2)[:, npix:] == 0)
+
+
+def test_greedy_pca_itermax():
+    cube, test, thres = _pca_problem()
+    faint, mapo2, nstop = greedy_pca(
+        jnp.asarray(cube), jnp.ones(cube.shape[1], bool), jnp.asarray(test),
+        thres, itermax=1,
+    )
+    efaint, emapo2, enstop = oracle.greedy_pca_oracle(cube, test, thres, 50, 1)
+    assert int(nstop) == enstop == 1
+    np.testing.assert_array_equal(np.asarray(mapo2), emapo2)
+
+
+def test_greedy_pca_by_area():
+    cube, test, thres = _pca_problem()
+    nz = cube.shape[0]
+    # lay the 40 columns out as an 5x8 map with two areas
+    cube3d = cube.reshape(nz, 5, 8)
+    areamap = np.ones((5, 8), dtype=int)
+    areamap[:, 4:] = 2
+    tests = [
+        np.mean(cube3d[:, areamap == a] ** 2, axis=0) for a in (1, 2)
+    ]
+    faint, mapo2, nstop = greedy_pca_by_area(
+        cube3d, areamap, [thres, thres], tests
+    )
+    assert faint.shape == cube3d.shape
+    o2map = np.mean(faint ** 2, axis=0)
+    # the loop may bail out with a single remaining nuisance spaxel per area
+    # (reference lib_origin.py:927-931), so allow at most one per area
+    for a in (1, 2):
+        assert np.sum(o2map[areamap == a] > thres + 1e-5) <= 1
+
+
+def test_counts_above_thresholds():
+    rng = np.random.default_rng(31)
+    v = rng.normal(size=1000).astype(np.float32)
+    th = np.linspace(-1, 2, 13).astype(np.float32)
+    counts = np.asarray(counts_above_thresholds(jnp.asarray(v), jnp.asarray(th)))
+    expected = [(v > t).sum() for t in th]
+    np.testing.assert_array_equal(counts, expected)
+
+
+def test_compute_threshold_purity():
+    rng = np.random.default_rng(33)
+    shape = (40, 20, 20)
+    lmax = np.zeros(shape, np.float32)
+    lmin = np.zeros(shape, np.float32)
+    # noise peaks in both cubes, signal peaks only in max cube
+    idx = rng.integers(0, 40 * 400, size=300)
+    lmax.ravel()[idx] = rng.uniform(2, 6, 300)
+    idx = rng.integers(0, 40 * 400, size=300)
+    lmin.ravel()[idx] = rng.uniform(2, 6, 300)
+    lmax.ravel()[rng.integers(0, 40 * 400, 50)] = rng.uniform(8, 12, 50)
+    thresh, res = compute_threshold_purity(0.9, lmax, lmin)
+    assert np.isfinite(thresh)
+    assert res.colnames == ["Tval_r", "Pval_r", "Det_m", "Det_M"]
+    # counting at the estimated threshold: purity must be >= 0.9 - eps
+    n1 = (lmax > thresh).sum()
+    n0 = (lmin > thresh).sum()
+    assert 1 - n0 / n1 >= 0.85
+
+
+def test_ls_deconv_matches_oracle():
+    rng = np.random.default_rng(41)
+    nl, s = 30, 5
+    data = rng.normal(size=(nl, s, s))
+    var = rng.uniform(0.5, 2, size=(nl, s, s))
+    psf = rng.uniform(0, 1, size=(nl, s, s))
+    d, v = ls_deconv_wgt(jnp.asarray(data, dtype=jnp.float32),
+                         jnp.asarray(var, dtype=jnp.float32),
+                         jnp.asarray(psf, dtype=jnp.float32))
+    ed, ev = oracle.ls_deconv_oracle(data, var, psf)
+    np.testing.assert_allclose(np.asarray(d), ed, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), ev, rtol=2e-4)
+
+
+def _line_minicube(nl=60, s=9, seed=43, amp=8.0, z0=30):
+    rng = np.random.default_rng(seed)
+    from origin_tpu.core import MoffatFSF
+
+    fsf = MoffatFSF(fwhm_pol=[0.5], beta_pol=[2.8], pixstep=0.2)
+    psf = fsf.get_3darray(np.linspace(5000, 6000, nl), (s, s))
+    line = amp * np.exp(-0.5 * ((np.arange(nl) - z0) / 2.0) ** 2)
+    data = rng.normal(scale=0.3, size=(nl, s, s)) + line[:, None, None] * psf
+    var = np.full((nl, s, s), 0.09)
+    return data.astype(np.float32), var.astype(np.float32), psf.astype(np.float32), line
+
+
+def test_method_pca_wgt_matches_oracle():
+    data, var, psf, line = _line_minicube()
+    d0 = dctmat(data.shape[0], 30)
+    est, estvar = method_pca_wgt(
+        jnp.asarray(data), jnp.asarray(var), jnp.asarray(psf), jnp.asarray(d0)
+    )
+    eest, eestvar = oracle.method_pca_wgt_oracle(data, var, psf, 30)
+    np.testing.assert_allclose(np.asarray(est), eest, atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(estvar), eestvar, rtol=1e-3)
+    # the estimated line must peak at the injected position
+    assert abs(int(np.argmax(np.asarray(est))) - 30) <= 1
+
+
+def test_estimation_line_end_to_end():
+    nl, s = 60, 9
+    data, var, psf, line = _line_minicube(nl=nl, s=s)
+    # embed the minicube into a larger field
+    ny = nx = 21
+    rng = np.random.default_rng(44)
+    raw = rng.normal(scale=0.3, size=(nl, ny, nx)).astype(np.float32)
+    raw[:, 6:15, 6:15] = data
+    varfield = np.full((nl, ny, nx), 0.09, np.float32)
+    out = estimation_line_arrays(
+        np.array([10]), np.array([10]), np.array([30]),
+        raw, varfield, psf, size_grid=0,
+    )
+    assert out["ok"][0]
+    assert abs(int(out["z"][0]) - 30) <= 1
+    assert out["flux"][0] > 0
+    # flux should approximate the line integral over +/-5 channels
+    expected = line[25:36].sum()
+    assert abs(out["flux"][0] - expected) / expected < 0.25
+
+
+def test_estimation_line_grid_refines_position():
+    nl, s = 60, 9
+    data, var, psf, line = _line_minicube(nl=nl, s=s)
+    ny = nx = 21
+    rng = np.random.default_rng(45)
+    raw = rng.normal(scale=0.3, size=(nl, ny, nx)).astype(np.float32)
+    raw[:, 6:15, 6:15] = data  # true center at (10, 10)
+    varfield = np.full((nl, ny, nx), 0.09, np.float32)
+    out = estimation_line_arrays(
+        np.array([11]), np.array([9]), np.array([30]),
+        raw, varfield, psf, size_grid=1,
+    )
+    assert out["ok"][0]
+    assert int(out["y"][0]) == 10 and int(out["x"][0]) == 10
