@@ -1,0 +1,349 @@
+"""Per-source FITS file container.
+
+Replaces the subset of ``mpdaf.sdetect.Source`` used by the reference's
+source-file writer (source_creation.py:26-436): a primary header of source
+keywords plus named cubes, images, spectra and tables serialized as FITS
+extensions with the mpdaf naming convention (IMA_*, CUB_*_DATA/STAT,
+SPE_*_DATA/STAT, TAB_*).
+
+Spectral extraction conventions (extract_spectra): the sky spectrum is the
+mean over the sky mask; the total spectrum is the plain sum over the object
+mask; weighted spectra (white-light, PSF, correlation-map) use the
+inverse-variance matched estimator sum(w d / var) / sum(w^2 / var) with the
+weights normalized to a unit peak inside the mask.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+
+from .. import fitsio
+from ..core.containers import Cube, Image, Spectrum
+from ..core.fsf import MoffatFSF, read_fsf_from_header
+from ..core.table import Table
+
+__all__ = ["Source"]
+
+
+class Source:
+    def __init__(self, header=None):
+        self.header = header if header is not None else fitsio.Header()
+        self.cubes = {}
+        self.images = {}
+        self.spectra = {}
+        self.tables = {}
+        self.lines = None
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_data(cls, source_id, ra, dec, origin):
+        src = cls()
+        h = src.header
+        h["ID"] = int(source_id), "object ID"
+        h["RA"] = float(ra), "RA in degrees"
+        h["DEC"] = float(dec), "DEC in degrees"
+        h["FROM"] = origin[0], "detection software"
+        h["FROM_V"] = origin[1], "version of the detection software"
+        h["CUBE"] = origin[2], "datacube"
+        h["CUBE_V"] = origin[3] if origin[3] else "", "version of the datacube"
+        return src
+
+    def __getattr__(self, name):
+        # header keyword access (e.g. source.COMP_CAT)
+        hdr = self.__dict__.get("header")
+        if hdr is not None and name in hdr:
+            return hdr[name]
+        raise AttributeError(name)
+
+    def add_history(self, text, author=""):
+        stamp = datetime.now().isoformat()[:19]
+        self.header.add_history(f"{text} ({author}) {stamp}" if author else
+                                f"{text} {stamp}")
+
+    # -- data attachment ------------------------------------------------------
+    def add_cube(self, cube, name, size=None, unit_size=None, add_white=False):
+        """Attach a spatial cutout of ``cube`` centred on the source."""
+        if size is None:
+            sub = cube.copy()
+        else:
+            sub = cube.subcube(
+                center=(self.header["DEC"], self.header["RA"]), size=size,
+                unit_center="deg",
+            )
+        self.cubes[name] = sub
+        if add_white:
+            self.images["MUSE_WHITE"] = sub.mean(axis=0)
+        return sub
+
+    def add_image(self, image, name):
+        """Attach an image resampled on the white-image grid (or as given)."""
+        white = self.images.get("MUSE_WHITE")
+        if white is not None and image.shape != white.shape:
+            size = white.shape[0]
+            image = image.subimage(
+                center=(self.header["DEC"], self.header["RA"]), size=size,
+                unit_center="deg",
+            )
+        self.images[name] = image
+        return image
+
+    def add_FSF(self, cube, fieldmap=None):
+        """Copy the FSF model keywords from a cube header."""
+        hdr = cube.primary_header
+        if "FSFMODE" not in hdr:
+            raise ValueError("no FSF keywords in the cube header")
+        for key in hdr.keys():
+            if key.startswith("FSF"):
+                self.header[key] = hdr[key]
+        step = cube.wcs.get_step(unit="arcsec")[0] if cube.wcs else 0.2
+        self.header["FSFSTEP"] = float(step), "pixel step used for FSF (arcsec)"
+
+    def get_FSF(self):
+        return read_fsf_from_header(
+            self.header, pixstep=float(self.header.get("FSFSTEP", 0.2))
+        )
+
+    def add_table(self, tbl, name, select_in=None, col_dist=None):
+        self.tables[name] = tbl.copy()
+
+    def add_line(self, cols, values, units=None, fmt=None, desc=None):
+        if self.lines is None:
+            self.lines = Table(data=[[v] for v in values], names=list(cols))
+        else:
+            for c in cols:
+                if c not in self.lines.colnames:
+                    self.lines[c] = np.full(len(self.lines), np.nan)
+            self.lines.add_row(dict(zip(cols, values)))
+
+    # -- narrow bands -----------------------------------------------------------
+    def add_narrow_band_image_lbdaobs(
+        self, cube, name, lbda, width=8, method="sum", subtract_off=True,
+        margin=10.0, fband=3.0,
+    ):
+        """Narrow-band image around an observed wavelength.
+
+        With ``subtract_off`` the mean of two side bands (offset by
+        ``margin`` Angstrom, total width ``fband`` times the band) scaled to
+        the band width is subtracted (reference usage:
+        source_creation.py:377-399).
+        """
+        l1, l2 = lbda - width / 2.0, lbda + width / 2.0
+        z1 = int(max(0, cube.wave.pixel(l1, nearest=True)))
+        z2 = int(min(cube.shape[0] - 1, cube.wave.pixel(l2, nearest=True)))
+        data = cube.filled(np.nan)
+        on = data[z1 : z2 + 1]
+        if method == "sum":
+            img = np.nansum(on, axis=0)
+        elif method == "mean":
+            img = np.nanmean(on, axis=0)
+        else:
+            img = np.nanmax(on, axis=0)
+        if subtract_off and method == "sum":
+            half = fband * width / 2.0
+            zl1 = int(max(0, cube.wave.pixel(l1 - margin - half, nearest=True)))
+            zl2 = int(max(0, cube.wave.pixel(l1 - margin, nearest=True)))
+            zr1 = int(min(cube.shape[0] - 1,
+                          cube.wave.pixel(l2 + margin, nearest=True)))
+            zr2 = int(min(cube.shape[0] - 1,
+                          cube.wave.pixel(l2 + margin + half, nearest=True)))
+            off = []
+            if zl2 > zl1:
+                off.append(data[zl1:zl2])
+            if zr2 > zr1:
+                off.append(data[zr1:zr2])
+            if off:
+                off = np.concatenate(off, axis=0)
+                img = img - np.nanmean(off, axis=0) * (z2 + 1 - z1)
+        img = np.where(np.isfinite(img), img, 0.0)
+        self.images[name] = Image(data=img, wcs=cube.wcs, copy=False)
+
+    # -- spectra -------------------------------------------------------------------
+    def _weighted_spectrum(self, data, var, weights, mask):
+        w = np.where(mask, weights, 0.0)
+        peak = w.max()
+        if peak > 0:
+            w = w / peak
+        v = var if var is not None else np.ones_like(data)
+        num = np.nansum(w[None] * data / v, axis=(1, 2))
+        den = np.nansum((w ** 2)[None] / v, axis=(1, 2))
+        den[den == 0] = np.inf
+        spec = num / den
+        svar = 1.0 / den
+        return spec, svar
+
+    def extract_spectra(
+        self, cube, obj_mask="ORI_MASK_OBJ", sky_mask="ORI_MASK_SKY",
+        skysub=True, psf=None, beta=None, tags_to_try=None,
+    ):
+        """Extract total / weighted spectra over the object mask.
+
+        Produces MUSE_SKY, MUSE_TOT[_SKYSUB], MUSE_WHITE[_SKYSUB], and
+        MUSE_PSF[_SKYSUB] when a psf FWHM vector is given, plus one weighted
+        spectrum per entry of ``tags_to_try`` whose image exists.
+        """
+        objm = np.asarray(self.images[obj_mask].data) > 0
+        skym = np.asarray(self.images[sky_mask].data) > 0
+        data = cube.filled(np.nan)
+        var = cube.var_filled(np.inf) if cube.var is not None else None
+        suffix = "_SKYSUB" if skysub else ""
+
+        nsky = max(1, skym.sum())
+        sky = np.nansum(np.where(skym[None], data, 0.0), axis=(1, 2)) / nsky
+        self.spectra["MUSE_SKY"] = Spectrum(data=sky, wave=cube.wave, copy=False)
+        if skysub:
+            data = data - sky[:, None, None]
+
+        tot = np.nansum(np.where(objm[None], data, 0.0), axis=(1, 2))
+        self.spectra["MUSE_TOT" + suffix] = Spectrum(
+            data=tot, wave=cube.wave, copy=False
+        )
+
+        white = self.images.get("MUSE_WHITE")
+        if white is not None:
+            spec, svar = self._weighted_spectrum(
+                data, var, np.asarray(white.data, float), objm
+            )
+            self.spectra["MUSE_WHITE" + suffix] = Spectrum(
+                data=spec, var=svar, wave=cube.wave, copy=False
+            )
+
+        if psf is not None:
+            # Moffat (or Gaussian if beta is None) weight cube centred on the
+            # source, collapsed with the matched estimator
+            ny, nx = data.shape[1:]
+            cy, cx = (ny - 1) / 2.0, (nx - 1) / 2.0
+            yy, xx = np.mgrid[:ny, :nx]
+            r2 = (yy - cy) ** 2 + (xx - cx) ** 2
+            psf = np.asarray(psf, dtype=float)
+            step = cube.wcs.get_step(unit="arcsec")[0] if cube.wcs else 0.2
+            fwhm_pix = psf / step
+            if beta is not None:
+                b = np.asarray(beta, dtype=float)
+                alpha = fwhm_pix / (2 * np.sqrt(2 ** (1.0 / b) - 1))
+                wcube = (1 + r2[None] / (alpha ** 2)[:, None, None]) ** (
+                    -b[:, None, None]
+                )
+            else:
+                sig = fwhm_pix / (2 * np.sqrt(2 * np.log(2)))
+                wcube = np.exp(-0.5 * r2[None] / (sig ** 2)[:, None, None])
+            w = np.where(objm[None], wcube, 0.0)
+            v = var if var is not None else np.ones_like(data)
+            num = np.nansum(w * data / v, axis=(1, 2))
+            den = np.nansum(w ** 2 / v, axis=(1, 2))
+            den[den == 0] = np.inf
+            self.spectra["MUSE_PSF" + suffix] = Spectrum(
+                data=num / den, var=1.0 / den, wave=cube.wave, copy=False
+            )
+
+        if tags_to_try:
+            for tag in tags_to_try:
+                img = self.images.get(tag)
+                if img is None:
+                    continue
+                spec, svar = self._weighted_spectrum(
+                    data, var, np.asarray(img.data, float), objm
+                )
+                self.spectra[tag + suffix] = Spectrum(
+                    data=spec, var=svar, wave=cube.wave, copy=False
+                )
+
+    # -- I/O ------------------------------------------------------------------------
+    def write(self, filename):
+        hdus = [fitsio.HDU(header=self.header.copy())]
+
+        def coord_header(obj, is_cube):
+            hdr = fitsio.Header()
+            if getattr(obj, "wcs", None) is not None:
+                obj.wcs.to_header(hdr)
+            if getattr(obj, "wave", None) is not None:
+                obj.wave.to_header(hdr, axis=3 if is_cube else 1)
+            return hdr
+
+        for name, img in self.images.items():
+            hdr = coord_header(img, False)
+            hdr["EXTNAME"] = f"IMA_{name}"
+            data = img.data
+            if data.dtype.kind == "f" and img.mask is not None:
+                data = np.where(img.mask, np.nan, data)
+            hdus.append(fitsio.HDU(data=data, header=hdr))
+        for name, cube in self.cubes.items():
+            hdr = coord_header(cube, True)
+            hdr["EXTNAME"] = f"CUB_{name}_DATA"
+            data = cube.data
+            if data.dtype.kind == "f" and cube.mask is not None:
+                data = np.where(cube.mask, np.nan, data)
+            hdus.append(fitsio.HDU(data=data.astype(np.float32), header=hdr))
+            if cube.var is not None:
+                vhdr = coord_header(cube, True)
+                vhdr["EXTNAME"] = f"CUB_{name}_STAT"
+                hdus.append(
+                    fitsio.HDU(data=cube.var.astype(np.float32), header=vhdr)
+                )
+        for name, sp in self.spectra.items():
+            hdr = coord_header(sp, False)
+            hdr["EXTNAME"] = f"SPE_{name}_DATA"
+            hdus.append(fitsio.HDU(data=np.asarray(sp.data, np.float64),
+                                   header=hdr))
+            if sp.var is not None:
+                vhdr = coord_header(sp, False)
+                vhdr["EXTNAME"] = f"SPE_{name}_STAT"
+                hdus.append(fitsio.HDU(data=np.asarray(sp.var, np.float64),
+                                       header=vhdr))
+        tables = dict(self.tables)
+        if self.lines is not None:
+            tables["LINES"] = self.lines
+        for name, tbl in tables.items():
+            hdr = fitsio.Header()
+            hdr["EXTNAME"] = name if name == "LINES" else f"TAB_{name}"
+            from collections import OrderedDict
+
+            cols = OrderedDict(
+                (k, np.asarray(tbl[k])) for k in tbl.colnames
+            )
+            hdus.append(fitsio.HDU(data=cols, header=hdr))
+        fitsio.write(filename, hdus)
+
+    @classmethod
+    def from_file(cls, filename):
+        from ..core.coords import WCS, WaveCoord
+
+        hdus = fitsio.read(filename)
+        src = cls(header=hdus[0].header)
+        pending_stat = {}
+        for h in hdus[1:]:
+            name = h.name
+            if name.startswith("IMA_"):
+                wcs = WCS.from_header(h.header, shape=h.data.shape)
+                src.images[name[4:]] = Image(data=h.data, wcs=wcs, copy=False)
+            elif name.startswith("CUB_") and name.endswith("_DATA"):
+                wcs = WCS.from_header(h.header, shape=h.data.shape[1:])
+                wave = WaveCoord.from_header(h.header, axis=3,
+                                             shape=h.data.shape[0])
+                src.cubes[name[4:-5]] = Cube(data=h.data, wcs=wcs, wave=wave,
+                                             copy=False)
+            elif name.startswith("CUB_") and name.endswith("_STAT"):
+                key = name[4:-5]
+                if key in src.cubes:
+                    src.cubes[key].var = h.data
+            elif name.startswith("SPE_") and name.endswith("_DATA"):
+                wave = WaveCoord.from_header(h.header, axis=1,
+                                             shape=h.data.shape[0])
+                src.spectra[name[4:-5]] = Spectrum(data=h.data, wave=wave,
+                                                   copy=False)
+            elif name.startswith("SPE_") and name.endswith("_STAT"):
+                key = name[4:-5]
+                if key in src.spectra:
+                    src.spectra[key].var = h.data
+            elif name == "LINES":
+                t = Table()
+                for k, v in h.data.items():
+                    t[k] = v
+                src.lines = t
+            elif name.startswith("TAB_"):
+                t = Table()
+                for k, v in h.data.items():
+                    t[k] = v
+                src.tables[name[4:]] = t
+        return src

@@ -1,0 +1,333 @@
+"""Per-source FITS file creation.
+
+Host-side reimplementation of reference source_creation.py: one Source file
+per detected source carrying the ORIGIN parameters, data/correlation
+cutouts, masks, segmaps, extracted spectra, per-line narrow-band images and
+the line table.  Parallelised over sources with a joblib process pool like
+the reference (source_creation.py:533-534).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import datetime
+
+import numpy as np
+from joblib import Parallel, delayed
+
+from ..core.containers import Cube, Image, Spectrum
+from ..core.table import Table
+from ..version import version as origin_version
+from .source import Source
+
+__all__ = ["create_source", "create_all_sources"]
+
+logger = logging.getLogger(__name__)
+
+
+def create_source(
+    source_id,
+    source_table,
+    source_lines,
+    origin_params,
+    cube_cor_filename,
+    cube_std_filename,
+    mask_filename,
+    skymask_filename,
+    spectra_fits_filename,
+    segmaps,
+    version,
+    source_ts,
+    profile_fwhm,
+    *,
+    author="",
+    nb_fwhm=2,
+    expmap_filename=None,
+    save_to=None,
+):
+    """Create one Source file (reference source_creation.py:26-436)."""
+    ids = np.asarray(source_table["ID"])
+    k = int(np.where(ids == source_id)[0][0])
+    info = source_table[k]
+
+    mask = Image(mask_filename)
+    mask_size = mask.shape[0]
+
+    data_cube = Cube(origin_params["cubename"])
+
+    origin = (
+        "ORIGIN",
+        origin_version,
+        os.path.basename(origin_params["cubename"]),
+        data_cube.primary_header.get("CUBE_V", ""),
+    )
+    source = Source.from_data(info["ID"], info["ra"], info["dec"], origin)
+
+    h = source.header
+    h["SRC_V"] = version, "Source version"
+    h["SRC_TS"] = source_ts, "Timestamp of the source creation"
+    h["CAT3_TS"] = (
+        source_table.meta.get("CAT3_TS", ""),
+        "Timestamp of the catalog creation",
+    )
+    source.add_history("Source created with ORIGIN", author)
+
+    h["OR_X"] = float(info["x"]), "x position in pixels"
+    h["OR_Y"] = float(info["y"]), "y position in pixels"
+    h["OR_SEG"] = int(info["seg_label"]), "Label in the segmentation map"
+    h["OR_V"] = origin_version, "ORIGIN version"
+    h["OR_FLUX"] = float(info["flux"]), "flux maximum in all lines"
+    h["OR_PMAX"] = float(info["purity"]), "maximum purity in all lines"
+
+    if not np.isnan(info["STD"]):
+        h["OR_STD"] = float(info["STD"]), "STD max value in all lines"
+    if not np.isnan(info["nsigSTD"]):
+        h["OR_NSTD"] = float(info["nsigSTD"]), "max of STD/std(STD) in all lines"
+    if not np.isnan(info["T_GLR"]):
+        h["OR_TGLR"] = float(info["T_GLR"]), "T_GLR max value in all lines"
+    if not np.isnan(info["nsigTGLR"]):
+        h["OR_NTGLR"] = (
+            float(info["nsigTGLR"]),
+            "max of T_GLR/std(T_GLR) in all lines",
+        )
+
+    # echo the run parameters into the header (reference
+    # source_creation.py:157-199)
+    parameters_to_add = {
+        "OR_PROF": ("profiles", "OR input, spectral profiles"),
+        "OR_FSF": ("PSF", "OR input, FSF cube"),
+        "OR_THL%02d": ("threshold_list", "OR input threshold per area"),
+        "OR_NA": ("nbareas", "OR number of areas"),
+        "preprocessing": {"OR_DCT": ("dct_order", "OR input, DCT order")},
+        "areas": {
+            "OR_PFAA": ("pfa", "OR input, PFA used to create the area map"),
+            "OR_SIZA": ("maxsize", "OR input, maximum area size in pixels"),
+            "OR_MSIZA": ("minsize", "OR input, minimum area size in pixels"),
+        },
+        "compute_PCA_threshold": {"OR_PFAT": ("pfa_test", "OR input, PFA test")},
+        "compute_greedy_PCA": {
+            "OR_FBG": ("Noise_population",
+                       "OR input: fraction of spectra estimated"),
+            "OR_ITMAX": ("itermax", "OR input, maximum number of iterations"),
+        },
+        "compute_TGLR": {"OR_NG": ("size", "OR input, connectivity size")},
+        "detection": {
+            "OR_DXY": ("tol_spat", "OR input, spatial tolerance for merging (pix)"),
+            "OR_DZ": ("tol_spec", "OR input, spectral tolerance for merging (pix)"),
+        },
+        "compute_spectra": {"OR_NXZ": ("grid_dxy", "OR input, grid Nxy")},
+    }
+
+    def add_keyword(keyword, param, description, params):
+        if param == "threshold_list" and param in params:
+            for idx, threshold in enumerate(params["threshold_list"]):
+                h[keyword % idx] = float("%0.2f" % threshold), description
+        elif param in params:
+            value = params[param]
+            h[keyword] = ("" if value is None else value), description
+        else:
+            logger.debug("Parameter %s absent of the parameter list.", param)
+
+    for keyword, val in parameters_to_add.items():
+        if isinstance(val, dict):
+            if keyword in origin_params:
+                for key, val2 in val.items():
+                    add_keyword(key, *val2, origin_params[keyword]["params"])
+        else:
+            add_keyword(keyword, *val, origin_params)
+
+    h["COMP_CAT"] = (
+        int(info["comp"]),
+        "1/0 (1=Pre-detected in STD, 0=detected in CORREL)",
+    )
+    comp = bool(h["COMP_CAT"])
+    thr_key, pur_key = (
+        ("threshold_std", "purity_std") if comp else ("threshold", "purity")
+    )
+    h["OR_TH"] = float("%0.2f" % origin_params[thr_key]), "OR input, threshold"
+    h["OR_PURI"] = float("%0.2f" % origin_params[pur_key]), "OR input, purity"
+
+    # mini-cubes
+    source.add_cube(data_cube, "MUSE_CUBE", size=mask_size, add_white=True)
+    has_fsf = True
+    try:
+        source.add_FSF(data_cube)
+    except ValueError:
+        logger.debug("No FSF information found in the cube")
+        has_fsf = False
+    data_cube = source.cubes["MUSE_CUBE"]
+
+    if comp:
+        cube_ori = Cube(cube_std_filename)
+        source.add_cube(cube_ori, "ORI_SNCUBE", size=mask_size)
+        cube_ori = source.cubes["ORI_SNCUBE"]
+    else:
+        cube_ori = Cube(cube_cor_filename)
+        source.add_cube(cube_ori, "ORI_CORREL", size=mask_size)
+        cube_ori = source.cubes["ORI_CORREL"]
+
+    # nearby sources table
+    radius = mask_size / 2
+    xs, ys = np.asarray(source_table["x"]), np.asarray(source_table["y"])
+    nearby = (
+        (xs >= info["x"] - radius)
+        & (xs <= info["x"] + radius)
+        & (ys >= info["y"] - radius)
+        & (ys <= info["y"] + radius)
+    )
+    source.tables["ORI_CAT"] = source_table["ID", "ra", "dec"][nearby]
+
+    # maps
+    source.images["ORI_MAXMAP"] = cube_ori.max(axis=0)
+    source.add_image(mask, "ORI_MASK_OBJ")
+    source.add_image(Image(skymask_filename), "ORI_MASK_SKY")
+    for segmap_type, segmap_filename in segmaps.items():
+        source.add_image(Image(segmap_filename), "ORI_SEGMAP_%s" % segmap_type)
+    if expmap_filename is not None:
+        source.add_image(Image(expmap_filename), "EXPMAP")
+
+    # full source spectra
+    source.extract_spectra(data_cube, skysub=True)
+    source.extract_spectra(data_cube, skysub=False)
+    objmask = np.asarray(source.images["ORI_MASK_OBJ"].data) > 0
+    ori_masked = np.where(
+        objmask[None], cube_ori.filled(np.nan), np.nan
+    )
+    with np.errstate(invalid="ignore"):
+        corr_spec = np.nanmean(ori_masked, axis=(1, 2))
+    corr_spec = np.where(np.isfinite(corr_spec), corr_spec, 0.0)
+    source.spectra["ORI_CORR"] = Spectrum(
+        data=corr_spec, wave=cube_ori.wave, copy=False
+    )
+
+    if has_fsf:
+        fsfmodel = source.get_FSF()
+        lbda = data_cube.wave.coord()
+        fwhm_fsf = fsfmodel.get_fwhm(lbda)
+        beta_fsf = fsfmodel.get_beta(lbda)
+        source.extract_spectra(data_cube, skysub=True, psf=fwhm_fsf,
+                               beta=beta_fsf)
+        source.extract_spectra(data_cube, skysub=False, psf=fwhm_fsf,
+                               beta=beta_fsf)
+
+    # per line content
+    line_columns = [
+        "NUM_LINE", "RA_LINE", "DEC_LINE", "LBDA_OBS", "FWHM", "FLUX",
+        "GLR", "nGLR", "PROF", "PURITY",
+    ]
+    if comp:
+        line_columns[6] = "STD"
+        line_columns[7] = "nSTD"
+
+    source.add_table(source_lines, "ORI_LINES")
+
+    spectra_hdus = {}
+    if os.path.exists(spectra_fits_filename):
+        from ..pipeline.spectra_io import load_spectra
+
+        spectra_hdus = load_spectra(spectra_fits_filename)
+
+    nb_par_rows = []
+    unmerged = source_lines[np.asarray(source_lines["merged_in"]) == -9999]
+    for row in unmerged:
+        num_line = int(row["num_line"])
+        lbda_ori = float(row["lbda"])
+        prof = int(row["profile"])
+        fwhm_ori = profile_fwhm[prof] * data_cube.wave.get_step()
+        if comp:
+            glr_std, nglr_std = row["STD"], row["nsigSTD"]
+        else:
+            glr_std, nglr_std = row["T_GLR"], row["nsigTGLR"]
+
+        source.add_line(
+            cols=line_columns,
+            values=[
+                num_line, row["ra"], row["dec"], lbda_ori, fwhm_ori,
+                row["flux"], glr_std, nglr_std, prof, row["purity"],
+            ],
+        )
+
+        if num_line in spectra_hdus:
+            source.spectra[f"ORI_SPEC_{num_line}"] = spectra_hdus[num_line]
+
+        source.add_narrow_band_image_lbdaobs(
+            data_cube, f"NB_LINE_{num_line}", lbda=lbda_ori,
+            width=nb_fwhm * fwhm_ori, method="sum", subtract_off=True,
+            margin=10.0, fband=3.0,
+        )
+        nb_par_rows.append(
+            [f"NB_LINE_{num_line}", lbda_ori, nb_fwhm * fwhm_ori, 10.0, 3.0]
+        )
+        source.add_narrow_band_image_lbdaobs(
+            cube_ori, f"ORI_CORR_{num_line}", lbda=lbda_ori,
+            width=nb_fwhm * fwhm_ori, method="max", subtract_off=False,
+        )
+        tags = [f"ORI_CORR_{num_line}"]
+        source.extract_spectra(data_cube, skysub=True, tags_to_try=tags)
+        source.extract_spectra(data_cube, skysub=False, tags_to_try=tags)
+
+    # reference spectrum: correlation-weighted spectrum of the brightest line
+    fluxes = np.asarray(source.lines["FLUX"])
+    num_max = int(np.asarray(source.lines["NUM_LINE"])[np.argmax(fluxes)])
+    h["REFSPEC"] = f"ORI_CORR_{num_max}_SKYSUB"
+
+    nb_par = Table(
+        rows=nb_par_rows, names=["LINE", "LBDA", "WIDTH", "MARGIN", "FBAND"]
+    )
+    source.add_table(nb_par, "NB_PAR")
+
+    if save_to is not None:
+        source.write(save_to)
+    else:
+        return source
+
+
+def create_all_sources(
+    cat3_sources,
+    cat3_lines,
+    origin_params,
+    cube_cor_filename,
+    cube_std_filename,
+    mask_filename_tpl,
+    skymask_filename_tpl,
+    spectra_fits_filename,
+    segmaps,
+    version,
+    profile_fwhm,
+    out_tpl,
+    *,
+    n_jobs=1,
+    author="",
+    nb_fwhm=2,
+    expmap_filename=None,
+):
+    """Create and save one Source file per source (joblib-parallel)."""
+    source_ts = datetime.now().isoformat()
+    jobs = []
+    for source_id in np.asarray(cat3_sources["ID"]):
+        source_id = int(source_id)
+        source_lines = cat3_lines[np.asarray(cat3_lines["ID"]) == source_id]
+        jobs.append(
+            delayed(create_source)(
+                source_id=source_id,
+                source_table=cat3_sources,
+                source_lines=source_lines,
+                origin_params=origin_params,
+                cube_cor_filename=cube_cor_filename,
+                cube_std_filename=cube_std_filename,
+                mask_filename=mask_filename_tpl % source_id,
+                skymask_filename=skymask_filename_tpl % source_id,
+                spectra_fits_filename=spectra_fits_filename,
+                segmaps=segmaps,
+                version=version,
+                source_ts=source_ts,
+                profile_fwhm=profile_fwhm,
+                author=author,
+                nb_fwhm=nb_fwhm,
+                expmap_filename=expmap_filename,
+                save_to=out_tpl % source_id,
+            )
+        )
+    if jobs:
+        Parallel(n_jobs=n_jobs)(jobs)

@@ -179,8 +179,9 @@ def correlation_glr_test(cube, fsf, weights, profiles, pcut=1e-8, pmeansub=True)
         cube_fsf, norm_fsf, jnp.asarray(prof_buf), jnp.asarray(prof2_buf),
         fshape, nz
     )
+    # np.array (not asarray) so callers get writable host buffers
     return (
-        np.asarray(correl),
-        np.asarray(profile),
-        np.asarray(correl_min),
+        np.array(correl),
+        np.array(profile),
+        np.array(correl_min),
     )

@@ -1,0 +1,522 @@
+"""The ORIGIN session object: step orchestration, checkpoint/resume, stats.
+
+Re-architecture of reference origin.py: the same user-facing surface
+(``ORIGIN.init`` / ``load`` / ``write`` / ``stepNN_*`` methods / ``status`` /
+``timestat`` / ``stat`` / plots) with a clean parameter schema (safe YAML,
+no pickled Python objects) and the origin_tpu substrate underneath.
+"""
+
+from __future__ import annotations
+
+import glob
+import inspect
+import logging
+import os
+import shutil
+import sys
+import datetime as _dt
+from collections import OrderedDict
+from functools import cached_property
+from logging.handlers import RotatingFileHandler
+
+import numpy as np
+import yaml
+
+from .. import fitsio
+from ..core.containers import Cube, Image
+from ..core.fsf import FieldsMap, read_fsf_from_header
+from ..core.profiles import default_dictionary_path, load_dictionary
+from ..core.table import Table
+from ..version import version as __version__
+from . import steps as steps_mod
+from .plotting import PlotMixin
+from .steps import Status
+
+__all__ = ["ORIGIN"]
+
+
+def setup_logging(name="origin_tpu", level="DEBUG", color=False,
+                  fmt="%(levelname)-05s: %(message)s", stream=None):
+    """Configure a stream logger (replaces mpdaf.log.setup_logging)."""
+    logger = logging.getLogger(name)
+    logger.setLevel("DEBUG")
+    logger.handlers = [
+        h for h in logger.handlers
+        if not isinstance(h, logging.StreamHandler)
+        or isinstance(h, RotatingFileHandler)
+    ]
+    handler = logging.StreamHandler(stream or sys.stdout)
+    handler.setLevel(level)
+    handler.setFormatter(logging.Formatter(fmt))
+    logger.addHandler(handler)
+    return logger
+
+
+def _sanitize(obj):
+    """Make the parameter tree safe-YAML serializable."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, Status):
+        return obj.name
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (inspect.Parameter.empty.__class__,)):
+        return None
+    return obj
+
+
+class ORIGIN(steps_mod.LogMixin, PlotMixin):
+    """ORIGIN session: blind emission-line detection on one datacube.
+
+    Composed of the raw cube + variance, a dictionary of spectral profiles
+    and the FSF model; drives the 11 processing steps
+    (``step01_preprocessing`` .. ``step11_save_sources``).
+    """
+
+    def __init__(
+        self,
+        filename,
+        name="origin",
+        path=".",
+        loglevel="DEBUG",
+        logcolor=False,
+        fieldmap=None,
+        profiles=None,
+        PSF=None,
+        LBDA_FWHM_PSF=None,
+        FWHM_PSF=None,
+        PSF_size=25,
+        param=None,
+        imawhite=None,
+        wfields=None,
+    ):
+        self.path = path
+        self.name = name
+        self.outpath = os.path.join(path, name)
+        self.param = param or {}
+        self.file_handler = None
+        os.makedirs(self.outpath, exist_ok=True)
+
+        setup_logging(name="origin_tpu", level=loglevel, color=logcolor,
+                      stream=sys.stdout)
+        self.logger = logging.getLogger("origin_tpu")
+        self._setup_logfile(self.logger)
+        self.param["loglevel"] = loglevel
+        self.param["logcolor"] = logcolor
+
+        self._loginfo("Step 00 - Initialization (ORIGIN v%s)", __version__)
+
+        # step wiring: instantiate, fix signatures, expose stepNN_* methods
+        self.steps = OrderedDict()
+        self._dataobjs = {}
+        for i, cls in enumerate(steps_mod.STEPS, start=1):
+            step = cls(self, i, self.param)
+            sig = inspect.signature(step.run)
+            step.__signature__ = sig.replace(
+                parameters=[p for p in sig.parameters.values()
+                            if p.name != "orig"]
+            )
+            self.steps[step.name] = step
+            self.__dict__[step.method_name] = step
+            for dname, _ in step._dataobjs:
+                self._dataobjs[dname] = step
+
+        self._loginfo("Read the Data Cube %s", filename)
+        self.param["cubename"] = filename
+        self.cube = Cube(filename)
+        self.Nz, self.Ny, self.Nx = self.shape = self.cube.shape
+
+        self.wcs = self.cube.wcs
+        self.wave = self.cube.wave
+
+        if profiles is None:
+            profiles = default_dictionary_path()
+        self.param["profiles"] = profiles
+
+        self.param["fieldmap"] = fieldmap
+        self.param["PSF_size"] = PSF_size
+        self._read_fsf(
+            self.cube, fieldmap=fieldmap, wfields=wfields, PSF=PSF,
+            LBDA_FWHM_PSF=LBDA_FWHM_PSF, FWHM_PSF=FWHM_PSF, PSF_size=PSF_size,
+        )
+
+        self.ima_white = imawhite if imawhite else self.cube.mean(axis=0)
+        self.testO2, self.histO2, self.binO2 = None, None, None
+        self._loginfo("00 Done")
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        dataobjs = self.__dict__.get("_dataobjs", {})
+        if name in dataobjs:
+            return getattr(dataobjs[name], name)
+        raise AttributeError(f"unknown attribute {name}")
+
+    def __dir__(self):
+        return (
+            list(super().__dir__())
+            + list(self._dataobjs.keys())
+            + [s.method_name for s in self.steps.values()]
+        )
+
+    # -- raw data views ------------------------------------------------------
+    @cached_property
+    def cube_raw(self):
+        return self.cube.filled(0).astype(np.float32)
+
+    @cached_property
+    def mask(self):
+        return self.cube.masked_invalid()
+
+    @cached_property
+    def var(self):
+        var = self.cube.var_filled(np.inf)
+        if var is None:
+            var = np.ones(self.shape, dtype=np.float32)
+        return var.astype(np.float32)
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def init(cls, cube, fieldmap=None, profiles=None, PSF=None,
+             LBDA_FWHM_PSF=None, FWHM_PSF=None, PSF_size=25, name="origin",
+             path=".", loglevel="DEBUG", logcolor=False):
+        """Create an ORIGIN session from a cube FITS file."""
+        return cls(
+            cube, path=path, name=name, fieldmap=fieldmap, profiles=profiles,
+            PSF=PSF, LBDA_FWHM_PSF=LBDA_FWHM_PSF, FWHM_PSF=FWHM_PSF,
+            PSF_size=PSF_size, loglevel=loglevel, logcolor=logcolor,
+        )
+
+    @classmethod
+    def load(cls, folder, newname=None, loglevel=None, logcolor=None):
+        """Restore a saved session; optionally fork it under a new name."""
+        path = os.path.dirname(os.path.abspath(folder))
+        name = os.path.basename(folder)
+
+        with open(f"{folder}/{name}.yaml") as stream:
+            param = yaml.safe_load(stream)
+
+        # convert step status strings back into enums
+        for key, val in param.items():
+            if isinstance(val, dict) and "status" in val:
+                val["status"] = Status[val["status"]]
+
+        FWHM_PSF = (
+            np.asarray(param["FWHM PSF"]) if "FWHM PSF" in param else None
+        )
+        LBDA_FWHM_PSF = (
+            np.asarray(param["LBDA FWHM PSF"])
+            if "LBDA FWHM PSF" in param else None
+        )
+
+        if param.get("PSF") and os.path.isfile(str(param["PSF"])):
+            PSF = param["PSF"]
+        elif os.path.isfile("%s/cube_psf.fits" % folder):
+            PSF = "%s/cube_psf.fits" % folder
+        else:
+            files = glob.glob("%s/cube_psf_*.fits" % folder)
+            PSF = (
+                None if len(files) == 0
+                else files[0] if len(files) == 1 else sorted(files)
+            )
+        wfield_files = sorted(glob.glob("%s/wfield_*.fits" % folder))
+        wfields = wfield_files if wfield_files else None
+
+        ima_white = (
+            Image("%s/ima_white.fits" % folder)
+            if os.path.isfile("%s/ima_white.fits" % folder) else None
+        )
+
+        if newname is not None:
+            shutil.copytree(os.path.join(path, name),
+                            os.path.join(path, newname))
+            name = newname
+
+        loglevel = loglevel if loglevel is not None else param["loglevel"]
+        logcolor = logcolor if logcolor is not None else param["logcolor"]
+
+        obj = cls(
+            path=path, name=name, param=param, imawhite=ima_white,
+            loglevel=loglevel, logcolor=logcolor,
+            filename=param["cubename"], fieldmap=param.get("fieldmap"),
+            wfields=wfields, profiles=param["profiles"], PSF=PSF,
+            FWHM_PSF=FWHM_PSF, LBDA_FWHM_PSF=LBDA_FWHM_PSF,
+        )
+
+        for step in obj.steps.values():
+            step.load(obj.outpath)
+
+        nb_areas = param.get("nbareas")
+        if nb_areas is not None:
+            for attr in ("testO2", "histO2", "binO2"):
+                if os.path.isfile("%s/%s_1.txt" % (folder, attr)):
+                    setattr(obj, attr, [
+                        np.loadtxt("%s/%s_%d.txt" % (folder, attr, a), ndmin=1)
+                        for a in range(1, nb_areas + 1)
+                    ])
+        return obj
+
+    # -- logging / reporting -------------------------------------------------
+    def info(self):
+        """Print the processing log (without the Done lines)."""
+        with open(self.logfile) as f:
+            for line in f:
+                if line.find("Done") == -1:
+                    print(line, end="")
+
+    def status(self):
+        """Print the processing status of every step."""
+        for name, step in self.steps.items():
+            print(f"- {step.idx:02d}, {name}: {step.status.name}")
+
+    def _setup_logfile(self, logger):
+        if self.file_handler is not None:
+            self.file_handler.close()
+            logger.handlers.remove(self.file_handler)
+        self.logfile = os.path.join(self.outpath, self.name + ".log")
+        self.file_handler = RotatingFileHandler(self.logfile, "a", 1000000, 1)
+        self.file_handler.setLevel(logging.DEBUG)
+        self.file_handler.setFormatter(
+            logging.Formatter("%(asctime)s %(message)s")
+        )
+        logger.addHandler(self.file_handler)
+
+    def set_loglevel(self, level):
+        """Set the console logging level."""
+        handler = next(
+            h for h in self.logger.handlers
+            if isinstance(h, logging.StreamHandler)
+            and not isinstance(h, RotatingFileHandler)
+        )
+        handler.setLevel(level)
+        self.param["loglevel"] = level
+
+    # -- parameters ---------------------------------------------------------
+    @property
+    def nbAreas(self):
+        """Number of areas for the zone-wise PCA."""
+        return self.param.get("nbareas")
+
+    @property
+    def threshold_correl(self):
+        """Detection threshold on the max-correlation local maxima."""
+        return self.param.get("threshold")
+
+    @threshold_correl.setter
+    def threshold_correl(self, value):
+        self.param["threshold"] = value
+
+    @property
+    def threshold_std(self):
+        """Detection threshold on the std-cube local maxima."""
+        return self.param.get("threshold_std")
+
+    @threshold_std.setter
+    def threshold_std(self, value):
+        self.param["threshold_std"] = value
+
+    @cached_property
+    def profiles(self):
+        """The spectral line profiles."""
+        path = self.param["profiles"]
+        self._loginfo("Load dictionary of spectral profile %s", path)
+        profiles, _ = load_dictionary(path)
+        return profiles
+
+    @cached_property
+    def FWHM_profiles(self):
+        """FWHM of the spectral profiles, in pixels."""
+        _, fwhms = load_dictionary(self.param["profiles"])
+        return fwhms
+
+    # -- FSF -------------------------------------------------------------------
+    def _read_fsf(self, cube, fieldmap=None, wfields=None, PSF=None,
+                  LBDA_FWHM_PSF=None, FWHM_PSF=None, PSF_size=25):
+        self.wfields = None
+        info = self.logger.info
+
+        if PSF is None or FWHM_PSF is None or LBDA_FWHM_PSF is None:
+            info("Compute FSFs from the datacube FITS header keywords")
+            pixstep = cube.wcs.get_step(unit="arcsec")[0] if cube.wcs else 0.2
+            fsf = read_fsf_from_header(cube.primary_header, pixstep=pixstep)
+            lbda = cube.wave.coord()
+            shape = (PSF_size, PSF_size)
+            if not isinstance(fsf, list):
+                self.PSF = fsf.get_3darray(lbda, shape).astype(np.float32)
+                self.LBDA_FWHM_PSF = fsf.get_fwhm(lbda, unit="pix")
+                self.FWHM_PSF = float(np.mean(self.LBDA_FWHM_PSF))
+                info("mean FWHM of the FSFs = %.2f pixels", self.FWHM_PSF)
+            else:
+                self.PSF = [
+                    f.get_3darray(lbda, shape).astype(np.float32) for f in fsf
+                ]
+                fwhm = np.array([f.get_fwhm(lbda, unit="pix") for f in fsf])
+                self.LBDA_FWHM_PSF = np.mean(fwhm, axis=0)
+                self.FWHM_PSF = np.mean(fwhm, axis=1)
+                for i, fw in enumerate(self.FWHM_PSF):
+                    info("mean FWHM of the FSFs (field %d) = %.2f pixels",
+                         i, fw)
+                info("Compute weight maps from field map %s", fieldmap)
+                fmap = FieldsMap(fieldmap, nfields=len(fsf))
+                self.wfields = fmap.compute_weights()
+            self.param["PSF"] = cube.primary_header.get("FSFMODE", "header")
+        else:
+            self.LBDA_FWHM_PSF = np.asarray(LBDA_FWHM_PSF)
+            if isinstance(PSF, str):
+                info("Load FSFs from %s", PSF)
+                self.param["PSF"] = PSF
+                self.PSF = fitsio.getdata(PSF).astype(np.float32)
+                if self.PSF.shape[1] != self.PSF.shape[2]:
+                    raise ValueError("PSF must be a square image.")
+                if not self.PSF.shape[1] % 2:
+                    raise ValueError("The spatial size of the PSF must be odd.")
+                if self.PSF.shape[0] != self.shape[0]:
+                    raise ValueError(
+                        "PSF and data cube have not the same dimensions "
+                        "along the spectral axis."
+                    )
+                self.FWHM_PSF = float(np.mean(FWHM_PSF))
+                self.param["FWHM PSF"] = np.asarray(FWHM_PSF).tolist()
+                info("mean FWHM of the FSFs = %.2f pixels", self.FWHM_PSF)
+            else:
+                nfields = len(PSF)
+                self.wfields = []
+                self.PSF = []
+                self.FWHM_PSF = list(np.asarray(FWHM_PSF))
+                for n in range(nfields):
+                    info("Load FSF from %s", PSF[n])
+                    self.PSF.append(fitsio.getdata(PSF[n]).astype(np.float32))
+                    info("Load weight maps from %s", wfields[n])
+                    self.wfields.append(fitsio.getdata(wfields[n]))
+                    info("mean FWHM of the FSFs (field %d) = %.2f pixels",
+                         n, FWHM_PSF[n])
+
+        self.param["FWHM PSF"] = np.asarray(self.FWHM_PSF).tolist()
+        self.param["LBDA FWHM PSF"] = np.asarray(self.LBDA_FWHM_PSF).tolist()
+
+    # -- checkpointing ------------------------------------------------------------
+    def write(self, path=None, erase=False):
+        """Dump the whole session (every step product + parameters)."""
+        self._loginfo("Writing...")
+        if path is not None and path != self.path:
+            if not os.path.exists(path):
+                raise ValueError(f"path does not exist: {path}")
+            self.path = path
+            outpath = os.path.join(path, self.name)
+            shutil.copytree(self.outpath, outpath)
+            self.outpath = outpath
+            self._setup_logfile(self.logger)
+        if erase:
+            shutil.rmtree(self.outpath)
+        os.makedirs(self.outpath, exist_ok=True)
+
+        if isinstance(self.PSF, list):
+            for i, psf in enumerate(self.PSF):
+                Cube(data=psf, mask=False).write(
+                    os.path.join(self.outpath, "cube_psf_%02d.fits" % i)
+                )
+        else:
+            Cube(data=self.PSF, mask=False).write(
+                os.path.join(self.outpath, "cube_psf.fits")
+            )
+        if self.wfields is not None:
+            for i, wfield in enumerate(self.wfields):
+                Image(data=np.asarray(wfield), mask=False).write(
+                    os.path.join(self.outpath, "wfield_%02d.fits" % i)
+                )
+
+        if self.ima_white is not None:
+            self.ima_white.write("%s/ima_white.fits" % self.outpath)
+
+        for step in self.steps.values():
+            step.dump(self.outpath)
+
+        with open(f"{self.outpath}/{self.name}.yaml", "w") as stream:
+            yaml.safe_dump(_sanitize(self.param), stream)
+
+        if self.nbAreas is not None:
+            for attr in ("testO2", "histO2", "binO2"):
+                values = getattr(self, attr)
+                if values is not None:
+                    for area in range(1, self.nbAreas + 1):
+                        np.savetxt(
+                            "%s/%s_%d.txt" % (self.outpath, attr, area),
+                            values[area - 1],
+                        )
+        self._loginfo("Current session saved in %s", self.outpath)
+
+    # -- summaries ------------------------------------------------------------------
+    def timestat(self, table=False):
+        """Runtime per step; returns a Table when ``table`` is True."""
+        if table:
+            names, exdates, extimes = [], [], []
+            tot = 0.0
+            for step in self.steps.values():
+                if "execution_date" in step.meta:
+                    names.append(step.method_name)
+                    exdates.append(step.meta["execution_date"])
+                    t = step.meta["runtime"]
+                    tot += t
+                    extimes.append(str(_dt.timedelta(seconds=t)))
+            names.append("Total")
+            exdates.append("")
+            extimes.append(str(_dt.timedelta(seconds=tot)))
+            return Table(data=[names, exdates, extimes],
+                         names=["Step", "Exec Date", "Exec Time"])
+        tot = 0.0
+        for step in self.steps.values():
+            if "execution_date" in step.meta:
+                t = step.meta["runtime"]
+                tot += t
+                self.logger.info(
+                    "%s executed: %s run time: %s", step.method_name,
+                    step.meta["execution_date"], str(_dt.timedelta(seconds=t)),
+                )
+        self.logger.info(
+            "*** Total run time: %s", str(_dt.timedelta(seconds=tot))
+        )
+
+    def stat(self):
+        """Log the detection summary."""
+        d = self._get_stat()
+        self.logger.info(
+            "ORIGIN PCA pfa %.2f Back Purity: %.2f Threshold: %.2f "
+            "Bright Purity %.2f Threshold %.2f",
+            d["pca"], d["back_purity"], d["back_threshold"],
+            d["bright_purity"], d["bright_threshold"],
+        )
+        self.logger.info("Nb of detected lines: %d", d["tot_nlines"])
+        self.logger.info(
+            "Nb of sources Total: %d Background: %d Cont: %d",
+            d["tot_nsources"], d["back_nsources"], d["cont_nsources"],
+        )
+        self.logger.info(
+            "Nb of sources detected in faint (after PCA): %d "
+            "in std (before PCA): %d",
+            d["faint_nsources"], d["bright_nsources"],
+        )
+
+    def _get_stat(self):
+        p = self.param
+        cat = self.Cat3_sources
+        seg = np.asarray(cat["seg_label"])
+        comp = np.asarray(cat["comp"])
+        return dict(
+            pca=p["compute_PCA_threshold"]["params"]["pfa_test"],
+            back_purity=p["purity"],
+            back_threshold=p["threshold"],
+            bright_purity=p["purity_std"],
+            bright_threshold=p["threshold_std"],
+            tot_nlines=len(self.Cat3_lines),
+            tot_nsources=len(cat),
+            back_nsources=int(np.sum(seg == 0)),
+            cont_nsources=int(np.sum(seg > 0)),
+            faint_nsources=int(np.sum(comp == 0)),
+            bright_nsources=int(np.sum(comp == 1)),
+        )

@@ -1,0 +1,179 @@
+"""End-to-end pipeline tests: the golden 11-step run on a synthetic
+minicube, with interleaved write/load checkpointing (mirroring the structure
+of the reference integration test, tests/test_origin.py:68-183)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from make_minicube import make_minicube, make_segmap, FAINT_LINES, BRIGHT_LINES
+
+from origin_tpu import ORIGIN
+from origin_tpu.artifacts import Source
+from origin_tpu.core import Table
+
+
+@pytest.fixture(scope="module")
+def minicube(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data")
+    cube_fn = str(path / "minicube.fits")
+    seg_fn = str(path / "segmap.fits")
+    make_minicube(cube_fn)
+    make_segmap(seg_fn)
+    return cube_fn, seg_fn
+
+
+def test_attrs(minicube, tmp_path):
+    orig = ORIGIN.init(minicube[0], name="orig", path=str(tmp_path))
+    attrs = dir(orig)
+    assert "Cat3_sources" in attrs
+    assert "cube_faint" in attrs
+    assert "step03_compute_PCA_threshold" in attrs
+    assert "threshold_correl" in attrs
+    with pytest.raises(AttributeError):
+        orig.foo_bar_baz
+
+
+def test_init_load(minicube, tmp_path):
+    orig = ORIGIN.init(minicube[0], name="orig", path=str(tmp_path))
+    orig.write()
+    assert (tmp_path / "orig" / "orig.yaml").exists()
+
+    newpath = tmp_path / "new"
+    os.makedirs(newpath)
+    orig.write(path=str(newpath), erase=True)
+    orig = ORIGIN.load(str(newpath / "orig"))
+    assert (newpath / "orig" / "orig.yaml").exists()
+
+
+def test_psf(minicube, tmp_path):
+    from origin_tpu import fitsio
+
+    orig = ORIGIN.init(minicube[0], name="tmp", loglevel="INFO",
+                       path=str(tmp_path))
+    psffile = str(tmp_path / "psf.fits")
+    fitsio.writeto(psffile, orig.PSF)
+
+    orig2 = ORIGIN.init(
+        minicube[0], name="tmp2", loglevel="INFO", path=str(tmp_path),
+        PSF=psffile, FWHM_PSF=np.atleast_1d(orig.FWHM_PSF),
+        LBDA_FWHM_PSF=orig.LBDA_FWHM_PSF,
+    )
+    assert orig.param["FWHM PSF"] == orig2.param["FWHM PSF"]
+    assert orig.param["LBDA FWHM PSF"] == orig2.param["LBDA FWHM PSF"]
+
+
+@pytest.mark.slow
+def test_origin_full_pipeline(minicube, tmp_path, caplog):
+    """The full 11-step golden run with checkpoint/restore after each phase."""
+    cube_fn, seg_fn = minicube
+    orig = ORIGIN.init(cube_fn, name="tmp", loglevel="INFO",
+                       path=str(tmp_path))
+    orig.write()
+    folder = str(tmp_path / "tmp")
+
+    # log level reload behaviour
+    orig = ORIGIN.load(folder)
+    orig.set_loglevel("DEBUG")
+
+    orig.step01_preprocessing()
+    assert orig.ima_dct is not None
+    assert orig.ima_std is not None
+    orig.write()
+
+    orig = ORIGIN.load(folder)
+    orig.step02_areas(minsize=30, maxsize=60)
+    nb_areas = orig.param["nbareas"]
+    assert nb_areas >= 1
+    labels = np.unique(orig.areamap.data)
+    assert list(labels[labels > 0]) == list(range(1, nb_areas + 1))
+    orig.write()
+
+    orig = ORIGIN.load(folder)
+    assert orig.param["nbareas"] == nb_areas
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+
+    orig.step05_compute_TGLR(ncpu=1)
+    orig.step06_compute_purity_threshold(purity=0.8)
+
+    # detection with the automatic threshold and the provided segmap
+    orig.step07_detection(segmap=seg_fn)
+    orig.step08_compute_spectra()
+    orig.write()
+
+    cat = Table.read(str(tmp_path / "tmp" / "Cat1.fits"))
+    subcat = cat[np.asarray(cat["comp"]) == 0]
+    assert np.all(np.isnan(np.asarray(subcat["STD"])))
+    assert np.all(np.isfinite(np.asarray(subcat["T_GLR"])))
+
+    # every injected faint line must be recovered
+    x0 = np.asarray(cat["x0"])
+    y0 = np.asarray(cat["y0"])
+    z0 = np.asarray(cat["z0"])
+    for (x, y, z, amp, sig) in FAINT_LINES + BRIGHT_LINES:
+        near = (np.abs(x0 - x) <= 2) & (np.abs(y0 - y) <= 2) & (
+            np.abs(z0 - z) <= 4
+        )
+        assert near.any(), f"injected line at ({x},{y},{z}) not recovered"
+
+    # session fork, then cleaning
+    orig = ORIGIN.load(folder, newname="tmp2")
+    orig.step09_clean_results()
+    orig.write()
+
+    assert "CAT3_TS" in Table.read(str(tmp_path / "tmp2" / "Cat3_lines.fits")).meta
+    assert "CAT3_TS" in Table.read(
+        str(tmp_path / "tmp2" / "Cat3_sources.fits")
+    ).meta
+
+    folder2 = str(tmp_path / "tmp2")
+    orig = ORIGIN.load(folder2)
+    orig.step10_create_masks()
+    orig.write()
+
+    orig = ORIGIN.load(folder2)
+    orig.step11_save_sources("0.1")
+    orig.step11_save_sources("0.1", n_jobs=2, overwrite=True)
+
+    orig.info()
+    with open(orig.logfile) as f:
+        log = f.read().splitlines()
+        assert "11 Done" in log[-1]
+
+    tbl = orig.timestat(table=True)
+    assert len(tbl) == 12
+    assert tbl.colnames == ["Step", "Exec Date", "Exec Time"]
+
+    caplog.clear()
+    orig.stat()
+    messages = [rec.message for rec in caplog.records]
+    assert any("ORIGIN PCA pfa" in m for m in messages)
+    assert any("Nb of detected lines" in m for m in messages)
+
+    cat3 = Table.read(str(tmp_path / "tmp2" / "Cat3_lines.fits"))
+    nsources = len(np.unique(cat3["ID"]))
+    assert nsources >= len(FAINT_LINES)  # all faint lines as separate sources
+    assert max(cat3["ID"]) == nsources
+
+    # source files
+    ids = sorted(np.unique(np.asarray(cat3["ID"])))
+    src1 = Source.from_file(
+        str(tmp_path / "tmp2" / "sources" / ("source-%0.5d.fits" % ids[0]))
+    )
+    src2 = Source.from_file(
+        str(tmp_path / "tmp2" / "sources" / ("source-%0.5d.fits" % ids[1]))
+    )
+    shapes = {ima.shape for ima in src1.images.values()}
+    assert len(shapes) == 1
+    mask_size = src1.images["MUSE_WHITE"].shape[0]
+    assert src1.cubes["MUSE_CUBE"].shape == (500, mask_size, mask_size)
+    assert "SRC_TS" in src1.header
+    assert src1.header["CAT3_TS"] == src2.header["CAT3_TS"]
+    assert src1.header["SRC_TS"] == src2.header["SRC_TS"]
+    assert src1.header["REFSPEC"] in src1.spectra
+    assert src1.lines is not None and len(src1.lines) >= 1
+
+    for h in orig.logger.handlers:
+        h.close()
