@@ -27,7 +27,6 @@ BASELINE_MVOX_S = (NZ * NY * NX / 1e6) / 11.57
 def main():
     import jax
     import jax.numpy as jnp
-    from scipy.fft import next_fast_len
 
     from origin_tpu.core import MoffatFSF, gaussian_profile
     from origin_tpu.ops import compute_local_max
@@ -49,15 +48,13 @@ def main():
     profiles = [gaussian_profile(f) for f in (2.0, 6.736842105263158, 12.0)]
 
     prepped = prepare_profiles(profiles)
-    dmax = max(len(p) for p, _ in prepped)
-    fshape = int(next_fast_len(NZ + dmax - 1))
-    prof_buf, prof2_buf = _pack_profiles(prepped, fshape)
+    prof_buf, prof2_buf, centers = _pack_profiles(prepped)
     fshape2 = fft2_shape((NY, NX), (25, 25))
 
     def step05(cube, psf, prof_buf, prof2_buf, mask):
         cube_fsf, norm_fsf = glr_spatial(cube, psf[None], None, fshape2)
         correl, profile, correl_min = glr_spectral(
-            cube_fsf, norm_fsf, prof_buf, prof2_buf, fshape, NZ
+            cube_fsf, norm_fsf, prof_buf, prof2_buf, centers, NZ
         )
         lmax, lmin = compute_local_max(correl, correl_min, mask, 3)
         return correl, profile, lmax, lmin

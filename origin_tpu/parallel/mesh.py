@@ -124,13 +124,14 @@ def _local_max_sharded(x, mask, size, axis_name="sp"):
 
 def detect_tile_kernel(
     cube, var, mask, psf, prof_buf, prof2_buf, d0, thresholds,
-    local_max_size=3, axis_name="sp",
+    centers=(0,), local_max_size=3, axis_name="sp",
 ):
     """Single-tile detection math with collectives; runs inside shard_map.
 
     cube/var/mask: (Nz, ny_loc, Nx) row shards; psf: (Nz, P, P);
-    prof_buf/prof2_buf: (K, F) circularly-shifted padded profiles;
-    d0: (Nz, order+1) DCT basis; thresholds: (T,) purity scan grid.
+    prof_buf/prof2_buf: (K, L) right-padded trimmed profile banks with
+    'same'-offsets ``centers``; d0: (Nz, order+1) DCT basis;
+    thresholds: (T,) purity scan grid.
 
     Returns (local_max, local_min, counts_max, counts_min).
     """
@@ -172,29 +173,25 @@ def detect_tile_kernel(
         jnp.ones_like(data), kern * kern, halo, axis_name
     )
 
-    # --- spectral matched filter (local) ----------------------------------
-    fshape = prof_buf.shape[1]
+    # --- spectral matched filter (local; direct conv, see ops.glr) --------
+    from ..ops.glr import _conv_full_lastdim
+
     ny_loc, nx = cube_fsf.shape[1:]
     x2 = cube_fsf.reshape(nz, -1).T
     n2 = norm_fsf.reshape(nz, -1).T
-    xf = jnp.fft.rfft(x2, fshape, axis=-1)
-    nf = jnp.fft.rfft(n2, fshape, axis=-1)
-    pf = jnp.fft.rfft(prof_buf, fshape, axis=-1)
-    p2f = jnp.fft.rfft(prof2_buf, fshape, axis=-1)
-
-    def body(carry, inp):
-        correl, correl_min = carry
-        pfk, p2fk = inp
-        cp = jnp.fft.irfft(xf * pfk[None], fshape, axis=-1)[:, :nz]
-        norm = jnp.fft.irfft(nf * p2fk[None], fshape, axis=-1)[:, :nz]
+    length = prof_buf.shape[1]
+    correl = x2 * 0.0 - jnp.inf
+    correl_min = x2 * 0.0 + jnp.inf
+    for k, c in enumerate(centers):
+        off = length - 1 - c
+        num = _conv_full_lastdim(x2, prof_buf[k : k + 1])[:, 0]
+        den = _conv_full_lastdim(n2, prof2_buf[k : k + 1])[:, 0]
+        cp = jax.lax.slice_in_dim(num, off, off + nz, axis=-1)
+        norm = jax.lax.slice_in_dim(den, off, off + nz, axis=-1)
         norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
         t = cp / norm
-        return (jnp.maximum(correl, t), jnp.minimum(correl_min, t)), None
-
-    # derive the scan carry from local (device-varying) data so shard_map's
-    # varying-axes type checker accepts it
-    init = (x2 * 0.0 - jnp.inf, x2 * 0.0 + jnp.inf)
-    (correl, correl_min), _ = jax.lax.scan(body, init, (pf, p2f))
+        correl = jnp.maximum(correl, t)
+        correl_min = jnp.minimum(correl_min, t)
     correl = correl.T.reshape(nz, ny_loc, nx)
     correl_min = correl_min.T.reshape(nz, ny_loc, nx)
     correl = jnp.where(good, correl, 0.0)
@@ -221,7 +218,6 @@ class ShardedPipeline:
     def __init__(self, mesh, nz, ny, nx, psf, profiles, dct_order=10,
                  local_max_size=3, thresholds=None):
         from ..ops.glr import prepare_profiles, _pack_profiles
-        from scipy.fft import next_fast_len
 
         self.mesh = mesh
         self.sp = mesh.shape["sp"]
@@ -231,9 +227,7 @@ class ShardedPipeline:
         self.shape = (nz, ny, nx)
         self.psf = np.asarray(psf, dtype=np.float32)
         prepped = prepare_profiles(profiles)
-        dmax = max(len(p) for p, _ in prepped)
-        fshape = int(next_fast_len(nz + dmax - 1))
-        self.prof_buf, self.prof2_buf = _pack_profiles(prepped, fshape)
+        self.prof_buf, self.prof2_buf, self.centers = _pack_profiles(prepped)
         self.d0 = dctmat(nz, dct_order)
         if thresholds is None:
             thresholds = np.linspace(2.0, 12.0, 50)
@@ -253,6 +247,7 @@ class ShardedPipeline:
             out = jax.vmap(
                 lambda c, v, m: detect_tile_kernel(
                     c, v, m, psf, prof_buf, prof2_buf, d0, thresholds,
+                    centers=self.centers,
                     local_max_size=self.local_max_size,
                 )
             )(cube, var, mask)

@@ -55,15 +55,22 @@ def make_minicube(path=None, nz=500, ny=60, nx=60, seed=1234, noise=1.0):
                           + 0.2 * zz / nz)
         data += spectrum[:, None, None] * spatial[None]
 
-    # emission-line point sources convolved with the FSF
+    # emission-line point sources convolved with the FSF; lines landing
+    # outside a (small) field are skipped, injection windows are clipped
     half = 7
     for (x0, y0, z0, amp, lsig) in FAINT_LINES + BRIGHT_LINES:
+        if not (0 <= x0 < nx and 0 <= y0 < ny and 0 <= z0 < nz):
+            continue
         line = amp * np.exp(-0.5 * ((zz - z0) / lsig) ** 2)
         zs = slice(max(0, z0 - 40), min(nz, z0 + 41))
         spot = fsf.get_3darray(lbda[zs], (2 * half + 1, 2 * half + 1))
         spot = spot / spot.max(axis=(1, 2), keepdims=True)
-        data[zs, y0 - half : y0 + half + 1, x0 - half : x0 + half + 1] += (
-            line[zs, None, None] * spot
+        ys0, ys1 = max(0, y0 - half), min(ny, y0 + half + 1)
+        xs0, xs1 = max(0, x0 - half), min(nx, x0 + half + 1)
+        data[zs, ys0:ys1, xs0:xs1] += (
+            line[zs, None, None]
+            * spot[:, ys0 - (y0 - half) : ys1 - (y0 - half),
+                   xs0 - (x0 - half) : xs1 - (x0 - half)]
         )
 
     # masked voxels: a corner column and a few random voxels

@@ -272,3 +272,21 @@ def test_unique_sources_and_stats():
     row1 = full[np.asarray(full["ID"]) == 1][0]
     np.testing.assert_allclose(row1["T_GLR"], 8.0)
     np.testing.assert_allclose(row1["purity"], 0.9)
+
+
+def test_native_fof_matches_python():
+    """The C++ FoF core must reproduce the Python traversal exactly."""
+    from origin_tpu import native
+    from origin_tpu.detect.merging import _merge_groups_py
+
+    if native.get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(17)
+    n = 500
+    x = rng.uniform(0, 100, n).round(1)
+    y = rng.uniform(0, 100, n).round(1)
+    z = rng.integers(0, 400, n).astype(float)
+    for tol_spat, tol_spec in [(3, 5), (5, 3), (1.5, 10)]:
+        im_py = _merge_groups_py(x, y, z, tol_spat, tol_spec)
+        im_c = native.fof_merge_groups(x, y, z, tol_spat, tol_spec)
+        np.testing.assert_array_equal(im_c, im_py)
