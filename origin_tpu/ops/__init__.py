@@ -2,7 +2,16 @@
 
 from .convolve import fft2_shape, fftconvolve2d_same
 from .dct import dct_residual, dctmat
-from .glr import correlation_glr_test, glr_spatial, glr_spectral, prepare_profiles
+from .glr import (
+    correlation_glr_test,
+    glr_spatial,
+    glr_spatial_pre,
+    glr_spectral,
+    glr_spectral_mxu,
+    pack_profiles_toeplitz,
+    precompute_spatial,
+    prepare_profiles,
+)
 from .lines import (
     estimation_line_arrays,
     grid_analysis_batch,
@@ -23,6 +32,8 @@ __all__ = [
     "fft2_shape", "fftconvolve2d_same",
     "dct_residual", "dctmat",
     "correlation_glr_test", "glr_spatial", "glr_spectral", "prepare_profiles",
+    "glr_spatial_pre", "glr_spectral_mxu", "pack_profiles_toeplitz",
+    "precompute_spatial",
     "estimation_line_arrays", "grid_analysis_batch", "ls_deconv_wgt",
     "method_pca_wgt",
     "compute_local_max", "local_maxima",

@@ -30,7 +30,16 @@ from scipy.fft import next_fast_len
 
 from .convolve import fft2_shape, fftconvolve2d_same
 
-__all__ = ["prepare_profiles", "correlation_glr_test", "glr_spatial", "glr_spectral"]
+__all__ = [
+    "prepare_profiles",
+    "correlation_glr_test",
+    "glr_spatial",
+    "glr_spectral",
+    "precompute_spatial",
+    "glr_spatial_pre",
+    "pack_profiles_toeplitz",
+    "glr_spectral_mxu",
+]
 
 
 def prepare_profiles(profiles, pcut=1e-8, pmeansub=True):
@@ -121,6 +130,67 @@ def glr_spatial(cube, psfs, wmaps, fshape2):
     return cube_fsf, norm_fsf
 
 
+@partial(jax.jit, static_argnames=("ny", "nx", "fshape2"))
+def precompute_spatial(psfs, wmaps, ny, nx, fshape2):
+    """Data-independent part of the spatial stage, computed once per dataset.
+
+    The FSF (and the field weight maps for mosaics) are fixed instrument
+    models, so their padded 2-D spectra — and the entire norm cube, which
+    depends only on them — are hoisted out of the per-cube hot path.
+
+    Returns (kern_hats, norm_fsf): ``kern_hats`` is a (F, Nz, fy, fx//2+1)
+    complex bank of flipped zero-mean FSF spectra; ``norm_fsf`` the summed
+    (Nz, Ny, Nx) norm cube (reference lib_origin.py:1036-1043).
+    """
+    nfields = psfs.shape[0]
+    kern_hats = []
+    norm_fsf = None
+    for nf in range(nfields):
+        kern = psfs[nf][:, ::-1, ::-1]
+        kern = kern - jnp.mean(kern, axis=(1, 2), keepdims=True)
+        kern_hats.append(jnp.fft.rfft2(kern, fshape2))
+        base = (
+            jnp.ones((1, ny, nx), psfs.dtype) if wmaps is None
+            else wmaps[nf][None]
+        )
+        bf = jnp.fft.rfft2(base, fshape2)
+        k2f = jnp.fft.rfft2(kern * kern, fshape2)
+        full = jnp.fft.irfft2(bf * k2f, fshape2)
+        ph, pw = kern.shape[-2:]
+        y0, x0 = (ph - 1) // 2, (pw - 1) // 2
+        n = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(full, y0, y0 + ny, axis=-2),
+            x0, x0 + nx, axis=-1,
+        )
+        norm_fsf = n if norm_fsf is None else norm_fsf + n
+    return jnp.stack(kern_hats), norm_fsf
+
+
+@partial(jax.jit, static_argnames=("psf_shape", "fshape2"))
+def glr_spatial_pre(cube, kern_hats, wmaps, psf_shape, fshape2):
+    """Hot-path spatial stage with precomputed FSF spectra.
+
+    Two cube-sized FFT passes (forward + inverse) instead of the five of
+    the self-contained ``glr_spatial``.  Returns cube_fsf only; the norm
+    cube comes from :func:`precompute_spatial`.
+    """
+    ny, nx = cube.shape[-2:]
+    ph, pw = psf_shape
+    y0, x0 = (ph - 1) // 2, (pw - 1) // 2
+    nfields = kern_hats.shape[0]
+    cube_fsf = None
+    for nf in range(nfields):
+        data = cube if wmaps is None else cube * wmaps[nf][None]
+        cf = jnp.fft.rfft2(data, fshape2)
+        full = jnp.fft.irfft2(cf * kern_hats[nf], fshape2)
+        c = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(full, y0, y0 + ny, axis=-2),
+            x0, x0 + nx, axis=-1,
+        )
+        cube_fsf = c if cube_fsf is None else cube_fsf + c
+    return cube_fsf
+
+
 def _conv_full_lastdim(v, kern):
     """'full' cross-correlation-style conv along the last axis.
 
@@ -180,6 +250,99 @@ def glr_spectral(cube_fsf, norm_fsf, prof_bank, prof2_bank, centers, nz):
     return reshape(correl), reshape(profile), reshape(correl_min)
 
 
+def pack_profiles_toeplitz(prepped, block=128):
+    """Band-Toeplitz operator bank for the MXU spectral sweep (host).
+
+    The centred 'same' correlation with profile k is
+    ``cp[z] = sum_j p_k[j] * x[z + j - c_k]``.  Over a z-block of ``block``
+    outputs this is one (W, block) banded-Toeplitz matmul against a sliding
+    window of the (shared, max-center left-padded) input — a shape the MXU
+    executes at full tilt, unlike a length-~60 depthwise convolution which
+    lands on the VPU.
+
+    Returns (t_num, t_den, pad_left, window) where t_num/t_den are
+    (K, W, block) float32 banks for the profile / profile^2 filters.
+    """
+    k = len(prepped)
+    pad_left = max(c for _, c in prepped)
+    reach = max(pad_left - c + len(p) for p, c in prepped)
+    window = block + reach - 1
+    t_num = np.zeros((k, window, block), dtype=np.float32)
+    t_den = np.zeros((k, window, block), dtype=np.float32)
+    for j, (prof, c) in enumerate(prepped):
+        s = pad_left - c
+        length = len(prof)
+        for i in range(block):
+            t_num[j, s + i : s + i + length, i] = prof
+            t_den[j, s + i : s + i + length, i] = np.asarray(prof) ** 2
+    return t_num, t_den, pad_left, window
+
+
+def toeplitz_sweep(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
+                   precision=jax.lax.Precision.HIGHEST, with_profile=True):
+    """Core of the MXU spectral sweep (traceable; also used inside
+    shard_map tiles, where the z axis is unsharded)."""
+    nprof, window, block = t_num.shape
+    nb = -(-nz // block)
+    ny, nx = cube_fsf.shape[1:]
+    s = ny * nx
+
+    def windows(a):
+        a = a.reshape(nz, s).T  # (S, Nz), z innermost
+        total = nb * block + window - block
+        a = jnp.pad(a, ((0, 0), (pad_left, total - pad_left - nz)))
+        return jnp.stack(
+            [
+                jax.lax.slice_in_dim(a, b * block, b * block + window, axis=-1)
+                for b in range(nb)
+            ],
+            axis=1,
+        )  # (S, NB, W)
+
+    xw = windows(cube_fsf)
+    nw = windows(norm_fsf)
+
+    correl = jnp.full((s, nz), -jnp.inf, dtype=jnp.float32)
+    correl_min = jnp.full((s, nz), jnp.inf, dtype=jnp.float32)
+    profile = jnp.zeros((s, nz), dtype=jnp.uint8) if with_profile else None
+
+    for k in range(nprof):
+        num = jnp.einsum("snw,wz->snz", xw, t_num[k], precision=precision)
+        den = jnp.einsum("snw,wz->snz", nw, t_den[k], precision=precision)
+        cp = num.reshape(s, nb * block)[:, :nz]
+        norm = den.reshape(s, nb * block)[:, :nz]
+        norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
+        t = cp / norm
+        if with_profile:
+            profile = jnp.where(t > correl, jnp.uint8(k), profile)
+        correl = jnp.maximum(correl, t)
+        correl_min = jnp.minimum(correl_min, t)
+
+    reshape = lambda a: a.T.reshape(nz, ny, nx)
+    return (
+        reshape(correl),
+        reshape(profile) if with_profile else None,
+        reshape(correl_min),
+    )
+
+
+@partial(jax.jit, static_argnames=("pad_left", "nz", "precision"))
+def glr_spectral_mxu(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
+                     precision=jax.lax.Precision.HIGHEST):
+    """Spectral matched-filter sweep as blocked-Toeplitz MXU matmuls.
+
+    Numerically equivalent to :func:`glr_spectral` (same sums in a
+    different association order); ~4x faster on TPU because the
+    contraction runs on the systolic array instead of the VPU.
+
+    Inputs are (Nz, Ny, Nx); returns (correl, profile_idx uint8,
+    correl_min), each (Nz, Ny, Nx).
+    """
+    return toeplitz_sweep(
+        cube_fsf, norm_fsf, t_num, t_den, pad_left, nz, precision=precision
+    )
+
+
 def correlation_glr_test(cube, fsf, weights, profiles, pcut=1e-8, pmeansub=True):
     """Full GLR test: host orchestrator around the two device stages.
 
@@ -201,17 +364,20 @@ def correlation_glr_test(cube, fsf, weights, profiles, pcut=1e-8, pmeansub=True)
         wmaps = np.stack([np.asarray(w, dtype=np.float32) for w in weights])
 
     fshape2 = fft2_shape((ny, nx), psfs.shape[-2:])
-    cube_fsf, norm_fsf = glr_spatial(
-        jnp.asarray(cube), jnp.asarray(psfs),
-        None if wmaps is None else jnp.asarray(wmaps), fshape2
+    jwmaps = None if wmaps is None else jnp.asarray(wmaps)
+    kern_hats, norm_fsf = precompute_spatial(
+        jnp.asarray(psfs), jwmaps, ny, nx, fshape2
+    )
+    cube_fsf = glr_spatial_pre(
+        jnp.asarray(cube), kern_hats, jwmaps, psfs.shape[-2:], fshape2
     )
 
     prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
-    prof_bank, prof2_bank, centers = _pack_profiles(prepped)
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped)
 
-    correl, profile, correl_min = glr_spectral(
-        cube_fsf, norm_fsf, jnp.asarray(prof_bank), jnp.asarray(prof2_bank),
-        centers, nz
+    correl, profile, correl_min = glr_spectral_mxu(
+        cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),
+        pad_left, nz
     )
     # np.array (not asarray) so callers get writable host buffers
     return (

@@ -123,15 +123,15 @@ def _local_max_sharded(x, mask, size, axis_name="sp"):
 
 
 def detect_tile_kernel(
-    cube, var, mask, psf, prof_buf, prof2_buf, d0, thresholds,
-    centers=(0,), local_max_size=3, axis_name="sp",
+    cube, var, mask, psf, t_num, t_den, d0, thresholds,
+    pad_left=0, local_max_size=3, axis_name="sp",
 ):
     """Single-tile detection math with collectives; runs inside shard_map.
 
     cube/var/mask: (Nz, ny_loc, Nx) row shards; psf: (Nz, P, P);
-    prof_buf/prof2_buf: (K, L) right-padded trimmed profile banks with
-    'same'-offsets ``centers``; d0: (Nz, order+1) DCT basis;
-    thresholds: (T,) purity scan grid.
+    t_num/t_den: (K, W, B) banded-Toeplitz profile banks (see
+    ops.glr.pack_profiles_toeplitz) with shared left pad ``pad_left``;
+    d0: (Nz, order+1) DCT basis; thresholds: (T,) purity scan grid.
 
     Returns (local_max, local_min, counts_max, counts_min).
     """
@@ -173,27 +173,12 @@ def detect_tile_kernel(
         jnp.ones_like(data), kern * kern, halo, axis_name
     )
 
-    # --- spectral matched filter (local; direct conv, see ops.glr) --------
-    from ..ops.glr import _conv_full_lastdim
+    # --- spectral matched filter (local z axis; MXU Toeplitz sweep) -------
+    from ..ops.glr import toeplitz_sweep
 
-    ny_loc, nx = cube_fsf.shape[1:]
-    x2 = cube_fsf.reshape(nz, -1).T
-    n2 = norm_fsf.reshape(nz, -1).T
-    length = prof_buf.shape[1]
-    correl = x2 * 0.0 - jnp.inf
-    correl_min = x2 * 0.0 + jnp.inf
-    for k, c in enumerate(centers):
-        off = length - 1 - c
-        num = _conv_full_lastdim(x2, prof_buf[k : k + 1])[:, 0]
-        den = _conv_full_lastdim(n2, prof2_buf[k : k + 1])[:, 0]
-        cp = jax.lax.slice_in_dim(num, off, off + nz, axis=-1)
-        norm = jax.lax.slice_in_dim(den, off, off + nz, axis=-1)
-        norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
-        t = cp / norm
-        correl = jnp.maximum(correl, t)
-        correl_min = jnp.minimum(correl_min, t)
-    correl = correl.T.reshape(nz, ny_loc, nx)
-    correl_min = correl_min.T.reshape(nz, ny_loc, nx)
+    correl, _, correl_min = toeplitz_sweep(
+        cube_fsf, norm_fsf, t_num, t_den, pad_left, nz, with_profile=False
+    )
     correl = jnp.where(good, correl, 0.0)
     correl_min = jnp.where(good, correl_min, 0.0)
 
@@ -217,7 +202,7 @@ class ShardedPipeline:
 
     def __init__(self, mesh, nz, ny, nx, psf, profiles, dct_order=10,
                  local_max_size=3, thresholds=None):
-        from ..ops.glr import prepare_profiles, _pack_profiles
+        from ..ops.glr import prepare_profiles, pack_profiles_toeplitz
 
         self.mesh = mesh
         self.sp = mesh.shape["sp"]
@@ -227,7 +212,9 @@ class ShardedPipeline:
         self.shape = (nz, ny, nx)
         self.psf = np.asarray(psf, dtype=np.float32)
         prepped = prepare_profiles(profiles)
-        self.prof_buf, self.prof2_buf, self.centers = _pack_profiles(prepped)
+        self.t_num, self.t_den, self.pad_left, _ = pack_profiles_toeplitz(
+            prepped, block=min(128, nz)
+        )
         self.d0 = dctmat(nz, dct_order)
         if thresholds is None:
             thresholds = np.linspace(2.0, 12.0, 50)
@@ -243,11 +230,11 @@ class ShardedPipeline:
             in_specs=(cube_spec, cube_spec, cube_spec, rep, rep, rep, rep, rep),
             out_specs=(cube_spec, cube_spec, P("dp"), P("dp")),
         )
-        def step(cube, var, mask, psf, prof_buf, prof2_buf, d0, thresholds):
+        def step(cube, var, mask, psf, t_num, t_den, d0, thresholds):
             out = jax.vmap(
                 lambda c, v, m: detect_tile_kernel(
-                    c, v, m, psf, prof_buf, prof2_buf, d0, thresholds,
-                    centers=self.centers,
+                    c, v, m, psf, t_num, t_den, d0, thresholds,
+                    pad_left=self.pad_left,
                     local_max_size=self.local_max_size,
                 )
             )(cube, var, mask)
@@ -270,8 +257,8 @@ class ShardedPipeline:
             jnp.asarray(variances, jnp.float32),
             jnp.asarray(masks),
             jnp.asarray(self.psf),
-            jnp.asarray(self.prof_buf),
-            jnp.asarray(self.prof2_buf),
+            jnp.asarray(self.t_num),
+            jnp.asarray(self.t_den),
             jnp.asarray(self.d0),
             jnp.asarray(self.thresholds),
         ]

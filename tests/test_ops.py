@@ -354,3 +354,71 @@ def test_estimation_line_grid_refines_position():
     )
     assert out["ok"][0]
     assert int(out["y"][0]) == 10 and int(out["x"][0]) == 10
+
+
+def test_glr_spectral_mxu_matches_direct():
+    """The blocked-Toeplitz MXU sweep equals the direct-conv sweep."""
+    import jax.numpy as jnp
+    from origin_tpu.core import gaussian_profile
+    from origin_tpu.ops.glr import (
+        _pack_profiles,
+        glr_spectral,
+        glr_spectral_mxu,
+        pack_profiles_toeplitz,
+        prepare_profiles,
+    )
+
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 300, 5, 6
+    cube_fsf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    norm_fsf = rng.uniform(0.5, 2.0, size=(nz, ny, nx)).astype(np.float32)
+    profiles = [gaussian_profile(f, 41, 20) for f in (2.0, 5.0, 9.0)]
+    prepped = prepare_profiles(profiles)
+
+    pb, p2b, centers = _pack_profiles(prepped)
+    c0, p0, m0 = glr_spectral(
+        jnp.asarray(cube_fsf), jnp.asarray(norm_fsf),
+        jnp.asarray(pb), jnp.asarray(p2b), centers, nz
+    )
+
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped, block=128)
+    c1, p1, m1 = glr_spectral_mxu(
+        jnp.asarray(cube_fsf), jnp.asarray(norm_fsf),
+        jnp.asarray(t_num), jnp.asarray(t_den), pad_left, nz
+    )
+
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               atol=1e-5, rtol=1e-5)
+    assert np.mean(np.asarray(p1) == np.asarray(p0)) > 0.999
+
+
+def test_glr_spatial_pre_matches_combined():
+    """Precomputed-FSF spatial stage equals the self-contained one."""
+    import jax.numpy as jnp
+    from origin_tpu.core import MoffatFSF
+    from origin_tpu.ops.convolve import fft2_shape
+    from origin_tpu.ops.glr import (
+        glr_spatial,
+        glr_spatial_pre,
+        precompute_spatial,
+    )
+
+    rng = np.random.default_rng(4)
+    nz, ny, nx = 40, 11, 13
+    cube = jnp.asarray(rng.normal(size=(nz, ny, nx)).astype(np.float32))
+    fsf = MoffatFSF(fwhm_pol=[0.2, 0.6], beta_pol=[2.8], pixstep=0.2)
+    psf = jnp.asarray(
+        fsf.get_3darray(np.linspace(5000, 9000, nz), (7, 7)).astype(np.float32)
+    )
+    fshape2 = fft2_shape((ny, nx), (7, 7))
+
+    c0, n0 = glr_spatial(cube, psf[None], None, fshape2)
+    kern_hats, n1 = precompute_spatial(psf[None], None, ny, nx, fshape2)
+    c1 = glr_spatial_pre(cube, kern_hats, None, (7, 7), fshape2)
+
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n0),
+                               atol=1e-5, rtol=1e-5)
