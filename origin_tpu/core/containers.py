@@ -46,10 +46,11 @@ class _Base:
         self._sync_coord_shapes()
 
     def _sync_coord_shapes(self):
+        shape = self.shape
         if self.wcs is not None and self.wcs.shape is None:
-            self.wcs.shape = self.shape[-2:] if self.data.ndim >= 2 else None
-        if self.wave is not None and self.wave.shape is None and self.data.ndim != 2:
-            self.wave.shape = self.shape[0]
+            self.wcs.shape = shape[-2:] if len(shape) >= 2 else None
+        if self.wave is not None and self.wave.shape is None and len(shape) != 2:
+            self.wave.shape = shape[0]
 
     # -- basic properties ----------------------------------------------------
     @property

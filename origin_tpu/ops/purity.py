@@ -46,32 +46,32 @@ def compute_threshold_purity(
     given) and L1 the total.  Mirrors reference lib_origin.py:1390-1479.
 
     Returns (threshold, Table[Tval_r, Pval_r, Det_m, Det_M]).
+
+    Inputs may be numpy or device (jax) arrays; the cube-sized reductions
+    run on device either way, so device-resident callers pay only scalar
+    and (T,)-vector transfers.
     """
-    cube_local_max = np.asarray(cube_local_max)
-    cube_local_min = np.asarray(cube_local_min)
+    cube_local_max = jnp.asarray(cube_local_max, jnp.float32)
+    cube_local_min = jnp.asarray(cube_local_min, jnp.float32)
     l1 = float(np.prod(cube_local_min.shape[1:]))
     if segmap is not None:
-        segmask = np.asarray(segmap) == 0
+        segmask = jnp.asarray(np.asarray(segmap) == 0)
         cube_local_min = cube_local_min * segmask
-        l0 = float(np.count_nonzero(segmask))
+        l0 = float(segmask.sum())
         logger.info("using only background pixels (%.1f%%)", l0 / l1 * 100)
     else:
         l0 = l1
 
     if threshlist is None:
         threshmax = min(float(cube_local_min.max()), float(cube_local_max.max()))
-        threshmin = float(np.median(np.amax(cube_local_max, axis=0))) * 1.1
+        threshmin = float(jnp.median(jnp.amax(cube_local_max, axis=0))) * 1.1
         threshlist = np.linspace(threshmin, threshmax, 50)
     else:
         threshlist = np.sort(np.asarray(threshlist, dtype=float))
 
     th = jnp.asarray(threshlist, dtype=jnp.float32)
-    n1 = np.asarray(
-        counts_above_thresholds(jnp.asarray(cube_local_max, jnp.float32), th)
-    ).astype(float)
-    n0 = np.asarray(
-        counts_above_thresholds(jnp.asarray(cube_local_min, jnp.float32), th)
-    ).astype(float)
+    n1 = np.asarray(counts_above_thresholds(cube_local_max, th)).astype(float)
+    n0 = np.asarray(counts_above_thresholds(cube_local_min, th)).astype(float)
 
     n0 = n0 * (l1 / l0)
     with np.errstate(divide="ignore", invalid="ignore"):

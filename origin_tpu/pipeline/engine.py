@@ -1,0 +1,302 @@
+"""Device-resident execution engine for the detection front-end.
+
+The reference pipeline's steps exchange full (Nz, Ny, Nx) numpy cubes
+through the session object (reference steps.py:284-299 store_cube /
+DataObj).  A literal port would round-trip ~10 cube-sized arrays over the
+host-device link.  Here the front-end steps (01 preprocessing, 04 greedy
+PCA, 05 GLR, 06 purity, 07 detection) keep every cube-sized intermediate
+*on the accelerator*: the session's DataObjs hold :class:`DeferredCube`
+handles that materialize to host numpy only when actually needed on the
+host (session ``write()``, plotting, mask generation), and only the small
+products cross the boundary eagerly:
+
+- 2-D images (white/continuum images, O2 map, max/min maps): ~100 KB
+- per-area O2 test vectors for the host-side Gaussian threshold fits
+- purity count scans ((50,) vectors) and scalars
+- sparse detection coordinate lists (argwhere on device)
+
+Besides minimizing PCIe/ICI traffic this lets XLA fuse across what the
+reference treats as separate pipeline stages (DCT -> standardize -> local
+max run as one compiled program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import fitsio
+from ..core.containers import Cube
+from ..ops import compute_local_max, o2test, standardize
+from ..ops.dct import dct_residual
+from ..ops.convolve import fft2_shape
+from ..ops.glr import (
+    glr_spatial_pre,
+    glr_spectral_mxu,
+    pack_profiles_toeplitz,
+    precompute_spatial,
+    prepare_profiles,
+)
+from ..ops.pca import _bucket, greedy_pca
+
+__all__ = ["DeferredCube", "DeviceEngine"]
+
+
+class DeferredCube(Cube):
+    """A Cube whose data lives on device until first host access.
+
+    Used as the DataObj value for cube-sized front-end products; session
+    ``write()`` / plotting / host algorithms trigger the (one) download.
+    ``post`` optionally transforms the downloaded array (e.g. dtype cast).
+    """
+
+    def __init__(self, dev, wcs=None, wave=None, post=None):
+        self.filename = None
+        self.primary_header = fitsio.Header()
+        self.data_header = fitsio.Header()
+        self.wcs = wcs
+        self.wave = wave
+        self.var = None
+        self.mask = None
+        self._dev = dev
+        self._host = None
+        self._post = post
+        self._sync_coord_shapes()
+
+    @property
+    def device(self):
+        """The device array, if still resident (None after materialize)."""
+        return self._dev
+
+    @property
+    def data(self):
+        if self._host is None:
+            arr = np.asarray(self._dev)
+            if self._post is not None:
+                arr = self._post(arr)
+            self._host = arr
+            self._dev = None  # single owner: free HBM once on host
+        return self._host
+
+    @data.setter
+    def data(self, val):
+        self._host = np.asarray(val)
+        self._dev = None
+
+    @property
+    def shape(self):
+        return self._host.shape if self._host is not None else self._dev.shape
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+
+@partial(jax.jit, static_argnames=("order", "approx", "size"))
+def _preprocess_fused(cube, var, mask, order, approx, size):
+    """Steps 01's device math as one compiled program."""
+    cont = dct_residual(cube, order, var=var, approx=approx, mask=mask)
+    data, cont_std = standardize(cube, cont, var, mask)
+    lmax, lmin = compute_local_max(data, data, mask, size)
+    ima_std = jnp.mean(data, axis=0)
+    ima_dct = jnp.mean(cont_std, axis=0)
+    o2 = o2test(data)
+    cont_sumsq = jnp.sum(cont_std * cont_std, axis=0)
+    return data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq
+
+
+class DeviceEngine:
+    """Per-session holder of device-resident front-end state.
+
+    Device handles live in the session's DataObjs (as DeferredCube); the
+    engine only caches the uploaded inputs and resolves intermediate
+    arrays, re-uploading from the (possibly disk-loaded) host copy when a
+    session resumes mid-pipeline.
+    """
+
+    def __init__(self, orig):
+        self.orig = orig
+        self._inputs = {}
+
+    # -- inputs ------------------------------------------------------------
+    def input_cube(self):
+        if "cube" not in self._inputs:
+            self._inputs["cube"] = jnp.asarray(self.orig.cube_raw, jnp.float32)
+        return self._inputs["cube"]
+
+    def input_var(self):
+        if "var" not in self._inputs:
+            self._inputs["var"] = jnp.asarray(self.orig.var, jnp.float32)
+        return self._inputs["var"]
+
+    def input_mask(self):
+        if "mask" not in self._inputs:
+            self._inputs["mask"] = jnp.asarray(self.orig.mask)
+        return self._inputs["mask"]
+
+    def drop_inputs(self, *names):
+        for n in names:
+            self._inputs.pop(n, None)
+
+    def get(self, name):
+        """Device array for a cube-sized session product.
+
+        Prefers the still-resident DeferredCube handle; falls back to
+        uploading the host copy (resume-from-disk path), with masked
+        voxels zero-filled as the device kernels expect.
+        """
+        obj = getattr(self.orig, name)
+        if isinstance(obj, DeferredCube) and obj.device is not None:
+            return obj.device
+        host = obj.filled(0)
+        if host.dtype == np.float64:
+            host = host.astype(np.float32)
+        return jnp.asarray(host)
+
+    # -- step 01 -----------------------------------------------------------
+    def preprocess(self, dct_order=10, dct_approx=False, local_max_size=3):
+        """Fused DCT + standardization + std local extrema.
+
+        Returns (device dict, host dict): cube-sized products stay on
+        device; the 2-D images come back as numpy.
+        """
+        out = _preprocess_fused(
+            self.input_cube(), self.input_var(), self.input_mask(),
+            dct_order, dct_approx, local_max_size,
+        )
+        data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq = out
+        dev = dict(cube_std=data, cont_dct=cont_std,
+                   cube_std_local_max=lmax, cube_std_local_min=lmin)
+        host = dict(ima_std=np.asarray(ima_std),
+                    ima_dct=np.asarray(ima_dct),
+                    o2=np.asarray(o2),
+                    cont_sumsq=np.asarray(cont_sumsq))
+        # the raw cube and variance are not needed on device past this point
+        self.drop_inputs("cube", "var")
+        return dev, host
+
+    # -- step 04 -----------------------------------------------------------
+    def greedy_pca_by_area(self, areamap, thresholds, testO2,
+                           noise_population=50.0, itermax=100):
+        """Zone-wise greedy PCA with device-resident gather/scatter.
+
+        Per area, the (Nz, Npix_area) column block is gathered on device
+        from the flat cube via an uploaded (bucketed) index vector, run
+        through the jitted greedy-PCA while-loop, and scattered back —
+        the cube itself never leaves the accelerator.  Only the per-area
+        iteration maps (small int vectors) are downloaded.
+        """
+        cube_std = self.get("cube_std")
+        nz = cube_std.shape[0]
+        spatial_shape = cube_std.shape[1:]
+        flat = cube_std.reshape(nz, -1)
+        npix_tot = flat.shape[1]
+        areamap = np.asarray(areamap)
+        mapO2 = np.zeros(spatial_shape, dtype=np.int32)
+        nstop = 0
+        nb_area = int(areamap.max())
+        for area in range(1, nb_area + 1):
+            sel = (areamap == area).ravel()
+            (idx,) = np.nonzero(sel)
+            npx = idx.size
+            if npx == 0:
+                continue
+            pad = _bucket(npx)
+            idx_pad = np.full(pad, npix_tot, dtype=np.int32)  # OOB = padding
+            idx_pad[:npx] = idx
+            valid = np.zeros(pad, dtype=bool)
+            valid[:npx] = True
+            test_pad = np.zeros(pad, dtype=np.float32)
+            test_pad[:npx] = np.asarray(testO2[area - 1], dtype=np.float32)
+
+            didx = jnp.asarray(idx_pad)
+            cols = jnp.take(flat, didx, axis=1, mode="fill", fill_value=0.0)
+            faint, m, k = greedy_pca(
+                cols, jnp.asarray(valid), jnp.asarray(test_pad),
+                float(thresholds[area - 1]),
+                noise_population=float(noise_population),
+                itermax=int(itermax),
+            )
+            # out-of-bounds scatters (padding columns) are dropped
+            flat = flat.at[:, didx].set(faint, mode="drop")
+            mapO2.ravel()[idx] = np.asarray(m)[:npx]
+            nstop += int(k)
+        return flat.reshape(cube_std.shape), mapO2, nstop
+
+    # -- step 05 -----------------------------------------------------------
+    def tglr(self, psf, wfields, profiles, pcut=1e-8, pmeansub=True, size=3):
+        """GLR matched filter + local extrema, all device-resident.
+
+        Returns (device dict, host dict with maxmap/minmap images).
+        """
+        faint = self.get("cube_faint")
+        nz, ny, nx = faint.shape
+        if wfields is None:
+            psfs = np.asarray(psf, dtype=np.float32)
+            if psfs.ndim == 3:
+                psfs = psfs[None]
+            wmaps = None
+        else:
+            psfs = np.stack([np.asarray(p, np.float32) for p in psf])
+            wmaps = jnp.asarray(
+                np.stack([np.asarray(w, np.float32) for w in wfields])
+            )
+        fshape2 = fft2_shape((ny, nx), psfs.shape[-2:])
+        kern_hats, norm_fsf = precompute_spatial(
+            jnp.asarray(psfs), wmaps, ny, nx, fshape2
+        )
+        cube_fsf = glr_spatial_pre(
+            faint, kern_hats, wmaps, psfs.shape[-2:], fshape2
+        )
+        del kern_hats
+
+        prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
+        t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
+            prepped, block=min(128, nz)
+        )
+        correl, profile, correl_min = glr_spectral_mxu(
+            cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),
+            pad_left, nz,
+        )
+        del cube_fsf, norm_fsf
+
+        mask = self.input_mask()
+        correl = jnp.where(mask, 0.0, correl)
+        correl_min = jnp.where(mask, 0.0, correl_min)
+        profile = jnp.where(mask, jnp.uint8(0), profile)
+        lmax, lmin = compute_local_max(correl, correl_min, mask, size)
+
+        dev = dict(cube_correl=correl, cube_correl_min=correl_min,
+                   cube_profile=profile, cube_local_max=lmax,
+                   cube_local_min=lmin)
+        host = dict(maxmap=np.asarray(jnp.amax(correl, axis=0)),
+                    minmap=np.asarray(jnp.amin(correl_min, axis=0)))
+        return dev, host
+
+    # -- step 07 -----------------------------------------------------------
+    def detections_above(self, name, threshold, gather=()):
+        """Sparse (z, y, x) coordinates where ``name`` exceeds threshold.
+
+        The cube stays on device: one scalar count comes back, then one
+        (n, 3) index array plus the requested gathered value vectors.
+        ``gather`` lists further session cubes to sample at the detected
+        positions.  Row-major (z, y, x) ordering matches ``np.where``.
+        """
+        arr = self.get(name)
+        hit = arr > threshold
+        n = int(hit.sum())
+        if n == 0:
+            empty = np.zeros(0, dtype=np.int64)
+            return (empty,) * 3, np.zeros(0, np.float32), [
+                np.zeros(0, np.float32) for _ in gather
+            ]
+        idx = jnp.argwhere(hit, size=n)
+        zyx = tuple(np.asarray(idx[:, i]) for i in range(3))
+        didx = (idx[:, 0], idx[:, 1], idx[:, 2])
+        vals = np.asarray(arr[didx])
+        extra = [np.asarray(self.get(g)[didx]) for g in gather]
+        return zyx, vals, extra

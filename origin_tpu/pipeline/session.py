@@ -165,6 +165,14 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
             + [s.method_name for s in self.steps.values()]
         )
 
+    # -- device engine -------------------------------------------------------
+    @cached_property
+    def engine(self):
+        """Device-resident front-end engine (see pipeline.engine)."""
+        from .engine import DeviceEngine
+
+        return DeviceEngine(self)
+
     # -- raw data views ------------------------------------------------------
     @cached_property
     def cube_raw(self):

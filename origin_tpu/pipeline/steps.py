@@ -39,16 +39,11 @@ from ..detect import (
     add_tglr_stat,
 )
 from ..ops import (
-    compute_local_max,
-    compute_pca_threshold,
     compute_threshold_purity,
-    correlation_glr_test,
-    dct_residual,
     estimation_line_arrays,
-    greedy_pca_by_area,
     o2test,
-    standardize,
 )
+from ..ops.stats import compute_thresh_gaussfit
 from .spectra_io import load_spectra, save_spectra
 
 __all__ = [
@@ -224,6 +219,14 @@ class Step(LogMixin, metaclass=StepMeta):
                     mask=False, copy=False, **kwargs)
         setattr(self, name, cube)
 
+    def store_cube_dev(self, name, dev, post=None):
+        """Store a device-resident cube product (lazy host materialization)."""
+        from .engine import DeferredCube
+
+        cube = DeferredCube(dev, wcs=self.orig.wcs, wave=self.orig.wave,
+                            post=post)
+        setattr(self, name, cube)
+
     def store_image(self, name, data, **kwargs):
         im = Image(data=data, wcs=self.orig.wcs, mask=False, copy=False,
                    **kwargs)
@@ -284,34 +287,27 @@ class Preprocessing(Step):
 
     def run(self, orig, dct_order=10, dct_approx=False, pfasegcont=0.01,
             pfasegres=0.01, local_max_size=3, bins="fd"):
-        self._loginfo("DCT computation")
-        cont = np.asarray(
-            dct_residual(orig.cube_raw, dct_order, orig.var, dct_approx,
-                         orig.mask)
-        )
-        self._loginfo("Data standardizing")
-        data, cont_std = standardize(orig.cube_raw, cont, orig.var, orig.mask)
-        data = np.asarray(data)
-        cont_std = np.asarray(cont_std, dtype=np.float32)
+        self._loginfo("DCT + standardization + local extrema (fused on device)")
+        dev, host = orig.engine.preprocess(dct_order, dct_approx,
+                                           local_max_size)
 
         self._loginfo("Std signal saved in self.cube_std and self.ima_std")
-        self.store_cube("cube_std", data)
-        self.store_image("ima_std", data.mean(axis=0))
+        self.store_cube_dev("cube_std", dev["cube_std"])
+        self.store_image("ima_std", host["ima_std"])
 
-        self._loginfo("Compute local maximum of std cube values")
-        lmax, lmin = compute_local_max(data, data, orig.mask, local_max_size)
-        self.store_cube("cube_std_local_max", np.asarray(lmax))
-        self.store_cube("cube_std_local_min", np.asarray(lmin))
+        self._loginfo("Local maxima of std cube values saved")
+        self.store_cube_dev("cube_std_local_max", dev["cube_std_local_max"])
+        self.store_cube_dev("cube_std_local_min", dev["cube_std_local_min"])
 
         self._loginfo("DCT continuum saved in self.cont_dct and self.ima_dct")
-        self.store_cube("cont_dct", cont_std)
-        self.store_image("ima_dct", cont_std.mean(axis=0))
+        self.store_cube_dev("cont_dct", dev["cont_dct"])
+        self.store_image("ima_dct", host["ima_dct"])
 
         mean_fwhm = int(np.ceil(np.mean(orig.FWHM_PSF)))
 
         self._loginfo("Segmentation based on the continuum")
         with np.errstate(divide="ignore"):
-            map1 = np.log10(np.sum(cont_std ** 2, axis=0))
+            map1 = np.log10(host["cont_sumsq"])
         thresh, map_cont = compute_segmap_gauss(map1, pfasegcont, mean_fwhm,
                                                 bins=bins)
         self._loginfo(
@@ -321,7 +317,7 @@ class Preprocessing(Step):
         self.store_image("segmap_cont", map_cont)
 
         self._loginfo("Segmentation based on the residual")
-        map2 = np.asarray(o2test(data))
+        map2 = host["o2"]
         thresh, map_res = compute_segmap_gauss(map2, pfasegres, mean_fwhm,
                                                bins=bins)
         self._loginfo(
@@ -397,16 +393,22 @@ class ComputePCAThreshold(Step):
     require = ("preprocessing", "areas")
 
     def run(self, orig, pfa_test=0.01):
-        results = []
-        cube_std = orig.cube_std.data
+        # O2 map on device (one (Ny, Nx) download); per-area Gaussian fits
+        # on host (reference Compute_PCA_threshold, lib_origin.py:824-845)
+        o2map = np.asarray(o2test(orig.engine.get("cube_std"))).astype(
+            np.float64
+        )
         areamap = orig.areamap.data
+        results = []
         for area in range(1, orig.nbAreas + 1):
-            sel = areamap == area
-            res = compute_pca_threshold(cube_std[:, sel], pfa_test)
-            results.append(res)
+            test = o2map[areamap == area]
+            hist, bins, thres, mea, std = compute_thresh_gaussfit(
+                test, pfa_test
+            )
+            results.append((test, hist, bins, thres, mea, std))
             self._loginfo(
                 "Area %d, estimation mean/std/threshold: %f/%f/%f",
-                area, res[4], res[5], res[3],
+                area, mea, std, thres,
             )
         (orig.testO2, orig.histO2, orig.binO2, thres, mea, std) = zip(*results)
         self.thresO2 = np.asarray(thres)
@@ -433,9 +435,9 @@ class ComputeGreedyPCA(Step):
         self._loginfo(
             "   - List of threshold = %s", " ".join("%.2f" % t for t in thr)
         )
-        self._loginfo("Compute greedy PCA on each zone")
-        faint, mapo2, nstop = greedy_pca_by_area(
-            orig.cube_std.data, orig.areamap.data, thr, orig.testO2,
+        self._loginfo("Compute greedy PCA on each zone (device-resident)")
+        faint, mapo2, nstop = orig.engine.greedy_pca_by_area(
+            orig.areamap.data, thr, orig.testO2,
             noise_population=Noise_population, itermax=itermax,
         )
         if nstop > 0:
@@ -444,7 +446,7 @@ class ComputeGreedyPCA(Step):
                 itermax, nstop,
             )
         self._loginfo("Save the faint signal in self.cube_faint")
-        self.store_cube("cube_faint", faint)
+        self.store_cube_dev("cube_faint", faint)
         self._loginfo(
             "Save numbers of iterations used by testO2 for each spaxel "
             "in self.mapO2"
@@ -472,33 +474,31 @@ class ComputeTGLR(Step):
     require = ("compute_greedy_PCA",)
 
     def run(self, orig, size=3, ncpu=1, pcut=1e-8, pmeansub=True):
-        self._loginfo("Correlation")
-        correl, profile, correl_min = correlation_glr_test(
-            orig.cube_faint.data, orig.PSF, orig.wfields, orig.profiles,
-            pcut=pcut, pmeansub=pmeansub,
+        self._loginfo("Correlation (device-resident GLR + local extrema)")
+        dev, host = orig.engine.tglr(
+            orig.PSF, orig.wfields, orig.profiles,
+            pcut=pcut, pmeansub=pmeansub, size=size,
         )
         self._loginfo("Save the TGLR value in self.cube_correl")
-        correl[orig.mask] = 0
-        self.store_cube("cube_correl", correl)
-        self.store_cube("cube_correl_min", correl_min)
+        self.store_cube_dev("cube_correl", dev["cube_correl"])
+        self.store_cube_dev("cube_correl_min", dev["cube_correl_min"])
 
-        profile[orig.mask] = 0
         self._loginfo(
             "Save the number of profile associated to the TGLR "
             "in self.cube_profile"
         )
-        self.store_cube("cube_profile", profile.astype(np.int16))
+        self.store_cube_dev("cube_profile", dev["cube_profile"],
+                            post=lambda a: a.astype(np.int16))
 
         self._loginfo("Save the map of maxima in self.maxmap")
-        self.store_image("maxmap", np.amax(correl, axis=0))
-        self.store_image("minmap", np.amin(correl_min, axis=0))
+        self.store_image("maxmap", host["maxmap"])
+        self.store_image("minmap", host["minmap"])
 
         self._loginfo("Compute p-values of local maximum of correlation values")
-        lmax, lmin = compute_local_max(correl, correl_min, orig.mask, size)
         self._loginfo("Save self.cube_local_max from max correlations")
-        self.store_cube("cube_local_max", np.asarray(lmax))
+        self.store_cube_dev("cube_local_max", dev["cube_local_max"])
         self._loginfo("Save self.cube_local_min from min correlations")
-        self.store_cube("cube_local_min", np.asarray(lmin))
+        self.store_cube_dev("cube_local_min", dev["cube_local_min"])
 
 
 class ComputePurityThreshold(Step):
@@ -527,8 +527,9 @@ class ComputePurityThreshold(Step):
         self.store_image("segmap_purity", segmap)
 
         self._loginfo("Estimation of threshold with purity = %.2f", purity)
+        eng = orig.engine
         threshold, self.Pval = compute_threshold_purity(
-            purity, orig.cube_local_max.data, orig.cube_local_min.data,
+            purity, eng.get("cube_local_max"), eng.get("cube_local_min"),
             segmap, threshlist=threshlist,
         )
         orig.param["threshold"] = threshold
@@ -538,8 +539,8 @@ class ComputePurityThreshold(Step):
             "Estimation of threshold std with purity = %.2f", purity_std
         )
         threshold_std, self.Pval_comp = compute_threshold_purity(
-            purity_std, orig.cube_std_local_max.data,
-            orig.cube_std_local_min.data, threshlist=threshlist,
+            purity_std, eng.get("cube_std_local_max"),
+            eng.get("cube_std_local_min"), threshlist=threshlist,
         )
         orig.param["threshold_std"] = threshold_std
         self._loginfo("Threshold: %.2f ", threshold_std)
@@ -571,21 +572,25 @@ class Detection(Step):
             orig.threshold_std = threshold_std
 
         self._loginfo("Thresholding correl (>%.2f)", orig.threshold_correl)
-        lmax = orig.cube_local_max.data
-        z, y, x = np.where(lmax > orig.threshold_correl)
+        # device-side sparse extraction: only (n, 3) indices + values cross
+        # the host boundary, never the local-max cubes themselves
+        (z, y, x), tglr, (profvals,) = orig.engine.detections_above(
+            "cube_local_max", orig.threshold_correl, gather=("cube_profile",)
+        )
         cat = Table(data=[x, y, z], names=("x0", "y0", "z0"))
         cat["comp"] = np.zeros(len(cat), dtype=int)
         cat["STD"] = np.full(len(cat), np.nan)
-        cat["T_GLR"] = lmax[z, y, x].astype(float)
-        cat["profile"] = orig.cube_profile.data[z, y, x].astype(int)
+        cat["T_GLR"] = tglr.astype(float)
+        cat["profile"] = profvals.astype(int)
         self._loginfo("%d detected lines", len(cat))
 
         self._loginfo("Thresholding std (>%.2f)", orig.threshold_std)
-        slmax = orig.cube_std_local_max.data
-        z, y, x = np.where(slmax > orig.threshold_std)
+        (z, y, x), stdvals, _ = orig.engine.detections_above(
+            "cube_std_local_max", orig.threshold_std
+        )
         cat_std = Table(data=[x, y, z], names=("x0", "y0", "z0"))
         cat_std["comp"] = np.ones(len(cat_std), dtype=int)
-        cat_std["STD"] = slmax[z, y, x].astype(float)
+        cat_std["STD"] = stdvals.astype(float)
         cat_std["T_GLR"] = np.full(len(cat_std), np.nan)
         cat_std["profile"] = np.zeros(len(cat_std), dtype=int)
         self._loginfo("%d detected lines", len(cat_std))

@@ -1,0 +1,165 @@
+"""End-to-end pipeline benchmark at the reference notebook's configuration.
+
+The reference example (docs/example.ipynb of musevlt/origin, 2019 desktop
+CPU) runs a 100x200 spaxel x 3681 channel MUSE UDF-10 sub-cube through all
+11 steps in 61.4 s total (see /root/repo/BASELINE.md).  This tool generates
+a synthetic field with the same geometry (noise + continuum galaxies +
+faint/bright emission lines under a wavelength-dependent Moffat FSF), runs
+the full origin_tpu session, and prints a per-step timing table against the
+reference numbers.
+
+Usage: python tools/bench_e2e.py [--ny 100] [--nx 200] [--nz 3681]
+                                 [--out /tmp/e2e_session]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_TIMES = {  # docs/example.ipynb cells 14-79 (see BASELINE.md)
+    "step01": 9.62, "step02": 0.20, "step03": 0.13, "step04": 2.63,
+    "step05": 11.57, "step06": 0.50, "step07": 0.78, "step08": 2.64,
+    "step09": 0.98, "step10": 1.24, "step11": 31.68,
+}
+
+
+def make_field(nz=3681, ny=100, nx=200, seed=7, noise=1.0,
+               n_cont=12, n_faint=40, n_bright=8):
+    """Synthetic MUSE-like field with randomly placed sources."""
+    from origin_tpu.core import Cube, MoffatFSF, WCS, WaveCoord
+
+    rng = np.random.default_rng(seed)
+    wave = WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25, shape=nz)
+    wcs = WCS(crpix=(ny / 2, nx / 2), crval=(-30.0, 53.0), shape=(ny, nx))
+    fsf = MoffatFSF(fwhm_pol=[-0.2, 0.7], beta_pol=[2.8], pixstep=0.2)
+    lbda = wave.coord()
+
+    sigma_z = noise * (1.0 + 0.2 * np.sin(np.arange(nz) / 60.0))
+    data = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    data *= sigma_z[:, None, None].astype(np.float32)
+    var = np.broadcast_to(
+        (sigma_z ** 2)[:, None, None].astype(np.float32), (nz, ny, nx)
+    ).copy()
+
+    yy, xx = np.mgrid[:ny, :nx]
+    zz = np.arange(nz)
+
+    margin = 10
+    def rand_pos(n):
+        return np.stack([
+            rng.integers(margin, nx - margin, n),
+            rng.integers(margin, ny - margin, n),
+        ], axis=1)
+
+    # continuum galaxies
+    for (x0, y0) in rand_pos(n_cont):
+        amp = rng.uniform(3.0, 9.0)
+        sig = rng.uniform(1.5, 3.0)
+        spatial = np.exp(-0.5 * ((yy - y0) ** 2 + (xx - x0) ** 2) / sig ** 2)
+        spectrum = amp * (1.0 + 0.3 * np.cos(2 * np.pi * zz / nz)
+                          + 0.2 * zz / nz)
+        data += (spectrum[:, None, None] * spatial[None]).astype(np.float32)
+
+    # emission lines (FSF-convolved point sources)
+    half = 7
+    lines = []
+    for kind, n, amps in (("faint", n_faint, (2.0, 3.2)),
+                          ("bright", n_bright, (15.0, 30.0))):
+        for (x0, y0) in rand_pos(n):
+            z0 = int(rng.integers(60, nz - 60))
+            amp = rng.uniform(*amps)
+            lsig = rng.uniform(1.0, 4.0)
+            line = amp * np.exp(-0.5 * ((zz - z0) / lsig) ** 2)
+            zs = slice(max(0, z0 - 40), min(nz, z0 + 41))
+            spot = fsf.get_3darray(lbda[zs], (2 * half + 1, 2 * half + 1))
+            spot = spot / spot.max(axis=(1, 2), keepdims=True)
+            data[zs, y0 - half : y0 + half + 1, x0 - half : x0 + half + 1] += (
+                line[zs, None, None] * spot
+            ).astype(np.float32)
+            lines.append((int(x0), int(y0), z0, kind))
+
+    data[:, 0, 0] = np.nan
+    var[:, 0, 0] = np.nan
+
+    cube = Cube(data=data, var=var, wcs=wcs, wave=wave)
+    fsf.to_header(cube.primary_header)
+    cube.primary_header["CUBE_V"] = "synthetic-e2e-1.0"
+    return cube, lines
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nz", type=int, default=3681)
+    ap.add_argument("--ny", type=int, default=100)
+    ap.add_argument("--nx", type=int, default=200)
+    ap.add_argument("--out", default="/tmp/e2e_session")
+    ap.add_argument("--loglevel", default="WARNING")
+    ap.add_argument("--json", action="store_true",
+                    help="also print a JSON summary line")
+    args = ap.parse_args()
+
+    from origin_tpu import ORIGIN
+
+    t0 = time.perf_counter()
+    cube, lines = make_field(args.nz, args.ny, args.nx)
+    os.makedirs(args.out, exist_ok=True)
+    cube_fn = os.path.join(args.out, "field.fits")
+    cube.write(cube_fn)
+    print(f"synthetic field {args.nz}x{args.ny}x{args.nx} "
+          f"({len(lines)} lines) built in {time.perf_counter()-t0:.1f}s")
+
+    orig = ORIGIN.init(cube_fn, name="bench", path=args.out,
+                       loglevel=args.loglevel)
+
+    steps = [
+        ("step01", lambda: orig.step01_preprocessing()),
+        ("step02", lambda: orig.step02_areas()),
+        ("step03", lambda: orig.step03_compute_PCA_threshold()),
+        ("step04", lambda: orig.step04_compute_greedy_PCA()),
+        ("step05", lambda: orig.step05_compute_TGLR(ncpu=1)),
+        ("step06", lambda: orig.step06_compute_purity_threshold(purity=0.8)),
+        ("step07", lambda: orig.step07_detection()),
+        ("step08", lambda: orig.step08_compute_spectra()),
+        ("step09", lambda: orig.step09_clean_results()),
+        ("step10", lambda: orig.step10_create_masks()),
+        ("step11", lambda: orig.step11_save_sources(version="0.1",
+                                                    n_jobs=1)),
+    ]
+
+    times = {}
+    total = 0.0
+    print(f"{'step':8s} {'ours (s)':>10s} {'ref (s)':>9s} {'speedup':>9s}")
+    for name, fn in steps:
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        times[name] = dt
+        total += dt
+        ref = REF_TIMES.get(name)
+        sp = f"{ref/dt:8.1f}x" if ref else "      —"
+        print(f"{name:8s} {dt:10.2f} {ref or 0:9.2f} {sp}")
+    ref_total = sum(REF_TIMES.values())
+    print(f"{'TOTAL':8s} {total:10.2f} {ref_total:9.2f} "
+          f"{ref_total/total:8.1f}x")
+
+    ns = orig._get_stat()
+    print(f"detections: {ns}")
+
+    if args.json:
+        print(json.dumps({
+            "metric": "e2e_pipeline_time",
+            "value": round(total, 2),
+            "unit": "s",
+            "vs_baseline": round(ref_total / total, 2),
+            "steps": {k: round(v, 2) for k, v in times.items()},
+        }))
+
+
+if __name__ == "__main__":
+    main()
