@@ -45,8 +45,16 @@ def create_source(
     nb_fwhm=2,
     expmap_filename=None,
     save_to=None,
+    data_cube=None,
+    cube_ori=None,
 ):
-    """Create one Source file (reference source_creation.py:26-436)."""
+    """Create one Source file (reference source_creation.py:26-436).
+
+    ``data_cube`` / ``cube_ori`` may be pre-cut cutout cubes provided by
+    :func:`create_all_sources`; otherwise the full cubes are read from the
+    given filenames (the reference re-reads them for every source, which
+    costs ~3 full-cube FITS reads per source on large fields).
+    """
     ids = np.asarray(source_table["ID"])
     k = int(np.where(ids == source_id)[0][0])
     info = source_table[k]
@@ -54,7 +62,8 @@ def create_source(
     mask = Image(mask_filename)
     mask_size = mask.shape[0]
 
-    data_cube = Cube(origin_params["cubename"])
+    if data_cube is None:
+        data_cube = Cube(origin_params["cubename"])
 
     origin = (
         "ORIGIN",
@@ -158,14 +167,11 @@ def create_source(
         has_fsf = False
     data_cube = source.cubes["MUSE_CUBE"]
 
-    if comp:
-        cube_ori = Cube(cube_std_filename)
-        source.add_cube(cube_ori, "ORI_SNCUBE", size=mask_size)
-        cube_ori = source.cubes["ORI_SNCUBE"]
-    else:
-        cube_ori = Cube(cube_cor_filename)
-        source.add_cube(cube_ori, "ORI_CORREL", size=mask_size)
-        cube_ori = source.cubes["ORI_CORREL"]
+    if cube_ori is None:
+        cube_ori = Cube(cube_std_filename if comp else cube_cor_filename)
+    ori_tag = "ORI_SNCUBE" if comp else "ORI_CORREL"
+    source.add_cube(cube_ori, ori_tag, size=mask_size)
+    cube_ori = source.cubes[ori_tag]
 
     # nearby sources table
     radius = mask_size / 2
@@ -302,12 +308,43 @@ def create_all_sources(
     nb_fwhm=2,
     expmap_filename=None,
 ):
-    """Create and save one Source file per source (joblib-parallel)."""
+    """Create and save one Source file per source (joblib-parallel).
+
+    The data / correlation / std cubes are read ONCE and pre-cut into
+    per-source cutouts here, instead of re-reading three full cubes inside
+    every job (the reference's layout, source_creation.py:439-534, costs
+    O(n_sources) full-cube FITS reads on large fields).  Jobs then carry
+    only ~MB-sized cutouts, which also keeps multiprocessing pickling
+    cheap.
+    """
     source_ts = datetime.now().isoformat()
+    ids = [int(s) for s in np.asarray(cat3_sources["ID"])]
+    if not ids:
+        return
+
+    data_cube = Cube(origin_params["cubename"])
+    comps = {}
+    for source_id in ids:
+        k = int(np.where(np.asarray(cat3_sources["ID"]) == source_id)[0][0])
+        comps[source_id] = int(cat3_sources[k]["comp"])
+    cube_cor = Cube(cube_cor_filename) if 0 in comps.values() else None
+    cube_std = Cube(cube_std_filename) if 1 in comps.values() else None
+
+    def _precut(cube, source_id, size):
+        k = int(np.where(np.asarray(cat3_sources["ID"]) == source_id)[0][0])
+        info = cat3_sources[k]
+        sub = cube.subcube(
+            center=(float(info["dec"]), float(info["ra"])), size=size,
+            unit_center="deg",
+        )
+        sub.primary_header = cube.primary_header.copy()
+        return sub
+
     jobs = []
-    for source_id in np.asarray(cat3_sources["ID"]):
-        source_id = int(source_id)
+    for source_id in ids:
         source_lines = cat3_lines[np.asarray(cat3_lines["ID"]) == source_id]
+        mask_size = Image(mask_filename_tpl % source_id).shape[0]
+        ori = cube_std if comps[source_id] else cube_cor
         jobs.append(
             delayed(create_source)(
                 source_id=source_id,
@@ -327,7 +364,8 @@ def create_all_sources(
                 nb_fwhm=nb_fwhm,
                 expmap_filename=expmap_filename,
                 save_to=out_tpl % source_id,
+                data_cube=_precut(data_cube, source_id, mask_size),
+                cube_ori=_precut(ori, source_id, mask_size),
             )
         )
-    if jobs:
-        Parallel(n_jobs=n_jobs)(jobs)
+    Parallel(n_jobs=n_jobs)(jobs)

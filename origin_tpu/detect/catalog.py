@@ -105,11 +105,13 @@ def unique_sources(table):
 def add_tglr_stat(src_table, lines_table, correl, std):
     """Add nsigTGLR/nsigSTD to the line table; join per-source maxima.
 
-    (Reference lib_origin.py:2094-2137.)
+    ``correl`` / ``std`` are the correlation and standardized cubes, or
+    (to avoid pulling device-resident cubes to host) their precomputed
+    standard-deviation scalars.  (Reference lib_origin.py:2094-2137.)
     """
-    std_correl = float(np.std(correl))
+    std_correl = float(correl) if np.ndim(correl) == 0 else float(np.std(correl))
     lines_table["nsigTGLR"] = np.asarray(lines_table["T_GLR"]) / std_correl
-    std_std = float(np.std(std))
+    std_std = float(std) if np.ndim(std) == 0 else float(np.std(std))
     lines_table["nsigSTD"] = np.asarray(lines_table["STD"]) / std_std
 
     cols = ["ID", "flux", "STD", "nsigSTD", "T_GLR", "nsigTGLR", "purity"]

@@ -261,6 +261,7 @@ def estimation_line_arrays(
     horiz_psf=1,
     horiz=5,
     batch=64,
+    engine=None,
 ):
     """Estimate lines for detections at (x0, y0, z0) pixel positions.
 
@@ -268,10 +269,14 @@ def estimation_line_arrays(
     (lib_origin.py:1804-1938) minus the catalog bookkeeping: extracts padded
     minicubes, runs grid_analysis_batch in chunks, returns numpy arrays
     (flux, residual, lines (N, Nz), line_vars (N, Nz), y, x, z, ok).
+
+    Partial final chunks are padded up to ``batch`` so the kernel compiles
+    once.  With ``engine`` (a pipeline.DeviceEngine) and a single field,
+    the minicubes are gathered on device from the resident cube instead of
+    being cut and uploaded host-side (the upload is ~B*Nz*S^2 floats per
+    chunk otherwise).
     """
-    raw = np.asarray(raw, dtype=np.float32)
-    var_arr = np.asarray(var, dtype=np.float32)
-    nl, ny, nx = raw.shape
+    nl, ny, nx = raw.shape if engine is None else engine.orig.shape
     if weights is None:
         psf_arr = np.asarray(psf, dtype=np.float32)
         size = psf_arr.shape[-1]
@@ -281,6 +286,10 @@ def estimation_line_arrays(
         size = psf_arr.shape[-1]
         has_w = True
         wmaps = np.stack([np.asarray(w, dtype=np.float32) for w in weights])
+    use_engine = engine is not None and not has_w
+    if not use_engine:
+        raw = np.asarray(raw, dtype=np.float32)
+        var_arr = np.asarray(var, dtype=np.float32)
 
     g = int(size_grid)
     sg = size + 2 * g
@@ -288,6 +297,7 @@ def estimation_line_arrays(
     d0 = None
     if order_dct is not None:
         d0 = jnp.asarray(dctmat(nl, order_dct))
+    psf_dev = jnp.asarray(psf_arr)
 
     results = {k: [] for k in ("flux", "residual", "line", "line_var", "y", "x", "z", "ok")}
     for i0 in range(0, n, batch):
@@ -296,33 +306,45 @@ def estimation_line_arrays(
         ys = np.asarray(y0[ii], dtype=int)
         zs = np.asarray(z0[ii], dtype=int)
         b = len(xs)
-        red_dat = np.zeros((b, nl, sg, sg), dtype=np.float32)
-        red_var = np.full((b, nl, sg, sg), np.inf, dtype=np.float32)
-        red_wgt = np.zeros((b, psf_arr.shape[0], sg, sg), np.float32) if has_w else None
-        h = sg // 2
-        for j in range(b):
-            yy0, xx0 = ys[j] - h, xs[j] - h
-            sy0, sy1 = max(0, yy0), min(ny, yy0 + sg)
-            sx0, sx1 = max(0, xx0), min(nx, xx0 + sg)
-            dy0, dx0 = sy0 - yy0, sx0 - xx0
-            red_dat[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = raw[
-                :, sy0:sy1, sx0:sx1
-            ]
-            red_var[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = var_arr[
-                :, sy0:sy1, sx0:sx1
-            ]
-            if has_w:
-                red_wgt[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = wmaps[
+        pad = batch - b  # fixed-size chunks: one compile for the whole run
+        xs_p = np.concatenate([xs, np.zeros(pad, int)])
+        ys_p = np.concatenate([ys, np.zeros(pad, int)])
+        zs_p = np.concatenate([zs, np.zeros(pad, int)])
+
+        if use_engine:
+            red_dat, red_var = engine.minicubes(xs_p, ys_p, sg)
+            red_wgt = None
+        else:
+            red_dat = np.zeros((batch, nl, sg, sg), dtype=np.float32)
+            red_var = np.full((batch, nl, sg, sg), np.inf, dtype=np.float32)
+            red_wgt = (
+                np.zeros((batch, psf_arr.shape[0], sg, sg), np.float32)
+                if has_w else None
+            )
+            h = sg // 2
+            for j in range(b):
+                yy0, xx0 = ys[j] - h, xs[j] - h
+                sy0, sy1 = max(0, yy0), min(ny, yy0 + sg)
+                sx0, sx1 = max(0, xx0), min(nx, xx0 + sg)
+                dy0, dx0 = sy0 - yy0, sx0 - xx0
+                red_dat[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = raw[
                     :, sy0:sy1, sx0:sx1
                 ]
+                red_var[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = var_arr[
+                    :, sy0:sy1, sx0:sx1
+                ]
+                if has_w:
+                    red_wgt[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = wmaps[
+                        :, sy0:sy1, sx0:sx1
+                    ]
         out = grid_analysis_batch(
             jnp.asarray(red_dat),
             jnp.asarray(red_var),
-            jnp.asarray(zs),
-            jnp.asarray(ys),
-            jnp.asarray(xs),
-            jnp.asarray(psf_arr),
-            jnp.asarray(red_wgt) if has_w else jnp.zeros((b,), jnp.float32),
+            jnp.asarray(zs_p),
+            jnp.asarray(ys_p),
+            jnp.asarray(xs_p),
+            psf_dev,
+            jnp.asarray(red_wgt) if has_w else jnp.zeros((batch,), jnp.float32),
             d0,
             ny,
             nx,
@@ -333,5 +355,5 @@ def estimation_line_arrays(
             has_weights=has_w,
         )
         for k in results:
-            results[k].append(np.asarray(out[k]))
+            results[k].append(np.asarray(out[k])[:b])
     return {k: np.concatenate(v) if n else np.empty(0) for k, v in results.items()}

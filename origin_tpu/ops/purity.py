@@ -32,6 +32,24 @@ def counts_above_thresholds(values, thresholds):
     return v.shape[0] - csum[:k]
 
 
+@jax.jit
+def _purity_stats(cube_local_max, cube_local_min):
+    """Fused threshold-grid statistics: one device program, 3 scalars."""
+    return (
+        cube_local_min.max(),
+        cube_local_max.max(),
+        jnp.median(jnp.amax(cube_local_max, axis=0)),
+    )
+
+
+@jax.jit
+def _counts_pair(cube_local_max, cube_local_min, th):
+    return (
+        counts_above_thresholds(cube_local_max, th),
+        counts_above_thresholds(cube_local_min, th),
+    )
+
+
 def compute_threshold_purity(
     purity, cube_local_max, cube_local_min, segmap=None, threshlist=None
 ):
@@ -55,23 +73,25 @@ def compute_threshold_purity(
     cube_local_min = jnp.asarray(cube_local_min, jnp.float32)
     l1 = float(np.prod(cube_local_min.shape[1:]))
     if segmap is not None:
-        segmask = jnp.asarray(np.asarray(segmap) == 0)
-        cube_local_min = cube_local_min * segmask
-        l0 = float(segmask.sum())
+        segmask = np.asarray(segmap) == 0
+        cube_local_min = cube_local_min * jnp.asarray(segmask)
+        l0 = float(np.count_nonzero(segmask))
         logger.info("using only background pixels (%.1f%%)", l0 / l1 * 100)
     else:
         l0 = l1
 
     if threshlist is None:
-        threshmax = min(float(cube_local_min.max()), float(cube_local_max.max()))
-        threshmin = float(jnp.median(jnp.amax(cube_local_max, axis=0))) * 1.1
+        maxmin, maxmax, med = _purity_stats(cube_local_max, cube_local_min)
+        threshmax = min(float(maxmin), float(maxmax))
+        threshmin = float(med) * 1.1
         threshlist = np.linspace(threshmin, threshmax, 50)
     else:
         threshlist = np.sort(np.asarray(threshlist, dtype=float))
 
     th = jnp.asarray(threshlist, dtype=jnp.float32)
-    n1 = np.asarray(counts_above_thresholds(cube_local_max, th)).astype(float)
-    n0 = np.asarray(counts_above_thresholds(cube_local_min, th)).astype(float)
+    n1, n0 = _counts_pair(cube_local_max, cube_local_min, th)
+    n1 = np.asarray(n1).astype(float)
+    n0 = np.asarray(n0).astype(float)
 
     n0 = n0 * (l1 / l0)
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -109,6 +109,42 @@ def _preprocess_fused(cube, var, mask, order, approx, size):
     return data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq
 
 
+@jax.jit
+def _count_above(arr, threshold):
+    return jnp.sum(arr > threshold)
+
+
+@jax.jit
+def _std_jit(arr):
+    return jnp.std(arr)
+
+
+@partial(jax.jit, static_argnames=("sg",))
+def _gather_minicubes(pd, pv, ys, xs, sg):
+    nl = pd.shape[0]
+
+    def one(y0, x0):
+        return (
+            jax.lax.dynamic_slice(pd, (0, y0, x0), (nl, sg, sg)),
+            jax.lax.dynamic_slice(pv, (0, y0, x0), (nl, sg, sg)),
+        )
+
+    return jax.vmap(one)(ys, xs)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _extract_above(arr, extras, cap):
+    """Flat indices + values of the ``cap`` largest entries of ``arr``.
+
+    Detection extraction via ``lax.top_k``: with cap >= count(arr > t),
+    the top-cap set contains exactly every entry above the threshold
+    (everything else is <= t).  top_k is a first-class TPU op, unlike a
+    full-cube argwhere which lowers very poorly.
+    """
+    vals, fidx = jax.lax.top_k(arr.ravel(), cap)
+    return fidx, vals, tuple(e.ravel()[fidx] for e in extras)
+
+
 class DeviceEngine:
     """Per-session holder of device-resident front-end state.
 
@@ -121,6 +157,7 @@ class DeviceEngine:
     def __init__(self, orig):
         self.orig = orig
         self._inputs = {}
+        self._mini_cache = {}
 
     # -- inputs ------------------------------------------------------------
     def input_cube(self):
@@ -141,6 +178,10 @@ class DeviceEngine:
     def drop_inputs(self, *names):
         for n in names:
             self._inputs.pop(n, None)
+
+    def std_scalar(self, name):
+        """Standard deviation of a session cube, computed on device."""
+        return float(_std_jit(self.get(name)))
 
     def get(self, name):
         """Device array for a cube-sized session product.
@@ -277,26 +318,55 @@ class DeviceEngine:
                     minmap=np.asarray(jnp.amin(correl_min, axis=0)))
         return dev, host
 
+    # -- step 08 -----------------------------------------------------------
+    def minicubes(self, xs, ys, sg):
+        """Gather (B, Nz, sg, sg) detection minicubes on device.
+
+        The raw cube / variance are padded once (data 0, variance inf —
+        matching the host extraction's out-of-field convention) and sliced
+        per detection under vmap; nothing cube-sized crosses the link.
+        """
+        if sg not in self._mini_cache:
+            h = sg // 2
+            cube = self.input_cube()
+            var = self.input_var()
+            pd = jnp.pad(cube, ((0, 0), (h, h), (h, h)))
+            pv = jnp.pad(var, ((0, 0), (h, h), (h, h)),
+                         constant_values=np.inf)
+            self._mini_cache[sg] = (pd, pv)
+        pd, pv = self._mini_cache[sg]
+        return _gather_minicubes(
+            pd, pv, jnp.asarray(np.asarray(ys, np.int32)),
+            jnp.asarray(np.asarray(xs, np.int32)), sg
+        )
+
     # -- step 07 -----------------------------------------------------------
     def detections_above(self, name, threshold, gather=()):
         """Sparse (z, y, x) coordinates where ``name`` exceeds threshold.
 
         The cube stays on device: one scalar count comes back, then one
-        (n, 3) index array plus the requested gathered value vectors.
-        ``gather`` lists further session cubes to sample at the detected
-        positions.  Row-major (z, y, x) ordering matches ``np.where``.
+        fused top-k extraction program returns the flat indices and the
+        gathered value vectors.  The capacity is bucketed to a power of
+        two so the program compiles once per bucket, not once per
+        detection count.  Results are re-sorted host-side to the
+        row-major (z, y, x) ordering of ``np.where``.
         """
         arr = self.get(name)
-        hit = arr > threshold
-        n = int(hit.sum())
+        extras = tuple(self.get(g) for g in gather)
+        n = int(_count_above(arr, threshold))
         if n == 0:
             empty = np.zeros(0, dtype=np.int64)
             return (empty,) * 3, np.zeros(0, np.float32), [
                 np.zeros(0, np.float32) for _ in gather
             ]
-        idx = jnp.argwhere(hit, size=n)
-        zyx = tuple(np.asarray(idx[:, i]) for i in range(3))
-        didx = (idx[:, 0], idx[:, 1], idx[:, 2])
-        vals = np.asarray(arr[didx])
-        extra = [np.asarray(self.get(g)[didx]) for g in gather]
-        return zyx, vals, extra
+        cap = min(_bucket(n, 256), arr.size)
+        fidx, vals, evals = _extract_above(arr, extras, cap)
+        fidx = np.asarray(fidx)[:n]
+        order = np.argsort(fidx)  # row-major order, as np.where
+        fidx = fidx[order]
+        zyx = np.unravel_index(fidx, arr.shape)
+        return (
+            zyx,
+            np.asarray(vals)[:n][order],
+            [np.asarray(e)[:n][order] for e in evals],
+        )

@@ -680,7 +680,7 @@ class ComputeSpectra(Step):
             np.asarray(cat1["z0"], int),
             orig.cube_raw, orig.var, orig.PSF, weights=orig.wfields,
             size_grid=grid_dxy, criteria="flux", order_dct=30, horiz_psf=1,
-            horiz=5,
+            horiz=5, engine=orig.engine,
         )
         cat2 = cat1.copy()
         sky = orig.wcs.pix2sky(
@@ -739,8 +739,8 @@ class CleanResults(Step):
         )
         sources = unique_sources(self.Cat3_lines)
         self.Cat3_sources = add_tglr_stat(
-            sources, self.Cat3_lines, orig.cube_correl.data,
-            orig.cube_std.data,
+            sources, self.Cat3_lines, orig.engine.std_scalar("cube_correl"),
+            orig.engine.std_scalar("cube_std"),
         )
         self._loginfo(
             "Save the unique source catalog in self.Cat3_sources (%d sources)",

@@ -102,19 +102,29 @@ def main():
     ap.add_argument("--loglevel", default="WARNING")
     ap.add_argument("--json", action="store_true",
                     help="also print a JSON summary line")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="number of fields to process in this process; "
+                    "compilation caches are warm from the 2nd run on, so "
+                    "the last run measures steady-state throughput")
     args = ap.parse_args()
 
     from origin_tpu import ORIGIN
 
-    t0 = time.perf_counter()
-    cube, lines = make_field(args.nz, args.ny, args.nx)
-    os.makedirs(args.out, exist_ok=True)
-    cube_fn = os.path.join(args.out, "field.fits")
-    cube.write(cube_fn)
-    print(f"synthetic field {args.nz}x{args.ny}x{args.nx} "
-          f"({len(lines)} lines) built in {time.perf_counter()-t0:.1f}s")
+    for run in range(args.repeat):
+        t0 = time.perf_counter()
+        cube, lines = make_field(args.nz, args.ny, args.nx, seed=7 + run)
+        os.makedirs(args.out, exist_ok=True)
+        cube_fn = os.path.join(args.out, f"field{run}.fits")
+        cube.write(cube_fn)
+        print(f"[run {run}] synthetic field {args.nz}x{args.ny}x{args.nx} "
+              f"({len(lines)} lines) built in {time.perf_counter()-t0:.1f}s")
+        _run_pipeline(args, cube_fn, run)
 
-    orig = ORIGIN.init(cube_fn, name="bench", path=args.out,
+
+def _run_pipeline(args, cube_fn, run):
+    from origin_tpu import ORIGIN
+
+    orig = ORIGIN.init(cube_fn, name=f"bench{run}", path=args.out,
                        loglevel=args.loglevel)
 
     steps = [
