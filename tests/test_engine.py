@@ -1,0 +1,172 @@
+"""Unit tests for the device-resident front-end engine."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from origin_tpu.core import Cube, WCS, WaveCoord
+from origin_tpu.pipeline.engine import DeferredCube, DeviceEngine
+
+
+class FakeOrig:
+    """Minimal session stand-in for engine unit tests."""
+
+    def __init__(self, cube, var, mask):
+        self._cube = cube
+        self._var = var
+        self._mask = mask
+        self.shape = cube.shape
+        self._store = {}
+
+    @property
+    def cube_raw(self):
+        return self._cube
+
+    @property
+    def var(self):
+        return self._var
+
+    @property
+    def mask(self):
+        return self._mask
+
+    def __getattr__(self, name):
+        store = self.__dict__.get("_store", {})
+        if name in store:
+            return store[name]
+        raise AttributeError(name)
+
+
+@pytest.fixture()
+def problem():
+    rng = np.random.default_rng(42)
+    nz, ny, nx = 50, 8, 9
+    cube = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    var = rng.uniform(0.5, 1.5, size=(nz, ny, nx)).astype(np.float32)
+    mask = np.zeros((nz, ny, nx), dtype=bool)
+    return cube, var, mask
+
+
+def test_deferred_cube_materializes_once(problem):
+    cube, _, _ = problem
+    dev = jnp.asarray(cube)
+    wcs = WCS(crpix=(4, 4), crval=(-30.0, 53.0))
+    wave = WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25)
+    d = DeferredCube(dev, wcs=wcs, wave=wave)
+    assert d.shape == cube.shape and d.ndim == 3
+    assert d.device is not None
+    np.testing.assert_array_equal(d.data, cube)
+    assert d.device is None  # freed after materialization
+    np.testing.assert_array_equal(d.data, cube)  # cached host copy
+
+
+def test_deferred_cube_post_transform(problem):
+    cube, _, _ = problem
+    d = DeferredCube(jnp.asarray(cube), post=lambda a: a.astype(np.int16))
+    assert d.data.dtype == np.int16
+
+
+def test_detections_above_matches_np_where(problem):
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    arr = cube * 3.0
+    extra = (cube * 7).astype(np.float32)
+    orig._store["cube_local_max"] = DeferredCube(jnp.asarray(arr))
+    orig._store["cube_profile"] = DeferredCube(jnp.asarray(extra))
+
+    thr = 2.5
+    (z, y, x), vals, (evals,) = eng.detections_above(
+        "cube_local_max", thr, gather=("cube_profile",)
+    )
+    ez, ey, ex = np.where(arr > thr)
+    np.testing.assert_array_equal(z, ez)
+    np.testing.assert_array_equal(y, ey)
+    np.testing.assert_array_equal(x, ex)
+    np.testing.assert_allclose(vals, arr[ez, ey, ex])
+    np.testing.assert_allclose(evals, extra[ez, ey, ex])
+
+
+def test_detections_above_empty(problem):
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    orig._store["cube_local_max"] = DeferredCube(jnp.asarray(cube))
+    (z, y, x), vals, extras = eng.detections_above("cube_local_max", 1e9)
+    assert len(z) == 0 and len(vals) == 0
+
+
+def test_minicubes_match_host_extraction(problem):
+    cube, var, mask = problem
+    nz, ny, nx = cube.shape
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    sg = 5
+    xs = np.array([0, 4, nx - 1, 2])  # includes edge positions
+    ys = np.array([0, 3, ny - 1, 7])
+    dat, varr = eng.minicubes(xs, ys, sg)
+    dat, varr = np.asarray(dat), np.asarray(varr)
+    h = sg // 2
+    for j, (x0, y0) in enumerate(zip(xs, ys)):
+        exp = np.zeros((nz, sg, sg), np.float32)
+        expv = np.full((nz, sg, sg), np.inf, np.float32)
+        yy0, xx0 = y0 - h, x0 - h
+        sy0, sy1 = max(0, yy0), min(ny, yy0 + sg)
+        sx0, sx1 = max(0, xx0), min(nx, xx0 + sg)
+        exp[:, sy0 - yy0 : sy1 - yy0, sx0 - xx0 : sx1 - xx0] = cube[
+            :, sy0:sy1, sx0:sx1
+        ]
+        expv[:, sy0 - yy0 : sy1 - yy0, sx0 - xx0 : sx1 - xx0] = var[
+            :, sy0:sy1, sx0:sx1
+        ]
+        np.testing.assert_allclose(dat[j], exp)
+        np.testing.assert_allclose(varr[j], expv)
+
+
+def test_engine_get_reuploads_after_materialize(problem):
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    d = DeferredCube(jnp.asarray(cube))
+    orig._store["cube_std"] = d
+    dev = eng.get("cube_std")
+    assert dev is d.device
+    _ = d.data  # materialize -> device handle dropped
+    # falls back to the host copy (resume-from-disk path)
+    c = Cube(data=cube.copy(), copy=False)
+    orig._store["cube_std"] = c
+    dev2 = eng.get("cube_std")
+    np.testing.assert_allclose(np.asarray(dev2), cube)
+
+
+def test_greedy_pca_engine_matches_direct(problem):
+    from origin_tpu.ops import greedy_pca_by_area, o2test
+
+    cube, var, mask = problem
+    nz, ny, nx = cube.shape
+    # two areas splitting the field
+    areamap = np.ones((ny, nx), dtype=np.int64)
+    areamap[:, nx // 2 :] = 2
+    # inject a nuisance source in each area
+    spec = np.exp(-0.5 * ((np.arange(nz) - 25) / 6.0) ** 2).astype(np.float32)
+    cube = cube.copy()
+    cube[:, 2, 2] += 9 * spec
+    cube[:, 5, 7] += 7 * spec
+
+    o2 = np.asarray(o2test(jnp.asarray(cube)))
+    testO2 = [o2[areamap == a] for a in (1, 2)]
+    thr = [float(np.percentile(t, 80)) for t in testO2]
+
+    faint0, map0, n0 = greedy_pca_by_area(
+        cube.reshape(nz, -1).reshape(nz, ny, nx), areamap, thr, testO2
+    )
+
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    orig._store["cube_std"] = DeferredCube(jnp.asarray(cube))
+    faint1, map1, n1 = eng.greedy_pca_by_area(areamap, thr, testO2)
+
+    assert n0 == n1
+    np.testing.assert_array_equal(map0, map1)
+    np.testing.assert_allclose(np.asarray(faint1), faint0, atol=2e-3)
