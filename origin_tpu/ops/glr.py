@@ -37,8 +37,10 @@ __all__ = [
     "glr_spectral",
     "precompute_spatial",
     "glr_spatial_pre",
+    "glr_spatial_chunked",
     "pack_profiles_toeplitz",
     "glr_spectral_mxu",
+    "toeplitz_sweep",
 ]
 
 
@@ -191,6 +193,60 @@ def glr_spatial_pre(cube, kern_hats, wmaps, psf_shape, fshape2):
     return cube_fsf
 
 
+@partial(jax.jit, static_argnames=("fshape2", "zchunk"))
+def glr_spatial_chunked(cube, psfs, wmaps, fshape2, zchunk=512):
+    """Memory-bounded spatial stage: scan over spectral slabs.
+
+    Equivalent to ``glr_spatial`` but computes the per-channel FSF spectra
+    slab-by-slab under ``lax.scan`` so peak HBM stays at
+    ~zchunk/Nz of the full-cube FFT working set.  Used on devices whose
+    HBM cannot hold the precomputed FSF spectra bank of
+    :func:`precompute_spatial` for the field size at hand.
+    """
+    nz, ny, nx = cube.shape
+    nfields = psfs.shape[0]
+    ph, pw = psfs.shape[-2:]
+    y0, x0 = (ph - 1) // 2, (pw - 1) // 2
+    nzp = -(-nz // zchunk) * zchunk
+
+    def padz(a):
+        return jnp.pad(a, ((0, nzp - nz), (0, 0), (0, 0))).reshape(
+            nzp // zchunk, zchunk, *a.shape[1:]
+        )
+
+    cube_fsf = None
+    norm_fsf = None
+    for nf in range(nfields):
+        kern = psfs[nf][:, ::-1, ::-1]
+        kern = kern - jnp.mean(kern, axis=(1, 2), keepdims=True)
+        data = cube if wmaps is None else cube * wmaps[nf][None]
+        base = (
+            jnp.ones((1, ny, nx), cube.dtype) if wmaps is None
+            else wmaps[nf][None]
+        )
+        bf = jnp.fft.rfft2(base, fshape2)
+
+        def one_slab(_, dk, bf=bf):
+            d, k = dk
+            kf = jnp.fft.rfft2(k, fshape2)
+            cf = jnp.fft.rfft2(d, fshape2)
+            c_full = jnp.fft.irfft2(cf * kf, fshape2)
+            k2f = jnp.fft.rfft2(k * k, fshape2)
+            n_full = jnp.fft.irfft2(bf * k2f, fshape2)
+            sl = lambda a: jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(a, y0, y0 + ny, axis=-2),
+                x0, x0 + nx, axis=-1,
+            )
+            return None, (sl(c_full), sl(n_full))
+
+        _, (c, n) = jax.lax.scan(one_slab, None, (padz(data), padz(kern)))
+        c = c.reshape(nzp, ny, nx)[:nz]
+        n = n.reshape(nzp, ny, nx)[:nz]
+        cube_fsf = c if cube_fsf is None else cube_fsf + c
+        norm_fsf = n if norm_fsf is None else norm_fsf + n
+    return cube_fsf, norm_fsf
+
+
 def _conv_full_lastdim(v, kern):
     """'full' cross-correlation-style conv along the last axis.
 
@@ -279,44 +335,75 @@ def pack_profiles_toeplitz(prepped, block=128):
 
 
 def toeplitz_sweep(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
-                   precision=jax.lax.Precision.HIGHEST, with_profile=True):
+                   precision=jax.lax.Precision.HIGHEST, with_profile=True,
+                   max_transient_bytes=2 << 30):
     """Core of the MXU spectral sweep (traceable; also used inside
-    shard_map tiles, where the z axis is unsharded)."""
+    shard_map tiles, where the z axis is unsharded).
+
+    The sliding-window view costs ~W/B extra copies of the cube, so large
+    fields are processed in spaxel slabs under ``lax.scan``, bounding the
+    transient memory at roughly ``max_transient_bytes`` regardless of the
+    field size.
+    """
     nprof, window, block = t_num.shape
     nb = -(-nz // block)
     ny, nx = cube_fsf.shape[1:]
     s = ny * nx
 
-    def windows(a):
+    # pick the number of sequential slabs so a slab's window view + matmul
+    # outputs stay under the transient budget
+    per_spaxel = (2 * nb * window + 2 * nb * block) * 4
+    nslab = max(1, -(-s * per_spaxel // max_transient_bytes))
+    slab = -(-s // nslab)
+    sp = nslab * slab
+
+    def flat(a):
         a = a.reshape(nz, s).T  # (S, Nz), z innermost
         total = nb * block + window - block
-        a = jnp.pad(a, ((0, 0), (pad_left, total - pad_left - nz)))
+        a = jnp.pad(a, ((0, sp - s), (pad_left, total - pad_left - nz)))
+        return a.reshape(nslab, slab, -1)
+
+    xf = flat(cube_fsf)
+    nf = flat(norm_fsf)
+
+    def windows(a):
         return jnp.stack(
             [
                 jax.lax.slice_in_dim(a, b * block, b * block + window, axis=-1)
                 for b in range(nb)
             ],
             axis=1,
-        )  # (S, NB, W)
+        )  # (slab, NB, W)
 
-    xw = windows(cube_fsf)
-    nw = windows(norm_fsf)
+    def one_slab(_, xn):
+        x, n = xn
+        xw = windows(x)
+        nw = windows(n)
+        correl = jnp.full((slab, nz), -jnp.inf, dtype=jnp.float32)
+        correl_min = jnp.full((slab, nz), jnp.inf, dtype=jnp.float32)
+        profile = jnp.zeros((slab, nz), dtype=jnp.uint8)
+        for k in range(nprof):
+            num = jnp.einsum("snw,wz->snz", xw, t_num[k], precision=precision)
+            den = jnp.einsum("snw,wz->snz", nw, t_den[k], precision=precision)
+            cp = num.reshape(slab, nb * block)[:, :nz]
+            norm = den.reshape(slab, nb * block)[:, :nz]
+            norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
+            t = cp / norm
+            if with_profile:
+                profile = jnp.where(t > correl, jnp.uint8(k), profile)
+            correl = jnp.maximum(correl, t)
+            correl_min = jnp.minimum(correl_min, t)
+        return None, (correl, profile, correl_min)
 
-    correl = jnp.full((s, nz), -jnp.inf, dtype=jnp.float32)
-    correl_min = jnp.full((s, nz), jnp.inf, dtype=jnp.float32)
-    profile = jnp.zeros((s, nz), dtype=jnp.uint8) if with_profile else None
-
-    for k in range(nprof):
-        num = jnp.einsum("snw,wz->snz", xw, t_num[k], precision=precision)
-        den = jnp.einsum("snw,wz->snz", nw, t_den[k], precision=precision)
-        cp = num.reshape(s, nb * block)[:, :nz]
-        norm = den.reshape(s, nb * block)[:, :nz]
-        norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
-        t = cp / norm
-        if with_profile:
-            profile = jnp.where(t > correl, jnp.uint8(k), profile)
-        correl = jnp.maximum(correl, t)
-        correl_min = jnp.minimum(correl_min, t)
+    if nslab == 1:
+        _, (correl, profile, correl_min) = one_slab(None, (xf[0], nf[0]))
+    else:
+        _, (correl, profile, correl_min) = jax.lax.scan(
+            one_slab, None, (xf, nf)
+        )
+        correl = correl.reshape(sp, nz)[:s]
+        profile = profile.reshape(sp, nz)[:s]
+        correl_min = correl_min.reshape(sp, nz)[:s]
 
     reshape = lambda a: a.T.reshape(nz, ny, nx)
     return (

@@ -35,6 +35,7 @@ from ..ops import compute_local_max, o2test, standardize
 from ..ops.dct import dct_residual
 from ..ops.convolve import fft2_shape
 from ..ops.glr import (
+    glr_spatial_chunked,
     glr_spatial_pre,
     glr_spectral_mxu,
     pack_profiles_toeplitz,
@@ -158,6 +159,7 @@ class DeviceEngine:
         self.orig = orig
         self._inputs = {}
         self._mini_cache = {}
+        self._tight = None
 
     # -- inputs ------------------------------------------------------------
     def input_cube(self):
@@ -179,8 +181,42 @@ class DeviceEngine:
         for n in names:
             self._inputs.pop(n, None)
 
+    @property
+    def tight_memory(self):
+        """True when the device HBM cannot hold ~12 cubes of this field.
+
+        Decides whether diagnostics-only products are offloaded to host
+        eagerly and whether the GLR spatial stage runs z-chunked.  A v5p
+        (95 GB) never triggers this for a full MUSE field; a 16 GB chip
+        does above ~200x200 spaxels.
+        """
+        if self._tight is None:
+            limit = None
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                limit = stats.get("bytes_limit")
+            except Exception:
+                pass
+            cube_bytes = 4 * int(np.prod(self.orig.shape))
+            self._tight = bool(limit) and cube_bytes * 12 > limit
+        return self._tight
+
+    def offload(self, *names):
+        """Materialize products to host now, freeing their HBM."""
+        for n in names:
+            obj = getattr(self.orig, n, None)
+            if isinstance(obj, DeferredCube) and obj.device is not None:
+                _ = obj.data
+
+    def maybe_offload(self, *names):
+        if self.tight_memory:
+            self.offload(*names)
+
     def std_scalar(self, name):
-        """Standard deviation of a session cube, computed on device."""
+        """Standard deviation of a session cube (device when resident)."""
+        obj = getattr(self.orig, name)
+        if isinstance(obj, DeferredCube) and obj.device is None:
+            return float(np.std(obj.data))
         return float(_std_jit(self.get(name)))
 
     def get(self, name):
@@ -287,13 +323,20 @@ class DeviceEngine:
                 np.stack([np.asarray(w, np.float32) for w in wfields])
             )
         fshape2 = fft2_shape((ny, nx), psfs.shape[-2:])
-        kern_hats, norm_fsf = precompute_spatial(
-            jnp.asarray(psfs), wmaps, ny, nx, fshape2
-        )
-        cube_fsf = glr_spatial_pre(
-            faint, kern_hats, wmaps, psfs.shape[-2:], fshape2
-        )
-        del kern_hats
+        if self.tight_memory:
+            # HBM cannot hold the precomputed FSF spectra bank: stream the
+            # spatial stage over spectral slabs instead
+            cube_fsf, norm_fsf = glr_spatial_chunked(
+                faint, jnp.asarray(psfs), wmaps, fshape2
+            )
+        else:
+            kern_hats, norm_fsf = precompute_spatial(
+                jnp.asarray(psfs), wmaps, ny, nx, fshape2
+            )
+            cube_fsf = glr_spatial_pre(
+                faint, kern_hats, wmaps, psfs.shape[-2:], fshape2
+            )
+            del kern_hats
 
         prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
         t_num, t_den, pad_left, _ = pack_profiles_toeplitz(

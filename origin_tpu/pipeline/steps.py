@@ -330,6 +330,9 @@ class Preprocessing(Step):
         self._loginfo("Segmap saved in self.segmap_merged (%d regions)", nlabels)
         self.store_image("segmap_merged", segmap)
 
+        # diagnostics-only product: free its HBM on small-memory devices
+        orig.engine.maybe_offload("cont_dct")
+
 
 class CreateAreas(Step):
     """Build the area map that distributes the PCA over zones/devices.
@@ -452,6 +455,9 @@ class ComputeGreedyPCA(Step):
             "in self.mapO2"
         )
         self.store_image("mapO2", mapo2)
+        # no later device stage reads cube_std (its local extrema are
+        # separate products): free its HBM on small-memory devices
+        orig.engine.maybe_offload("cube_std")
 
 
 class ComputeTGLR(Step):
@@ -499,6 +505,7 @@ class ComputeTGLR(Step):
         self.store_cube_dev("cube_local_max", dev["cube_local_max"])
         self._loginfo("Save self.cube_local_min from min correlations")
         self.store_cube_dev("cube_local_min", dev["cube_local_min"])
+        orig.engine.maybe_offload("cube_faint", "cube_correl_min")
 
 
 class ComputePurityThreshold(Step):

@@ -422,3 +422,61 @@ def test_glr_spatial_pre_matches_combined():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n0),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_glr_spectral_mxu_slab_chunking():
+    """Slab-chunked sweep (bounded transients) equals single-slab."""
+    import jax.numpy as jnp
+    from origin_tpu.core import gaussian_profile
+    from origin_tpu.ops.glr import (
+        pack_profiles_toeplitz,
+        prepare_profiles,
+        toeplitz_sweep,
+    )
+
+    rng = np.random.default_rng(8)
+    nz, ny, nx = 260, 7, 9
+    cube_fsf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    norm_fsf = rng.uniform(0.5, 2.0, size=(nz, ny, nx)).astype(np.float32)
+    prepped = prepare_profiles([gaussian_profile(f, 41, 20) for f in (2.0, 7.0)])
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped, block=128)
+    args = (jnp.asarray(cube_fsf), jnp.asarray(norm_fsf),
+            jnp.asarray(t_num), jnp.asarray(t_den), pad_left, nz)
+
+    c0, p0, m0 = toeplitz_sweep(*args)                         # one slab
+    c1, p1, m1 = toeplitz_sweep(*args, max_transient_bytes=64 * 1024)
+
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+
+
+def test_glr_spatial_chunked_matches_full():
+    """z-chunked spatial stage equals the one-shot stage (incl. mosaic)."""
+    import jax.numpy as jnp
+    from origin_tpu.core import MoffatFSF
+    from origin_tpu.ops.convolve import fft2_shape
+    from origin_tpu.ops.glr import glr_spatial, glr_spatial_chunked
+
+    rng = np.random.default_rng(9)
+    nz, ny, nx = 50, 10, 12
+    cube = jnp.asarray(rng.normal(size=(nz, ny, nx)).astype(np.float32))
+    fsf = MoffatFSF(fwhm_pol=[0.2, 0.6], beta_pol=[2.8], pixstep=0.2)
+    psf = jnp.asarray(
+        fsf.get_3darray(np.linspace(5000, 9000, nz), (7, 7)).astype(np.float32)
+    )
+    fshape2 = fft2_shape((ny, nx), (7, 7))
+
+    c0, n0 = glr_spatial(cube, psf[None], None, fshape2)
+    c1, n1 = glr_spatial_chunked(cube, psf[None], None, fshape2, zchunk=16)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n0), atol=1e-5)
+
+    w1 = np.zeros((ny, nx), np.float32)
+    w1[:, :6] = 1
+    wmaps = jnp.asarray(np.stack([w1, 1 - w1]))
+    psfs = jnp.stack([psf, psf * 1.1])
+    c0, n0 = glr_spatial(cube, psfs, wmaps, fshape2)
+    c1, n1 = glr_spatial_chunked(cube, psfs, wmaps, fshape2, zchunk=16)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n0), atol=1e-5)
