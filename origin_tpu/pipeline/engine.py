@@ -134,16 +134,23 @@ def _gather_minicubes(pd, pv, ys, xs, sg):
 
 
 @partial(jax.jit, static_argnames=("cap",))
-def _extract_above(arr, extras, cap):
-    """Flat indices + values of the ``cap`` largest entries of ``arr``.
+def _extract_above(arr, extras, threshold, cap):
+    """Flat indices + values of entries with arr > threshold (compacted).
 
-    Detection extraction via ``lax.top_k``: with cap >= count(arr > t),
-    the top-cap set contains exactly every entry above the threshold
-    (everything else is <= t).  top_k is a first-class TPU op, unlike a
-    full-cube argwhere which lowers very poorly.
+    Stream compaction by cumsum + drop-scatter: O(N), compiles ~3x
+    faster than top_k and an order of magnitude faster than a full-cube
+    sized argwhere, and emits indices already in row-major (np.where)
+    order.  Entries beyond ``cap`` are dropped (callers size cap from an
+    exact device-side count).
     """
-    vals, fidx = jax.lax.top_k(arr.ravel(), cap)
-    return fidx, vals, tuple(e.ravel()[fidx] for e in extras)
+    flat = arr.ravel()
+    hit = flat > threshold
+    pos = jnp.cumsum(hit.astype(jnp.int32))
+    tgt = jnp.where(hit, pos - 1, cap)
+    fidx = jnp.zeros(cap, jnp.int32).at[tgt].set(
+        jnp.arange(flat.size, dtype=jnp.int32), mode="drop"
+    )
+    return fidx, flat[fidx], tuple(e.ravel()[fidx] for e in extras)
 
 
 class DeviceEngine:
@@ -252,8 +259,10 @@ class DeviceEngine:
                     ima_dct=np.asarray(ima_dct),
                     o2=np.asarray(o2),
                     cont_sumsq=np.asarray(cont_sumsq))
-        # the raw cube and variance are not needed on device past this point
-        self.drop_inputs("cube", "var")
+        # the raw cube / variance are needed again by the line-estimation
+        # minicube gather (step 08); keep them resident unless HBM is tight
+        if self.tight_memory:
+            self.drop_inputs("cube", "var")
         return dev, host
 
     # -- step 04 -----------------------------------------------------------
@@ -388,11 +397,10 @@ class DeviceEngine:
         """Sparse (z, y, x) coordinates where ``name`` exceeds threshold.
 
         The cube stays on device: one scalar count comes back, then one
-        fused top-k extraction program returns the flat indices and the
-        gathered value vectors.  The capacity is bucketed to a power of
-        two so the program compiles once per bucket, not once per
-        detection count.  Results are re-sorted host-side to the
-        row-major (z, y, x) ordering of ``np.where``.
+        fused stream-compaction program returns the flat indices and the
+        gathered value vectors in the row-major (z, y, x) ordering of
+        ``np.where``.  The capacity is bucketed to a power of two so the
+        program compiles once per bucket, not once per detection count.
         """
         arr = self.get(name)
         extras = tuple(self.get(g) for g in gather)
@@ -403,13 +411,10 @@ class DeviceEngine:
                 np.zeros(0, np.float32) for _ in gather
             ]
         cap = min(_bucket(n, 256), arr.size)
-        fidx, vals, evals = _extract_above(arr, extras, cap)
-        fidx = np.asarray(fidx)[:n]
-        order = np.argsort(fidx)  # row-major order, as np.where
-        fidx = fidx[order]
-        zyx = np.unravel_index(fidx, arr.shape)
+        fidx, vals, evals = _extract_above(arr, extras, threshold, cap)
+        zyx = np.unravel_index(np.asarray(fidx)[:n], arr.shape)
         return (
             zyx,
-            np.asarray(vals)[:n][order],
-            [np.asarray(e)[:n][order] for e in evals],
+            np.asarray(vals)[:n],
+            [np.asarray(e)[:n] for e in evals],
         )
