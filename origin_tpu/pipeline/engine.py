@@ -198,14 +198,29 @@ class DeviceEngine:
         does above ~200x200 spaxels.
         """
         if self._tight is None:
+            dev = jax.devices()[0]
             limit = None
             try:
-                stats = jax.devices()[0].memory_stats() or {}
+                stats = dev.memory_stats() or {}
                 limit = stats.get("bytes_limit")
             except Exception:
                 pass
+            if not limit:
+                kind = getattr(dev, "device_kind", "").lower()
+                if dev.platform == "cpu":
+                    limit = None  # host memory: treat as unlimited
+                elif "lite" in kind or "v5e" in kind:
+                    limit = 16 << 30
+                elif "v5p" in kind or "v5" in kind:
+                    limit = 95 << 30
+                elif "v4" in kind:
+                    limit = 32 << 30
+                else:
+                    limit = 16 << 30  # conservative for unknown TPUs
             cube_bytes = 4 * int(np.prod(self.orig.shape))
-            self._tight = bool(limit) and cube_bytes * 12 > limit
+            # ~10 resident cube-sized products + FFT/window transients:
+            # demand ~24 cube-sizes of headroom before going unchunked
+            self._tight = bool(limit) and cube_bytes * 24 > limit
         return self._tight
 
     def offload(self, *names):

@@ -138,6 +138,9 @@ def _run_pipeline(args, cube_fn, run):
         ("step08", lambda: orig.step08_compute_spectra()),
         ("step09", lambda: orig.step09_clean_results()),
         ("step10", lambda: orig.step10_create_masks()),
+        # checkpoint write (step11 forces it; timing it separately
+        # attributes the device->host materialization honestly)
+        ("write", lambda: orig.write()),
         ("step11", lambda: orig.step11_save_sources(version="0.1",
                                                     n_jobs=1)),
     ]
