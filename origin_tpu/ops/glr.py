@@ -38,6 +38,8 @@ __all__ = [
     "precompute_spatial",
     "glr_spatial_pre",
     "glr_spatial_chunked",
+    "glr_spatial_matmul",
+    "dft_spatial_factors",
     "pack_profiles_toeplitz",
     "glr_spectral_mxu",
     "toeplitz_sweep",
@@ -190,6 +192,89 @@ def glr_spatial_pre(cube, kern_hats, wmaps, psf_shape, fshape2):
             x0, x0 + nx, axis=-1,
         )
         cube_fsf = c if cube_fsf is None else cube_fsf + c
+    return cube_fsf
+
+
+def dft_spatial_factors(ny, nx, fshape2, psf_shape):
+    """Real/imag DFT factor matrices for the matmul spatial stage (host).
+
+    The padded 2-D real FFT, the centred 'same' slice of the inverse, and
+    the real-symmetry weights are folded into four small matrices so the
+    whole spatial convolution becomes batched MXU matmuls
+    (see :func:`glr_spatial_matmul`).  Returns a dict of float32 arrays.
+    """
+    fy, fx = int(fshape2[0]), int(fshape2[1])
+    fxr = fx // 2 + 1
+    ph, pw = psf_shape
+    y0, x0 = (ph - 1) // 2, (pw - 1) // 2
+    kx = np.arange(fxr)
+    ax = np.exp(-2j * np.pi * np.outer(np.arange(nx), kx) / fx)  # (nx, FXr)
+    ay = np.exp(
+        -2j * np.pi * np.outer(np.arange(fy), np.arange(ny)) / fy
+    )  # (FY, ny)
+    by = (
+        np.exp(2j * np.pi * np.outer(np.arange(ny) + y0, np.arange(fy)) / fy)
+        / fy
+    )  # (ny, FY)
+    w = np.full(fxr, 2.0)
+    w[0] = 1.0
+    if fx % 2 == 0:
+        w[-1] = 1.0
+    cx = (
+        w[:, None]
+        * np.exp(2j * np.pi * np.outer(kx, np.arange(nx) + x0) / fx)
+        / fx
+    )  # (FXr, nx)
+    f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    return dict(
+        axr=f32(ax.real), axi=f32(ax.imag),
+        ayr=f32(ay.real), ayi=f32(ay.imag),
+        byr=f32(by.real), byi=f32(by.imag),
+        cxr=f32(cx.real), cxi=f32(cx.imag),
+    )
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def glr_spatial_matmul(cube, kern_r, kern_i, wmaps, factors,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Spatial FSF stage as batched MXU matmuls (DFT-by-matmul).
+
+    Numerically equivalent to :func:`glr_spatial_pre` (same padded linear
+    convolution, 'same' slice folded into the inverse factors), but the
+    ~N^2 DFT matmuls run on the systolic array, which beats the VPU-bound
+    mixed-radix FFT by a wide margin at MUSE field sizes.
+
+    ``kern_r/kern_i``: (F, Nz, FY, FXr) real/imag parts of the
+    precomputed flipped zero-mean FSF spectra (from
+    :func:`precompute_spatial`); ``factors`` from
+    :func:`dft_spatial_factors`.  Returns cube_fsf (Nz, Ny, Nx).
+    """
+    hi = precision
+    nfields = kern_r.shape[0]
+    axr, axi = factors["axr"], factors["axi"]
+    ayr, ayi = factors["ayr"], factors["ayi"]
+    byr, byi = factors["byr"], factors["byi"]
+    cxr, cxi = factors["cxr"], factors["cxi"]
+
+    def mm(a, b):  # batched (z, m, k) x (k, n)
+        return jnp.einsum("zmk,kn->zmn", a, b, precision=hi)
+
+    def mml(a, b):  # (m, k) x batched (z, k, n)
+        return jnp.einsum("mk,zkn->zmn", a, b, precision=hi)
+
+    cube_fsf = None
+    for nf in range(nfields):
+        data = cube if wmaps is None else cube * wmaps[nf][None]
+        zr = mm(data, axr)
+        zi = mm(data, axi)
+        yr = mml(ayr, zr) - mml(ayi, zi)
+        yi = mml(ayr, zi) + mml(ayi, zr)
+        pr = yr * kern_r[nf] - yi * kern_i[nf]
+        pi = yr * kern_i[nf] + yi * kern_r[nf]
+        gr = mml(byr, pr) - mml(byi, pi)
+        gi = mml(byr, pi) + mml(byi, pr)
+        out = mm(gr, cxr) - mm(gi, cxi)
+        cube_fsf = out if cube_fsf is None else cube_fsf + out
     return cube_fsf
 
 

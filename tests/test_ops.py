@@ -480,3 +480,48 @@ def test_glr_spatial_chunked_matches_full():
     c1, n1 = glr_spatial_chunked(cube, psfs, wmaps, fshape2, zchunk=16)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n0), atol=1e-5)
+
+
+def test_glr_spatial_matmul_matches_fft():
+    """DFT-by-matmul spatial stage equals the FFT spatial stage."""
+    import jax.numpy as jnp
+    from origin_tpu.core import MoffatFSF
+    from origin_tpu.ops.convolve import fft2_shape
+    from origin_tpu.ops.glr import (
+        dft_spatial_factors,
+        glr_spatial,
+        glr_spatial_matmul,
+        precompute_spatial,
+    )
+
+    rng = np.random.default_rng(10)
+    nz, ny, nx = 40, 11, 14
+    cube = jnp.asarray(rng.normal(size=(nz, ny, nx)).astype(np.float32))
+    fsf = MoffatFSF(fwhm_pol=[0.2, 0.6], beta_pol=[2.8], pixstep=0.2)
+    psf = jnp.asarray(
+        fsf.get_3darray(np.linspace(5000, 9000, nz), (7, 7)).astype(np.float32)
+    )
+    fshape2 = fft2_shape((ny, nx), (7, 7))
+
+    c0, _ = glr_spatial(cube, psf[None], None, fshape2)
+    kern_hats, _ = precompute_spatial(psf[None], None, ny, nx, fshape2)
+    factors = {k: jnp.asarray(v) for k, v in
+               dft_spatial_factors(ny, nx, fshape2, (7, 7)).items()}
+    c1 = glr_spatial_matmul(
+        cube, jnp.real(kern_hats), jnp.imag(kern_hats), None, factors
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               atol=2e-5, rtol=2e-4)
+
+    # mosaic weighted-sum path
+    w1 = np.zeros((ny, nx), np.float32)
+    w1[:, :7] = 1
+    wmaps = jnp.asarray(np.stack([w1, 1 - w1]))
+    psfs = jnp.stack([psf, psf * 1.2])
+    c0, _ = glr_spatial(cube, psfs, wmaps, fshape2)
+    kern_hats, _ = precompute_spatial(psfs, wmaps, ny, nx, fshape2)
+    c1 = glr_spatial_matmul(
+        cube, jnp.real(kern_hats), jnp.imag(kern_hats), wmaps, factors
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               atol=2e-5, rtol=2e-4)

@@ -137,9 +137,30 @@ def main():
             body_mxu, (cube_fsf, norm_fsf, t_num, t_den), label=lbl
         )
 
+    # spatial via DFT matmuls on the MXU
+    from origin_tpu.ops.glr import dft_spatial_factors, glr_spatial_matmul
+
+    factors = {
+        k: jnp.asarray(v)
+        for k, v in dft_spatial_factors(NY, NX, fshape2, (25, 25)).items()
+    }
+    kern_r = jnp.real(kern_hats)
+    kern_i = jnp.imag(kern_hats)
+
+    def body_spatial_mm(c, kern_r, kern_i):
+        cf = glr_spatial_matmul(c, kern_r, kern_i, None, factors)
+        return c + cf * 1e-20, cf[0, 0, 0]
+
+    t1m = timeit_chained(
+        body_spatial_mm, (cube, kern_r, kern_i), label="spatial (DFT matmul)"
+    )
+
     totn = t1n + t2n + t3
     print(f"{'total (new)':24s} {totn*1e3:9.2f} ms  "
           f"({NZ*NY*NX/1e6/totn:.1f} Mvox/s)")
+    totm = t1m + t2n + t3
+    print(f"{'total (matmul spatial)':24s} {totm*1e3:9.2f} ms  "
+          f"({NZ*NY*NX/1e6/totm:.1f} Mvox/s)")
 
 
 if __name__ == "__main__":
