@@ -442,6 +442,25 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
         if self.ima_white is not None:
             self.ima_white.write("%s/ima_white.fits" % self.outpath)
 
+        # materialize device-resident products concurrently before dumping:
+        # device->host copies of independent arrays overlap (and multiplex
+        # on remote-device links), unlike the sequential pulls dump() would
+        # otherwise trigger one by one
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .engine import DeferredCube
+
+        pending = [
+            getattr(step, name)
+            for step in self.steps.values()
+            for name, _ in step._dataobjs
+            if isinstance(getattr(step, name), DeferredCube)
+            and getattr(step, name).device is not None
+        ]
+        if pending:
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(lambda c: c.data, pending))
+
         for step in self.steps.values():
             step.dump(self.outpath)
 
