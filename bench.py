@@ -32,7 +32,8 @@ def main():
     from origin_tpu.ops import compute_local_max
     from origin_tpu.ops.convolve import fft2_shape
     from origin_tpu.ops.glr import (
-        glr_spatial_pre,
+        dft_spatial_factors,
+        glr_spatial_matmul,
         glr_spectral_mxu,
         pack_profiles_toeplitz,
         precompute_spatial,
@@ -52,14 +53,20 @@ def main():
     t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped)
     fshape2 = fft2_shape((NY, NX), (25, 25))
 
-    # instrument-model preprocessing (FSF spectra + norm cube), amortized
-    # across every cube observed with this FSF/profile configuration
+    # instrument-model preprocessing (FSF spectra, norm cube, DFT factor
+    # matrices), amortized across every cube observed with this
+    # FSF/profile configuration
     kern_hats, norm_fsf = precompute_spatial(
         jnp.asarray(psf)[None], None, NY, NX, fshape2
     )
+    kern_r, kern_i = jnp.real(kern_hats), jnp.imag(kern_hats)
+    factors = {
+        k: jnp.asarray(v)
+        for k, v in dft_spatial_factors(NY, NX, fshape2, (25, 25)).items()
+    }
 
-    def step05(cube, kern_hats, norm_fsf, t_num, t_den, mask):
-        cube_fsf = glr_spatial_pre(cube, kern_hats, None, (25, 25), fshape2)
+    def step05(cube, kern_r, kern_i, norm_fsf, t_num, t_den, mask):
+        cube_fsf = glr_spatial_matmul(cube, kern_r, kern_i, None, factors)
         correl, profile, correl_min = glr_spectral_mxu(
             cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ
         )
@@ -73,10 +80,10 @@ def main():
     # execution.  Per-iteration time = (T_chain(N) - T_chain(0)) / N.
     def chained(n):
         @jax.jit
-        def fn(cube, kern_hats, norm_fsf, t_num, t_den, mask):
+        def fn(cube, kern_r, kern_i, norm_fsf, t_num, t_den, mask):
             def body(c, _):
                 correl, profile, lmax, lmin = step05(
-                    c, kern_hats, norm_fsf, t_num, t_den, mask
+                    c, kern_r, kern_i, norm_fsf, t_num, t_den, mask
                 )
                 # cheap, non-elidable data dependency for the next iteration
                 return c + correl * 1e-20, lmax.sum()
@@ -86,7 +93,8 @@ def main():
 
     args = (
         jnp.asarray(cube),
-        kern_hats,
+        kern_r,
+        kern_i,
         norm_fsf,
         jnp.asarray(t_num),
         jnp.asarray(t_den),

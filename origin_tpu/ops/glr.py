@@ -540,8 +540,15 @@ def correlation_glr_test(cube, fsf, weights, profiles, pcut=1e-8, pmeansub=True)
     kern_hats, norm_fsf = precompute_spatial(
         jnp.asarray(psfs), jwmaps, ny, nx, fshape2
     )
-    cube_fsf = glr_spatial_pre(
-        jnp.asarray(cube), kern_hats, jwmaps, psfs.shape[-2:], fshape2
+    factors = {
+        k: jnp.asarray(v)
+        for k, v in dft_spatial_factors(
+            ny, nx, fshape2, psfs.shape[-2:]
+        ).items()
+    }
+    cube_fsf = glr_spatial_matmul(
+        jnp.asarray(cube), jnp.real(kern_hats), jnp.imag(kern_hats),
+        jwmaps, factors
     )
 
     prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)

@@ -35,8 +35,9 @@ from ..ops import compute_local_max, o2test, standardize
 from ..ops.dct import dct_residual
 from ..ops.convolve import fft2_shape
 from ..ops.glr import (
+    dft_spatial_factors,
     glr_spatial_chunked,
-    glr_spatial_pre,
+    glr_spatial_matmul,
     glr_spectral_mxu,
     pack_profiles_toeplitz,
     precompute_spatial,
@@ -357,8 +358,15 @@ class DeviceEngine:
             kern_hats, norm_fsf = precompute_spatial(
                 jnp.asarray(psfs), wmaps, ny, nx, fshape2
             )
-            cube_fsf = glr_spatial_pre(
-                faint, kern_hats, wmaps, psfs.shape[-2:], fshape2
+            factors = {
+                k: jnp.asarray(v)
+                for k, v in dft_spatial_factors(
+                    ny, nx, fshape2, psfs.shape[-2:]
+                ).items()
+            }
+            cube_fsf = glr_spatial_matmul(
+                faint, jnp.real(kern_hats), jnp.imag(kern_hats),
+                wmaps, factors
             )
             del kern_hats
 
