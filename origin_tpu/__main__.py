@@ -1,0 +1,136 @@
+"""Command-line interface: ``python -m origin_tpu <command>``.
+
+The reference pipeline has no CLI (driven interactively from Python /
+notebooks); this adds a thin batch front door over the same session API so
+survey pipelines can run fields without writing a driver script.
+
+Commands
+--------
+run      run the full 11-step pipeline on a cube
+resume   resume a saved session, running any remaining steps
+status   print a saved session's step status / timings / stats
+info     print a saved session's log
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_session_args(p):
+    p.add_argument("--name", default="origin", help="session name")
+    p.add_argument("--path", default=".", help="session parent directory")
+    p.add_argument("--loglevel", default="INFO")
+
+
+def _add_run_args(p):
+    p.add_argument("--profiles", default=None,
+                   help="spectral profile dictionary FITS (default: built-in "
+                   "3-FWHM dictionary)")
+    p.add_argument("--fieldmap", default=None, help="mosaic field map FITS")
+    p.add_argument("--psf", default=None, help="explicit PSF cube FITS")
+    p.add_argument("--purity", type=float, default=0.9)
+    p.add_argument("--purity-std", type=float, default=None)
+    p.add_argument("--pfa-areas", type=float, default=0.2)
+    p.add_argument("--minsize", type=int, default=100)
+    p.add_argument("--pfa-test", type=float, default=0.01)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="override the purity-calibrated detection threshold")
+    p.add_argument("--segmap", default=None,
+                   help="user segmentation map FITS for step 07")
+    p.add_argument("--grid-dxy", type=int, default=0)
+    p.add_argument("--version", default="0.1", help="source file version tag")
+    p.add_argument("--n-jobs", type=int, default=1,
+                   help="host workers for source-file writing")
+    p.add_argument("--no-sources", action="store_true",
+                   help="stop after the catalogs (skip masks/source files)")
+
+
+def _steps_from(orig, args, start_at=1):
+    """Run steps >= start_at with the CLI's parameters."""
+    plan = [
+        (1, lambda: orig.step01_preprocessing()),
+        (2, lambda: orig.step02_areas(pfa=args.pfa_areas,
+                                      minsize=args.minsize)),
+        (3, lambda: orig.step03_compute_PCA_threshold(pfa_test=args.pfa_test)),
+        (4, lambda: orig.step04_compute_greedy_PCA()),
+        (5, lambda: orig.step05_compute_TGLR()),
+        (6, lambda: orig.step06_compute_purity_threshold(
+            purity=args.purity, purity_std=args.purity_std)),
+        (7, lambda: orig.step07_detection(threshold=args.threshold,
+                                          segmap=args.segmap)),
+        (8, lambda: orig.step08_compute_spectra(grid_dxy=args.grid_dxy)),
+        (9, lambda: orig.step09_clean_results()),
+    ]
+    if not args.no_sources:
+        plan += [
+            (10, lambda: orig.step10_create_masks()),
+            (11, lambda: orig.step11_save_sources(version=args.version,
+                                                  n_jobs=args.n_jobs)),
+        ]
+    for idx, fn in plan:
+        if idx >= start_at:
+            fn()
+    orig.write()
+    orig.stat()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="python -m origin_tpu",
+        description="TPU-native blind emission-line detection for MUSE "
+        "datacubes (ORIGIN pipeline)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="run the full pipeline on a cube")
+    p_run.add_argument("cube", help="input cube FITS (DATA + STAT)")
+    _add_session_args(p_run)
+    _add_run_args(p_run)
+
+    p_res = sub.add_parser("resume", help="resume a saved session")
+    p_res.add_argument("folder", help="saved session directory")
+    p_res.add_argument("--newname", default=None, help="fork under a new name")
+    p_res.add_argument("--loglevel", default="INFO")
+    _add_run_args(p_res)
+
+    p_st = sub.add_parser("status", help="session status / timings / stats")
+    p_st.add_argument("folder")
+
+    p_info = sub.add_parser("info", help="print the session log")
+    p_info.add_argument("folder")
+
+    args = parser.parse_args(argv)
+
+    from origin_tpu.pipeline.session import ORIGIN
+    from origin_tpu.pipeline.steps import Status
+
+    if args.command == "run":
+        orig = ORIGIN.init(args.cube, name=args.name, path=args.path,
+                           loglevel=args.loglevel, profiles=args.profiles,
+                           fieldmap=args.fieldmap, PSF=args.psf)
+        _steps_from(orig, args, start_at=1)
+    elif args.command == "resume":
+        orig = ORIGIN.load(args.folder, newname=args.newname,
+                           loglevel=args.loglevel)
+        done = [s.idx for s in orig.steps.values()
+                if s.status in (Status.RUN, Status.DUMPED)]
+        start = (max(done) + 1) if done else 1
+        _steps_from(orig, args, start_at=start)
+    elif args.command == "status":
+        orig = ORIGIN.load(args.folder, loglevel="WARNING")
+        orig.status()
+        orig.timestat()
+        try:
+            orig.stat()
+        except Exception:
+            pass
+    elif args.command == "info":
+        orig = ORIGIN.load(args.folder, loglevel="WARNING")
+        orig.info()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
