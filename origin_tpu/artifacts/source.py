@@ -160,18 +160,51 @@ class Source:
         self.images[name] = Image(data=img, wcs=cube.wcs, copy=False)
 
     # -- spectra -------------------------------------------------------------------
-    def _weighted_spectrum(self, data, var, weights, mask):
-        w = np.where(mask, weights, 0.0)
+    @staticmethod
+    def _cube_arrays(cube):
+        """(data0, valid, inv) for a cutout cube, cached on the instance.
+
+        extract_spectra runs ~6 times per source on the same cutout (sky /
+        skysub variants, PSF-weighted, per-line correlation-weighted);
+        the zero-filled data, validity mask and inverse variance are
+        identical across those calls.
+        """
+        cache = getattr(cube, "_extract_cache", None)
+        if cache is None:
+            raw = np.asarray(cube.data, dtype=np.float32)
+            valid = np.isfinite(raw)
+            if cube.mask is not None:
+                valid &= ~cube.mask
+            data0 = np.where(valid, raw, np.float32(0.0))
+            if cube.var is not None:
+                v = np.asarray(cube.var, dtype=np.float32)
+                inv = np.where(
+                    valid & np.isfinite(v) & (v > 0), 1.0 / v, 0.0
+                ).astype(np.float32)
+            else:
+                inv = valid.astype(np.float32)
+            cache = (data0, valid, inv)
+            try:
+                cube._extract_cache = cache
+            except Exception:
+                pass
+        return cache
+
+    @staticmethod
+    def _weighted_spectrum_fast(dv, inv, weights, mask):
+        """Variance-weighted spectrum from precomputed data/var products.
+
+        ``dv`` = zero-filled data / var, ``inv`` = 1/var (0 at invalid
+        voxels); one einsum pass per reduction, float32 throughout.
+        """
+        w = np.where(mask, weights, 0.0).astype(np.float32)
         peak = w.max()
         if peak > 0:
             w = w / peak
-        v = var if var is not None else np.ones_like(data)
-        num = np.nansum(w[None] * data / v, axis=(1, 2))
-        den = np.nansum((w ** 2)[None] / v, axis=(1, 2))
+        num = np.einsum("zyx,yx->z", dv, w)
+        den = np.einsum("zyx,yx->z", inv, w * w)
         den[den == 0] = np.inf
-        spec = num / den
-        svar = 1.0 / den
-        return spec, svar
+        return num / den, 1.0 / den
 
     def extract_spectra(
         self, cube, obj_mask="ORI_MASK_OBJ", sky_mask="ORI_MASK_SKY",
@@ -182,28 +215,35 @@ class Source:
         Produces MUSE_SKY, MUSE_TOT[_SKYSUB], MUSE_WHITE[_SKYSUB], and
         MUSE_PSF[_SKYSUB] when a psf FWHM vector is given, plus one weighted
         spectrum per entry of ``tags_to_try`` whose image exists.
+
+        Implementation note: invalid voxels contribute 0 to every sum (the
+        reference's NaN/inf-variance arithmetic reaches the same values);
+        everything is evaluated from one zero-filled float32 data cube and
+        one inverse-variance cube, shared across all extracted spectra.
         """
         objm = np.asarray(self.images[obj_mask].data) > 0
         skym = np.asarray(self.images[sky_mask].data) > 0
-        data = cube.filled(np.nan)
-        var = cube.var_filled(np.inf) if cube.var is not None else None
         suffix = "_SKYSUB" if skysub else ""
 
+        data, valid, inv = self._cube_arrays(cube)
+
         nsky = max(1, skym.sum())
-        sky = np.nansum(np.where(skym[None], data, 0.0), axis=(1, 2)) / nsky
+        sky = np.einsum("zyx,yx->z", data, skym.astype(np.float32)) / nsky
         self.spectra["MUSE_SKY"] = Spectrum(data=sky, wave=cube.wave, copy=False)
         if skysub:
-            data = data - sky[:, None, None]
+            data = np.where(valid, data - sky[:, None, None], np.float32(0.0))
 
-        tot = np.nansum(np.where(objm[None], data, 0.0), axis=(1, 2))
+        tot = np.einsum("zyx,yx->z", data, objm.astype(np.float32))
         self.spectra["MUSE_TOT" + suffix] = Spectrum(
             data=tot, wave=cube.wave, copy=False
         )
 
+        dv = data * inv  # shared by every weighted estimator below
+
         white = self.images.get("MUSE_WHITE")
         if white is not None:
-            spec, svar = self._weighted_spectrum(
-                data, var, np.asarray(white.data, float), objm
+            spec, svar = self._weighted_spectrum_fast(
+                dv, inv, np.asarray(white.data, np.float32), objm
             )
             self.spectra["MUSE_WHITE" + suffix] = Spectrum(
                 data=spec, var=svar, wave=cube.wave, copy=False
@@ -215,23 +255,22 @@ class Source:
             ny, nx = data.shape[1:]
             cy, cx = (ny - 1) / 2.0, (nx - 1) / 2.0
             yy, xx = np.mgrid[:ny, :nx]
-            r2 = (yy - cy) ** 2 + (xx - cx) ** 2
-            psf = np.asarray(psf, dtype=float)
+            r2 = ((yy - cy) ** 2 + (xx - cx) ** 2).astype(np.float32)
+            psf = np.asarray(psf, dtype=np.float32)
             step = cube.wcs.get_step(unit="arcsec")[0] if cube.wcs else 0.2
-            fwhm_pix = psf / step
+            fwhm_pix = psf / np.float32(step)
             if beta is not None:
-                b = np.asarray(beta, dtype=float)
+                b = np.asarray(beta, dtype=np.float32)
                 alpha = fwhm_pix / (2 * np.sqrt(2 ** (1.0 / b) - 1))
                 wcube = (1 + r2[None] / (alpha ** 2)[:, None, None]) ** (
                     -b[:, None, None]
                 )
             else:
-                sig = fwhm_pix / (2 * np.sqrt(2 * np.log(2)))
+                sig = fwhm_pix / np.float32(2 * np.sqrt(2 * np.log(2)))
                 wcube = np.exp(-0.5 * r2[None] / (sig ** 2)[:, None, None])
-            w = np.where(objm[None], wcube, 0.0)
-            v = var if var is not None else np.ones_like(data)
-            num = np.nansum(w * data / v, axis=(1, 2))
-            den = np.nansum(w ** 2 / v, axis=(1, 2))
+            w = wcube * objm[None]
+            num = np.einsum("zyx,zyx->z", w, dv)
+            den = np.einsum("zyx,zyx->z", w * w, inv)
             den[den == 0] = np.inf
             self.spectra["MUSE_PSF" + suffix] = Spectrum(
                 data=num / den, var=1.0 / den, wave=cube.wave, copy=False
@@ -242,8 +281,8 @@ class Source:
                 img = self.images.get(tag)
                 if img is None:
                     continue
-                spec, svar = self._weighted_spectrum(
-                    data, var, np.asarray(img.data, float), objm
+                spec, svar = self._weighted_spectrum_fast(
+                    dv, inv, np.asarray(img.data, np.float32), objm
                 )
                 self.spectra[tag + suffix] = Spectrum(
                     data=spec, var=svar, wave=cube.wave, copy=False

@@ -184,14 +184,21 @@ def create_source(
     )
     source.tables["ORI_CAT"] = source_table["ID", "ra", "dec"][nearby]
 
-    # maps
+    # maps (segmaps/expmap may be pre-loaded Image objects, shared across
+    # sources by create_all_sources)
     source.images["ORI_MAXMAP"] = cube_ori.max(axis=0)
     source.add_image(mask, "ORI_MASK_OBJ")
     source.add_image(Image(skymask_filename), "ORI_MASK_SKY")
-    for segmap_type, segmap_filename in segmaps.items():
-        source.add_image(Image(segmap_filename), "ORI_SEGMAP_%s" % segmap_type)
+    for segmap_type, segmap in segmaps.items():
+        if isinstance(segmap, str):
+            segmap = Image(segmap)
+        source.add_image(segmap, "ORI_SEGMAP_%s" % segmap_type)
     if expmap_filename is not None:
-        source.add_image(Image(expmap_filename), "EXPMAP")
+        expmap = (
+            Image(expmap_filename) if isinstance(expmap_filename, str)
+            else expmap_filename
+        )
+        source.add_image(expmap, "EXPMAP")
 
     # full source spectra
     source.extract_spectra(data_cube, skysub=True)
@@ -228,11 +235,14 @@ def create_source(
 
     source.add_table(source_lines, "ORI_LINES")
 
-    spectra_hdus = {}
-    if os.path.exists(spectra_fits_filename):
+    if isinstance(spectra_fits_filename, dict):
+        spectra_hdus = spectra_fits_filename  # pre-loaded, shared
+    elif os.path.exists(spectra_fits_filename):
         from ..pipeline.spectra_io import load_spectra
 
         spectra_hdus = load_spectra(spectra_fits_filename)
+    else:
+        spectra_hdus = {}
 
     nb_par_rows = []
     unmerged = source_lines[np.asarray(source_lines["merged_in"]) == -9999]
@@ -323,6 +333,16 @@ def create_all_sources(
         return
 
     data_cube = Cube(origin_params["cubename"])
+    segmaps = {k: Image(v) if isinstance(v, str) else v
+               for k, v in segmaps.items()}
+    if isinstance(expmap_filename, str):
+        expmap_filename = Image(expmap_filename)
+    if isinstance(spectra_fits_filename, str) and os.path.exists(
+        spectra_fits_filename
+    ):
+        from ..pipeline.spectra_io import load_spectra
+
+        spectra_fits_filename = load_spectra(spectra_fits_filename)
     comps = {}
     for source_id in ids:
         k = int(np.where(np.asarray(cat3_sources["ID"]) == source_id)[0][0])

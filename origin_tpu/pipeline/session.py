@@ -451,11 +451,13 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
         from .engine import DeferredCube
 
         pending = [
-            getattr(step, name)
+            val
             for step in self.steps.values()
             for name, _ in step._dataobjs
-            if isinstance(getattr(step, name), DeferredCube)
-            and getattr(step, name).device is not None
+            # raw stored values only: getattr would trigger disk loads of
+            # already-dumped products just to inspect them
+            for val in (step.__dict__.get(name),)
+            if isinstance(val, DeferredCube) and val.device is not None
         ]
         if pending:
             with ThreadPoolExecutor(max_workers=4) as pool:
