@@ -103,6 +103,13 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
         self.file_handler = None
         os.makedirs(self.outpath, exist_ok=True)
 
+        # persistent XLA compilation cache: carries the pipeline's compiled
+        # programs across processes (cold-start compiles cost minutes on
+        # some backends); ORIGIN_TPU_COMPILE_CACHE=0 disables
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache()
+
         setup_logging(name="origin_tpu", level=loglevel, color=logcolor,
                       stream=sys.stdout)
         self.logger = logging.getLogger("origin_tpu")

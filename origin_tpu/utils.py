@@ -32,3 +32,36 @@ def progressbar(iterable=None, **kwargs):
         return tqdm(iterable, **kwargs)
     except ImportError:  # pragma: no cover
         return iterable
+
+
+_cache_enabled = False
+
+
+def enable_compile_cache(path=None):
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Cold-start XLA compilation of the pipeline's programs costs minutes on
+    some backends; the on-disk cache carries the compiled executables
+    across processes.  Default location ``~/.cache/origin_tpu/xla``;
+    override with the ORIGIN_TPU_COMPILE_CACHE environment variable, or
+    set it to "0" to disable.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+
+    path = path or os.environ.get("ORIGIN_TPU_COMPILE_CACHE")
+    if path == "0":
+        return
+    if not path:
+        path = os.path.expanduser("~/.cache/origin_tpu/xla")
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+    except Exception:  # pragma: no cover - cache is best-effort
+        logging.getLogger(__name__).debug("compile cache unavailable")
