@@ -525,3 +525,36 @@ def test_glr_spatial_matmul_matches_fft():
     )
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_pallas_matched_filter_interpret_matches_direct():
+    """Pallas fused matched filter (interpret mode) equals glr_spectral."""
+    import jax.numpy as jnp
+    from origin_tpu.core import gaussian_profile
+    from origin_tpu.ops.glr import _pack_profiles, glr_spectral, prepare_profiles
+    from origin_tpu.ops.pallas_kernels import matched_filter_spectral
+
+    rng = np.random.default_rng(14)
+    nz, ny, nx = 200, 4, 5
+    s = ny * nx
+    cube_fsf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    norm_fsf = rng.uniform(0.5, 2.0, size=(nz, ny, nx)).astype(np.float32)
+    prepped = prepare_profiles([gaussian_profile(f, 41, 20) for f in (2.0, 6.0)])
+    pb, p2b, centers = _pack_profiles(prepped)
+
+    c0, p0, m0 = glr_spectral(
+        jnp.asarray(cube_fsf), jnp.asarray(norm_fsf),
+        jnp.asarray(pb), jnp.asarray(p2b), centers, nz
+    )
+
+    x = jnp.asarray(cube_fsf.reshape(nz, s).T)
+    n = jnp.asarray(norm_fsf.reshape(nz, s).T)
+    c1, m1, p1 = matched_filter_spectral(x, n, pb, p2b, centers,
+                                         tile_rows=8, interpret=True)
+    c1 = np.asarray(c1).T.reshape(nz, ny, nx)
+    m1 = np.asarray(m1).T.reshape(nz, ny, nx)
+    p1 = np.asarray(p1).T.reshape(nz, ny, nx)
+
+    np.testing.assert_allclose(c1, np.asarray(c0), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(m1, np.asarray(m0), atol=1e-4, rtol=1e-4)
+    assert np.mean(p1 == np.asarray(p0)) > 0.99
