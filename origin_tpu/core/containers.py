@@ -249,6 +249,18 @@ class Cube(_Base):
 
     _ndim = 3
 
+    def _region(self, zsl, ysl, xsl):
+        """(data, var, mask) blocks for a rectangular region.
+
+        Subclasses holding device-resident data override this to fetch
+        only the requested region (see pipeline.engine.DeferredCube).
+        """
+        return (
+            self.data[zsl, ysl, xsl],
+            None if self.var is None else self.var[zsl, ysl, xsl],
+            None if self.mask is None else self.mask[zsl, ysl, xsl],
+        )
+
     def __getitem__(self, item):
         if isinstance(item, (int, np.integer)):
             item = (item,)
@@ -303,16 +315,15 @@ class Cube(_Base):
         sx0, sx1 = max(0, x0), min(nx, x0 + size)
         if sy0 < sy1 and sx0 < sx1:
             dy0, dx0 = sy0 - y0, sx0 - x0
-            data[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = self.data[
-                zsl, sy0:sy1, sx0:sx1
-            ]
-            mask[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = (
-                self.mask[zsl, sy0:sy1, sx0:sx1] if self.mask is not None else False
+            dblock, vblock, mblock = self._region(
+                zsl, slice(sy0, sy1), slice(sx0, sx1)
             )
-            if var is not None:
-                var[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = self.var[
-                    zsl, sy0:sy1, sx0:sx1
-                ]
+            data[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = dblock
+            mask[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = (
+                mblock if mblock is not None else False
+            )
+            if var is not None and vblock is not None:
+                var[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = vblock
         wcs = None
         if self.wcs is not None:
             wcs = WCS(

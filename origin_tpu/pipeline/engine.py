@@ -97,6 +97,19 @@ class DeferredCube(Cube):
     def ndim(self):
         return len(self.shape)
 
+    def _region(self, zsl, ysl, xsl):
+        """Rectangular region fetch: slice on device while resident.
+
+        Lets ``subcube`` (mask generation, per-source cutouts) download
+        only the requested window instead of materializing the full cube.
+        """
+        if self._host is not None or self._dev is None:
+            return super()._region(zsl, ysl, xsl)
+        block = np.asarray(self._dev[zsl, ysl, xsl])
+        if self._post is not None:
+            block = self._post(block)
+        return block, None, None
+
 
 @partial(jax.jit, static_argnames=("order", "approx", "size"))
 def _preprocess_fused(cube, var, mask, order, approx, size):

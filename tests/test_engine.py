@@ -170,3 +170,24 @@ def test_greedy_pca_engine_matches_direct(problem):
     assert n0 == n1
     np.testing.assert_array_equal(map0, map1)
     np.testing.assert_allclose(np.asarray(faint1), faint0, atol=2e-3)
+
+
+def test_deferred_cube_device_subcube(problem):
+    """subcube on a device-resident cube downloads only the window."""
+    cube, _, _ = problem
+    from origin_tpu.core import Cube, WCS, WaveCoord
+
+    wcs = WCS(crpix=(4, 4), crval=(-30.0, 53.0))
+    wave = WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25)
+    ref = Cube(data=cube.copy(), wcs=WCS(crpix=(4, 4), crval=(-30.0, 53.0)),
+               wave=WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25),
+               mask=False, copy=False)
+    d = DeferredCube(jnp.asarray(cube), wcs=wcs, wave=wave)
+
+    for center, size in [((3, 4), 5), ((0, 0), 7), ((7, 8), 4)]:
+        got = d.subcube(center, size)
+        exp = ref.subcube(center, size)
+        np.testing.assert_allclose(got.data, exp.data)
+        np.testing.assert_array_equal(got._mask, exp._mask)
+    # full cube never materialized by the windowed fetches
+    assert d.device is not None
