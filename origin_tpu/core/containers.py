@@ -62,6 +62,10 @@ class _Base:
         return self.data.ndim
 
     @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
     def _data(self):
         # mpdaf-compatible alias for raw data access
         return self.data
@@ -306,7 +310,7 @@ class Cube(_Base):
             k2 = int(self.wave.pixel(lbda[1], nearest=True))
             zsl = slice(k1, k2 + 1)
         nzz = zsl.stop - zsl.start
-        data = np.zeros((nzz, size, size), dtype=self.data.dtype)
+        data = np.zeros((nzz, size, size), dtype=self.dtype)
         mask = np.ones((nzz, size, size), dtype=bool)
         var = None
         if self.var is not None:

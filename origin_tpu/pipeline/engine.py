@@ -97,6 +97,15 @@ class DeferredCube(Cube):
     def ndim(self):
         return len(self.shape)
 
+    @property
+    def dtype(self):
+        if self._host is not None:
+            return self._host.dtype
+        if self._post is not None:
+            # dtype after the post-transform (e.g. int16 profile cube)
+            return self._post(np.zeros(1, np.dtype(str(self._dev.dtype)))).dtype
+        return np.dtype(str(self._dev.dtype))
+
     def _region(self, zsl, ysl, xsl):
         """Rectangular region fetch: slice on device while resident.
 
