@@ -111,10 +111,19 @@ class DeferredCube(Cube):
 
         Lets ``subcube`` (mask generation, per-source cutouts) download
         only the requested window instead of materializing the full cube.
+        Uses ``dynamic_slice`` so every same-size window shares one
+        compiled program (start offsets are traced, not baked in).
         """
         if self._host is not None or self._dev is None:
             return super()._region(zsl, ysl, xsl)
-        block = np.asarray(self._dev[zsl, ysl, xsl])
+        nz = self.shape[0]
+        z0, z1 = zsl.indices(nz)[:2] if isinstance(zsl, slice) else (zsl, zsl + 1)
+        block = np.asarray(
+            _dyn_region(
+                self._dev, z0, ysl.start, xsl.start,
+                z1 - z0, ysl.stop - ysl.start, xsl.stop - xsl.start,
+            )
+        )
         if self._post is not None:
             block = self._post(block)
         return block, None, None
@@ -141,6 +150,11 @@ def _count_above(arr, threshold):
 @jax.jit
 def _std_jit(arr):
     return jnp.std(arr)
+
+
+@partial(jax.jit, static_argnames=("zl", "h", "w"))
+def _dyn_region(dev, z0, y0, x0, zl, h, w):
+    return jax.lax.dynamic_slice(dev, (z0, y0, x0), (zl, h, w))
 
 
 @partial(jax.jit, static_argnames=("sg",))
