@@ -191,3 +191,32 @@ def test_deferred_cube_device_subcube(problem):
         np.testing.assert_array_equal(got._mask, exp._mask)
     # full cube never materialized by the windowed fetches
     assert d.device is not None
+
+
+def test_tight_memory_pipeline(tmp_path, monkeypatch):
+    """Full pipeline through the memory-bounded paths (chunked spatial,
+    slab sweep, eager offload), forced via the tight heuristic."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from make_minicube import make_minicube
+    from origin_tpu.pipeline.engine import DeviceEngine
+    from origin_tpu import ORIGIN
+
+    monkeypatch.setattr(DeviceEngine, "tight_memory", property(lambda self: True))
+
+    cube_fn = str(tmp_path / "m.fits")
+    make_minicube(cube_fn, nz=300, ny=40, nx=40)
+    orig = ORIGIN.init(cube_fn, name="tight", path=str(tmp_path),
+                       loglevel="WARNING")
+    orig.step01_preprocessing()
+    # diagnostics-only product must have been offloaded to host
+    assert orig.cont_dct.device is None
+    orig.step02_areas(minsize=20, maxsize=40)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    assert orig.cube_std.device is None  # offloaded after PCA
+    orig.step05_compute_TGLR()
+    assert orig.cube_faint.device is None
+    orig.step06_compute_purity_threshold(purity=0.8)
+    orig.step07_detection()
+    assert len(orig.Cat1) > 0
