@@ -195,27 +195,35 @@ def glr_spatial_pre(cube, kern_hats, wmaps, psf_shape, fshape2):
     return cube_fsf
 
 
-def dft_spatial_factors(ny, nx, fshape2, psf_shape):
+def dft_spatial_factors(ny, nx, fshape2, psf_shape, ny_out=None, y_extra=0):
     """Real/imag DFT factor matrices for the matmul spatial stage (host).
 
     The padded 2-D real FFT, the centred 'same' slice of the inverse, and
     the real-symmetry weights are folded into four small matrices so the
     whole spatial convolution becomes batched MXU matmuls
     (see :func:`glr_spatial_matmul`).  Returns a dict of float32 arrays.
+
+    ``ny_out`` / ``y_extra`` support halo-extended tiles (sharded path):
+    the input has ``ny`` rows but only ``ny_out`` output rows are wanted,
+    starting ``y_extra`` rows further down (the halo trim).
     """
     fy, fx = int(fshape2[0]), int(fshape2[1])
     fxr = fx // 2 + 1
     ph, pw = psf_shape
-    y0, x0 = (ph - 1) // 2, (pw - 1) // 2
+    y0, x0 = (ph - 1) // 2 + int(y_extra), (pw - 1) // 2
+    if ny_out is None:
+        ny_out = ny
     kx = np.arange(fxr)
     ax = np.exp(-2j * np.pi * np.outer(np.arange(nx), kx) / fx)  # (nx, FXr)
     ay = np.exp(
         -2j * np.pi * np.outer(np.arange(fy), np.arange(ny)) / fy
     )  # (FY, ny)
     by = (
-        np.exp(2j * np.pi * np.outer(np.arange(ny) + y0, np.arange(fy)) / fy)
+        np.exp(
+            2j * np.pi * np.outer(np.arange(ny_out) + y0, np.arange(fy)) / fy
+        )
         / fy
-    )  # (ny, FY)
+    )  # (ny_out, FY)
     w = np.full(fxr, 2.0)
     w[0] = 1.0
     if fx % 2 == 0:

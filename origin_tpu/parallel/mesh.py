@@ -90,6 +90,22 @@ def _conv2d_same_local(cube, kern, halo, axis_name="sp"):
     )
 
 
+def _conv2d_same_local_matmul(cube, kern_r, kern_i, factors, halo,
+                              axis_name="sp"):
+    """'same' per-channel convolution of a row-sharded cube on the MXU.
+
+    Same DFT-by-matmul formulation as ops.glr.glr_spatial_matmul, applied
+    to the halo-extended tile: the inverse factor matrices fold in both
+    the 'same' offset and the halo trim, so the output is the (ny_loc, nx)
+    tile directly.  The halo exchange keeps sharded == single-chip.
+    """
+    from ..ops.glr import glr_spatial_matmul
+
+    padded = halo_exchange_rows(cube, halo, axis_name)
+    return glr_spatial_matmul(padded, kern_r[None], kern_i[None], None,
+                              factors)
+
+
 def _local_max_sharded(x, mask, size, axis_name="sp"):
     """Local maxima of a row-sharded cube (halo size//2 on the row axis).
 
@@ -123,12 +139,14 @@ def _local_max_sharded(x, mask, size, axis_name="sp"):
 
 
 def detect_tile_kernel(
-    cube, var, mask, psf, t_num, t_den, d0, thresholds,
-    pad_left=0, local_max_size=3, axis_name="sp",
+    cube, var, mask, spatial_op, t_num, t_den, d0, thresholds,
+    pad_left=0, local_max_size=3, axis_name="sp", halo=0,
 ):
     """Single-tile detection math with collectives; runs inside shard_map.
 
-    cube/var/mask: (Nz, ny_loc, Nx) row shards; psf: (Nz, P, P);
+    cube/var/mask: (Nz, ny_loc, Nx) row shards; ``spatial_op`` is the
+    precomputed FSF operator dict (DFT-matmul factors + FSF spectra, see
+    ShardedPipeline) applied to the halo-extended tile;
     t_num/t_den: (K, W, B) banded-Toeplitz profile banks (see
     ops.glr.pack_profiles_toeplitz) with shared left pad ``pad_left``;
     d0: (Nz, order+1) DCT basis; thresholds: (T,) purity scan grid.
@@ -164,13 +182,15 @@ def detect_tile_kernel(
     data = (data - mean_z[:, None, None]) / jnp.sqrt(var)
     data = jnp.where(good & jnp.isfinite(data), data, 0.0)
 
-    # --- spatial FSF convolution with halo exchange -----------------------
-    halo = (psf.shape[-1] - 1) // 2
-    kern = psf[:, ::-1, ::-1]
-    kern = kern - jnp.mean(kern, axis=(1, 2), keepdims=True)
-    cube_fsf = _conv2d_same_local(data, kern, halo, axis_name)
-    norm_fsf = _conv2d_same_local(
-        jnp.ones_like(data), kern * kern, halo, axis_name
+    # --- spatial FSF convolution with halo exchange (MXU DFT-matmul) -----
+    factors = spatial_op["factors"]
+    cube_fsf = _conv2d_same_local_matmul(
+        data, spatial_op["kern_r"], spatial_op["kern_i"], factors, halo,
+        axis_name,
+    )
+    norm_fsf = _conv2d_same_local_matmul(
+        jnp.ones_like(data), spatial_op["kern2_r"], spatial_op["kern2_i"],
+        factors, halo, axis_name,
     )
 
     # --- spectral matched filter (local z axis; MXU Toeplitz sweep) -------
@@ -202,7 +222,11 @@ class ShardedPipeline:
 
     def __init__(self, mesh, nz, ny, nx, psf, profiles, dct_order=10,
                  local_max_size=3, thresholds=None):
-        from ..ops.glr import prepare_profiles, pack_profiles_toeplitz
+        from ..ops.glr import (
+            dft_spatial_factors,
+            pack_profiles_toeplitz,
+            prepare_profiles,
+        )
 
         self.mesh = mesh
         self.sp = mesh.shape["sp"]
@@ -215,6 +239,30 @@ class ShardedPipeline:
         self.t_num, self.t_den, self.pad_left, _ = pack_profiles_toeplitz(
             prepped, block=min(128, nz)
         )
+
+        # precompute the per-tile spatial FSF operator: FSF spectra (of the
+        # flipped zero-mean kernel and its square) on the halo-extended
+        # tile's exact DFT grid, plus the matmul factor matrices whose
+        # inverse side folds in both the 'same' offset and the halo trim
+        ph, pw = self.psf.shape[-2:]
+        self.halo = (pw - 1) // 2
+        ny_loc = ny // self.sp
+        nyp = ny_loc + 2 * self.halo
+        fshape = (nyp + ph - 1, nx + pw - 1)
+        kern = self.psf[:, ::-1, ::-1]
+        kern = kern - kern.mean(axis=(1, 2), keepdims=True)
+        kern_hat = np.fft.rfft2(kern, fshape)
+        kern2_hat = np.fft.rfft2(kern * kern, fshape)
+        factors = dft_spatial_factors(
+            nyp, nx, fshape, (ph, pw), ny_out=ny_loc, y_extra=self.halo
+        )
+        self.spatial_op = dict(
+            kern_r=kern_hat.real.astype(np.float32),
+            kern_i=kern_hat.imag.astype(np.float32),
+            kern2_r=kern2_hat.real.astype(np.float32),
+            kern2_i=kern2_hat.imag.astype(np.float32),
+            factors=factors,
+        )
         self.d0 = dctmat(nz, dct_order)
         if thresholds is None:
             thresholds = np.linspace(2.0, 12.0, 50)
@@ -223,19 +271,22 @@ class ShardedPipeline:
 
         cube_spec = P("dp", None, "sp", None)  # (B, Nz, Ny, Nx)
         rep = P()
+        op_spec = jax.tree.map(lambda _: rep, self.spatial_op)
 
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(cube_spec, cube_spec, cube_spec, rep, rep, rep, rep, rep),
+            in_specs=(cube_spec, cube_spec, cube_spec, op_spec, rep, rep,
+                      rep, rep),
             out_specs=(cube_spec, cube_spec, P("dp"), P("dp")),
         )
-        def step(cube, var, mask, psf, t_num, t_den, d0, thresholds):
+        def step(cube, var, mask, spatial_op, t_num, t_den, d0, thresholds):
             out = jax.vmap(
                 lambda c, v, m: detect_tile_kernel(
-                    c, v, m, psf, t_num, t_den, d0, thresholds,
+                    c, v, m, spatial_op, t_num, t_den, d0, thresholds,
                     pad_left=self.pad_left,
                     local_max_size=self.local_max_size,
+                    halo=self.halo,
                 )
             )(cube, var, mask)
             lmax, lmin, cmax, cmin = out
@@ -256,7 +307,7 @@ class ShardedPipeline:
             jnp.asarray(cubes, jnp.float32),
             jnp.asarray(variances, jnp.float32),
             jnp.asarray(masks),
-            jnp.asarray(self.psf),
+            jax.tree.map(jnp.asarray, self.spatial_op),
             jnp.asarray(self.t_num),
             jnp.asarray(self.t_den),
             jnp.asarray(self.d0),
