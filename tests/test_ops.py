@@ -558,3 +558,43 @@ def test_pallas_matched_filter_interpret_matches_direct():
     np.testing.assert_allclose(c1, np.asarray(c0), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(m1, np.asarray(m0), atol=1e-4, rtol=1e-4)
     assert np.mean(p1 == np.asarray(p0)) > 0.99
+
+
+def test_pallas_banded_matmul_interpret_matches_mxu():
+    """Pallas banded-Toeplitz kernel (interpret) equals glr_spectral_mxu."""
+    import jax.numpy as jnp
+    from origin_tpu.core import gaussian_profile
+    from origin_tpu.ops.glr import (
+        glr_spectral_mxu,
+        pack_profiles_toeplitz,
+        prepare_profiles,
+    )
+    from origin_tpu.ops.pallas_kernels import banded_matmul_spectral
+
+    rng = np.random.default_rng(15)
+    nz, ny, nx = 300, 4, 5
+    s = ny * nx
+    cf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    nf = rng.uniform(0.5, 2.0, size=(nz, ny, nx)).astype(np.float32)
+    prepped = prepare_profiles(
+        [gaussian_profile(f, 41, 20) for f in (2.0, 5.0, 9.0)]
+    )
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped, block=128)
+
+    c0, p0, m0 = glr_spectral_mxu(
+        jnp.asarray(cf), jnp.asarray(nf),
+        jnp.asarray(t_num), jnp.asarray(t_den), pad_left, nz
+    )
+    x = jnp.asarray(cf.reshape(nz, s).T)
+    n = jnp.asarray(nf.reshape(nz, s).T)
+    c1, m1, p1 = banded_matmul_spectral(x, n, t_num, t_den, pad_left, nz,
+                                        tile_rows=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(c1).T.reshape(nz, ny, nx), np.asarray(c0),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1).T.reshape(nz, ny, nx), np.asarray(m0),
+        atol=1e-5, rtol=1e-5,
+    )
+    assert np.mean(np.asarray(p1).T.reshape(nz, ny, nx) == np.asarray(p0)) > 0.999
