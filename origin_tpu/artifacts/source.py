@@ -132,14 +132,19 @@ class Source:
         l1, l2 = lbda - width / 2.0, lbda + width / 2.0
         z1 = int(max(0, cube.wave.pixel(l1, nearest=True)))
         z2 = int(min(cube.shape[0] - 1, cube.wave.pixel(l2, nearest=True)))
+        import warnings
+
         data = cube.filled(np.nan)
         on = data[z1 : z2 + 1]
-        if method == "sum":
-            img = np.nansum(on, axis=0)
-        elif method == "mean":
-            img = np.nanmean(on, axis=0)
-        else:
-            img = np.nanmax(on, axis=0)
+        with warnings.catch_warnings():
+            # all-NaN spaxels (field edges) reduce to NaN -> zeroed below
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            if method == "sum":
+                img = np.nansum(on, axis=0)
+            elif method == "mean":
+                img = np.nanmean(on, axis=0)
+            else:
+                img = np.nanmax(on, axis=0)
         if subtract_off and method == "sum":
             half = fband * width / 2.0
             zl1 = int(max(0, cube.wave.pixel(l1 - margin - half, nearest=True)))
@@ -155,7 +160,9 @@ class Source:
                 off.append(data[zr1:zr2])
             if off:
                 off = np.concatenate(off, axis=0)
-                img = img - np.nanmean(off, axis=0) * (z2 + 1 - z1)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", category=RuntimeWarning)
+                    img = img - np.nanmean(off, axis=0) * (z2 + 1 - z1)
         img = np.where(np.isfinite(img), img, 0.0)
         self.images[name] = Image(data=img, wcs=cube.wcs, copy=False)
 

@@ -161,8 +161,13 @@ class _Base:
 
     # -- reductions --------------------------------------------------------------
     def _reduce(self, func, axis):
+        import warnings
+
         data = self.filled(np.nan)
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            # all-NaN slices (fully masked spaxels) are expected; the
+            # resulting NaNs become the output mask below
+            warnings.simplefilter("ignore", category=RuntimeWarning)
             out = func(data, axis=axis)
         if np.ndim(out) == 0:
             return float(out)
@@ -354,8 +359,11 @@ class Cube(_Base):
         z1 = max(0, int(z1))
         z2 = min(self.shape[0] - 1, int(z2))
         sub = self.data[z1 : z2 + 1]
+        import warnings
+
         func = {"sum": np.nansum, "mean": np.nanmean, "max": np.nanmax}[method]
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
             img = func(np.where(self._mask[z1 : z2 + 1], np.nan, sub), axis=0)
         mask = ~np.isfinite(img)
         img = np.where(mask, 0.0, img)

@@ -68,10 +68,16 @@ class _Groups:
         out = Table()
         for k in keycols:
             out[k] = np.asarray(self.keys[k])
+        import warnings
+
         for name in self._table.colnames:
             if name in keycols:
                 continue
-            vals = [func(self._table[name][idx]) for idx in self._indices]
+            with warnings.catch_warnings():
+                # nan-aggregates over all-NaN groups are expected (e.g.
+                # nanmax of STD for correl-only sources)
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                vals = [func(self._table[name][idx]) for idx in self._indices]
             out[name] = np.array(vals)
         out.meta.update(self._table.meta)
         return out
