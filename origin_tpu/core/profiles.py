@@ -69,7 +69,15 @@ def write_dictionary(filename, fwhms, indices=None, n=N_SAMPLES):
 
 
 def load_dictionary(filename):
-    """Load a profile dictionary. Returns (profiles, fwhms)."""
+    """Load a profile dictionary. Returns (profiles, fwhms).
+
+    Accepts a path or a built-in dictionary name (``DICO_3FWHM`` /
+    ``DICO_FWHM_2_12``), which is generated on first use.
+    """
+    if filename in (DICO_3FWHM, DICO_FWHM_2_12) and not os.path.exists(
+        filename
+    ):
+        filename = default_dictionary_path(filename)
     hdus = fitsio.read(filename)
     profiles, fwhms = [], []
     for h in hdus[1:]:

@@ -177,3 +177,64 @@ def test_origin_full_pipeline(minicube, tmp_path, caplog):
 
     for h in orig.logger.handlers:
         h.close()
+
+
+def test_pipeline_20_profile_dictionary(tmp_path):
+    """Detection with the 20-profile Dico_FWHM_2_12 dictionary (config 2)."""
+    from make_minicube import make_minicube, FAINT_LINES, BRIGHT_LINES
+    from origin_tpu.core import DICO_FWHM_2_12
+
+    cube_fn = str(tmp_path / "m.fits")
+    make_minicube(cube_fn, nz=300, ny=40, nx=40)
+    orig = ORIGIN.init(cube_fn, name="d20", path=str(tmp_path),
+                       profiles=DICO_FWHM_2_12, loglevel="WARNING")
+    assert len(orig.profiles) == 20
+    assert len(orig.FWHM_profiles) == 20
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=20, maxsize=40)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    orig.step05_compute_TGLR()
+    orig.step06_compute_purity_threshold(purity=0.8)
+    orig.step07_detection()
+    cat = orig.Cat1
+    assert len(cat) > 0
+    # profile indices span the wider dictionary
+    assert np.asarray(cat["profile"]).max() < 20
+
+
+def test_compute_true_purity_validation(tmp_path):
+    """Purity/completeness harness vs an injected-line truth catalog."""
+    from make_minicube import make_minicube, FAINT_LINES, BRIGHT_LINES
+    from origin_tpu.detect import compute_true_purity
+    from origin_tpu.core import Table
+
+    cube_fn = str(tmp_path / "m.fits")
+    make_minicube(cube_fn, nz=300, ny=40, nx=40)
+    orig = ORIGIN.init(cube_fn, name="tp", path=str(tmp_path),
+                       loglevel="WARNING")
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=20, maxsize=40)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    orig.step05_compute_TGLR()
+
+    lines = [(x, y, z) for (x, y, z, a, s) in FAINT_LINES + BRIGHT_LINES
+             if x < 40 and y < 40 and z < 300]
+    wave = orig.wave
+    refcat = Table(data=[
+        np.full(len(lines), 6, dtype=int),
+        np.array([l[0] for l in lines], float),
+        np.array([l[1] for l in lines], float),
+        wave.coord(np.array([l[2] for l in lines], float)),
+    ], names=("TYPE", "Q", "P", "LOBS"))
+
+    res = compute_true_purity(orig.cube_local_max, refcat,
+                              threshmin=4, threshmax=7)
+    # at the lowest threshold nearly every injected line should be matched
+    nmiss = np.asarray(res["nmiss"])
+    assert nmiss[0] <= 1  # allow one borderline miss
+    # purity within [0, 1] where defined, and non-decreasing-ish in threshold
+    pur = np.asarray(res["purity"], float)
+    pur = pur[np.isfinite(pur)]
+    assert ((pur >= 0) & (pur <= 1.0 + 1e-9)).all()
