@@ -57,11 +57,20 @@ def prepare_profiles(profiles, pcut=1e-8, pmeansub=True):
     center = (len-1)//2 is the offset of the 'same' convolution.
     """
     out = []
-    for prof in profiles:
+    for i, prof in enumerate(profiles):
         prof = np.asarray(prof, dtype=np.float64).copy()
+        if not np.any(prof > 0):
+            raise ValueError(
+                f"profile {i} of the dictionary has no positive samples"
+            )
         if pcut is not None:
             lpeak = int(prof.argmax())
             above = np.where(prof >= pcut)[0]
+            if above.size == 0:
+                raise ValueError(
+                    f"profile {i} of the dictionary is entirely below "
+                    f"pcut={pcut}"
+                )
             lw = int(np.max(np.abs(above[[0, -1]] - lpeak)))
             lo = max(0, lpeak - lw)
             prof = prof[lo : lpeak + lw + 1]
@@ -354,6 +363,7 @@ def _conv_full_lastdim(v, kern):
         padding=[(length - 1, length - 1)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -377,9 +387,10 @@ def glr_spectral(cube_fsf, norm_fsf, prof_bank, prof2_bank, centers, nz):
     n = norm_fsf.reshape(nz, s).T
     length = prof_bank.shape[1]
 
+    pdtype = jnp.uint8 if len(centers) <= 255 else jnp.int32
     correl = jnp.full((s, nz), -jnp.inf, dtype=jnp.float32)
     correl_min = jnp.full((s, nz), jnp.inf, dtype=jnp.float32)
-    profile = jnp.zeros((s, nz), dtype=jnp.uint8)
+    profile = jnp.zeros((s, nz), dtype=pdtype)
 
     # one conv per profile (unrolled; K is small) so peak memory stays at
     # ~2 transient cubes regardless of the dictionary size
@@ -391,7 +402,7 @@ def glr_spectral(cube_fsf, norm_fsf, prof_bank, prof2_bank, centers, nz):
         norm = jax.lax.slice_in_dim(den, off, off + nz, axis=-1)
         norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
         t = cp / norm
-        profile = jnp.where(t > correl, jnp.uint8(k), profile)
+        profile = jnp.where(t > correl, jnp.asarray(k, pdtype), profile)
         correl = jnp.maximum(correl, t)
         correl_min = jnp.minimum(correl_min, t)
 
@@ -439,6 +450,9 @@ def toeplitz_sweep(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
     field size.
     """
     nprof, window, block = t_num.shape
+    # uint8 saves HBM for ordinary dictionaries; wider types avoid silent
+    # wrap-around for dictionaries with more than 256 profiles
+    pdtype = jnp.uint8 if nprof <= 255 else jnp.int32
     nb = -(-nz // block)
     ny, nx = cube_fsf.shape[1:]
     s = ny * nx
@@ -474,7 +488,7 @@ def toeplitz_sweep(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
         nw = windows(n)
         correl = jnp.full((slab, nz), -jnp.inf, dtype=jnp.float32)
         correl_min = jnp.full((slab, nz), jnp.inf, dtype=jnp.float32)
-        profile = jnp.zeros((slab, nz), dtype=jnp.uint8)
+        profile = jnp.zeros((slab, nz), dtype=pdtype)
         for k in range(nprof):
             num = jnp.einsum("snw,wz->snz", xw, t_num[k], precision=precision)
             den = jnp.einsum("snw,wz->snz", nw, t_den[k], precision=precision)
@@ -483,7 +497,8 @@ def toeplitz_sweep(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
             norm = jnp.where(norm <= 0, jnp.inf, jnp.sqrt(norm))
             t = cp / norm
             if with_profile:
-                profile = jnp.where(t > correl, jnp.uint8(k), profile)
+                profile = jnp.where(t > correl, jnp.asarray(k, pdtype),
+                                    profile)
             correl = jnp.maximum(correl, t)
             correl_min = jnp.minimum(correl_min, t)
         return None, (correl, profile, correl_min)
@@ -560,7 +575,9 @@ def correlation_glr_test(cube, fsf, weights, profiles, pcut=1e-8, pmeansub=True)
     )
 
     prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
-    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped)
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
+        prepped, block=min(128, nz)
+    )
 
     correl, profile, correl_min = glr_spectral_mxu(
         cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),

@@ -116,14 +116,26 @@ class DeferredCube(Cube):
         """
         if self._host is not None or self._dev is None:
             return super()._region(zsl, ysl, xsl)
-        nz = self.shape[0]
-        z0, z1 = zsl.indices(nz)[:2] if isinstance(zsl, slice) else (zsl, zsl + 1)
+        nz, ny, nx = self.shape
+        squeeze_z = not isinstance(zsl, slice)
+        if squeeze_z:
+            zsl = slice(int(zsl), int(zsl) + 1)
+        if not isinstance(ysl, slice):
+            ysl = slice(int(ysl), int(ysl) + 1)
+        if not isinstance(xsl, slice):
+            xsl = slice(int(xsl), int(xsl) + 1)
+        # slice.indices gives numpy's None-default and out-of-range clamping
+        z0, z1 = zsl.indices(nz)[:2]
+        y0, y1 = ysl.indices(ny)[:2]
+        x0, x1 = xsl.indices(nx)[:2]
         block = np.asarray(
             _dyn_region(
-                self._dev, z0, ysl.start, xsl.start,
-                z1 - z0, ysl.stop - ysl.start, xsl.stop - xsl.start,
+                self._dev, z0, y0, x0,
+                max(0, z1 - z0), max(0, y1 - y0), max(0, x1 - x0),
             )
         )
+        if squeeze_z:
+            block = block[0]
         if self._post is not None:
             block = self._post(block)
         return block, None, None
@@ -227,7 +239,7 @@ class DeviceEngine:
 
     @property
     def tight_memory(self):
-        """True when the device HBM cannot hold ~12 cubes of this field.
+        """True when the device HBM cannot hold ~24 cubes of this field.
 
         Decides whether diagnostics-only products are offloaded to host
         eagerly and whether the GLR spatial stage runs z-chunked.  A v5p
@@ -400,11 +412,13 @@ class DeviceEngine:
                     ny, nx, fshape2, psfs.shape[-2:]
                 ).items()
             }
-            cube_fsf = glr_spatial_matmul(
-                faint, jnp.real(kern_hats), jnp.imag(kern_hats),
-                wmaps, factors
-            )
+            # split and free the complex bank before the matmul transients
+            kern_r = jnp.real(kern_hats)
+            kern_i = jnp.imag(kern_hats)
             del kern_hats
+            cube_fsf = glr_spatial_matmul(faint, kern_r, kern_i, wmaps,
+                                          factors)
+            del kern_r, kern_i
 
         prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
         t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
@@ -444,7 +458,12 @@ class DeviceEngine:
             pd = jnp.pad(cube, ((0, 0), (h, h), (h, h)))
             pv = jnp.pad(var, ((0, 0), (h, h), (h, h)),
                          constant_values=np.inf)
+            # one padded pair at a time; on tight devices also drop the
+            # unpadded uploads, which are redundant once pd/pv exist
+            self._mini_cache.clear()
             self._mini_cache[sg] = (pd, pv)
+            if self.tight_memory:
+                self.drop_inputs("cube", "var")
         pd, pv = self._mini_cache[sg]
         return _gather_minicubes(
             pd, pv, jnp.asarray(np.asarray(ys, np.int32)),
