@@ -264,7 +264,10 @@ def create_masks(
 
     src_by_id = {int(i): k for k, i in enumerate(np.asarray(source_table["ID"]))}
     grouped = line_table.group_by("ID")
-    for group in grouped.groups:
+    from ..utils import progressbar
+
+    for group in progressbar(grouped.groups, desc="masks",
+                             total=len(src_by_id), leave=False):
         source_id = int(group["ID"][0])
         k = src_by_id[source_id]
         source_x = float(np.asarray(source_table["x"])[k])

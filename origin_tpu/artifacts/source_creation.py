@@ -360,8 +360,10 @@ def create_all_sources(
         sub.primary_header = cube.primary_header.copy()
         return sub
 
+    from ..utils import progressbar
+
     jobs = []
-    for source_id in ids:
+    for source_id in progressbar(ids, desc="sources", leave=False):
         source_lines = cat3_lines[np.asarray(cat3_lines["ID"]) == source_id]
         mask_size = Image(mask_filename_tpl % source_id).shape[0]
         ori = cube_std if comps[source_id] else cube_cor

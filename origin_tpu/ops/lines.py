@@ -299,8 +299,10 @@ def estimation_line_arrays(
         d0 = jnp.asarray(dctmat(nl, order_dct))
     psf_dev = jnp.asarray(psf_arr)
 
+    from ..utils import progressbar
+
     results = {k: [] for k in ("flux", "residual", "line", "line_var", "y", "x", "z", "ok")}
-    for i0 in range(0, n, batch):
+    for i0 in progressbar(range(0, n, batch), desc="lines", leave=False):
         ii = slice(i0, min(n, i0 + batch))
         xs = np.asarray(x0[ii], dtype=int)
         ys = np.asarray(y0[ii], dtype=int)
