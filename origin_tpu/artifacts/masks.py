@@ -10,12 +10,10 @@ leaves too few sky pixels, then trim back to the smallest valid size.
 from __future__ import annotations
 
 import logging
-import os
 
 import numpy as np
 
-from ..core.containers import Cube, Image
-from .. import fitsio
+from ..core.containers import Image
 from ..detect.segmentation import detect_sources
 
 __all__ = ["gen_source_mask", "create_masks"]
@@ -70,7 +68,6 @@ def _create_mask(
         else sky.data.astype(int)
 
     source_mask = np.zeros((mask_size, mask_size), dtype=bool)
-    out_of_field = sub_cube.mask[0] if sub_cube.mask is not None else None
 
     pix = sub_cube.wcs.sky2pix(
         np.stack([np.asarray(lines["dec"]), np.asarray(lines["ra"])], axis=1)
@@ -85,8 +82,10 @@ def _create_mask(
         max_z = int(z_line + fwhm_line)
         max_map = sub_cube.get_image(wave=(min_z, max_z), method="max")
 
+        # invalid pixels of THIS line's max image (reference max_map.mask),
+        # not the mask of an arbitrary spectral plane
         segmap = detect_sources(
-            max_map.data, threshold, seg_npixel, mask=out_of_field
+            max_map.data, threshold, seg_npixel, mask=max_map.mask
         )
 
         xi, yi = int(np.round(x_line)), int(np.round(y_line))
@@ -267,7 +266,7 @@ def create_masks(
     from ..utils import progressbar
 
     for group in progressbar(grouped.groups, desc="masks",
-                             total=len(src_by_id), leave=False):
+                             total=len(grouped.groups), leave=False):
         source_id = int(group["ID"][0])
         k = src_by_id[source_id]
         source_x = float(np.asarray(source_table["x"])[k])

@@ -84,12 +84,12 @@ def fusion_areas(label, min_size, max_size, option=None):
                 raise ValueError("bad option")
             best = int(np.argmin(score))
             cand = candidates[best]
-            merged_size = np.sum(label[n]) + (
-                np.sum(others[best]) if option == "var" else score[best]
-            )
-            if option == "var":
-                merged_size = np.sum(label[n]) + np.sum(label[cand])
-            if merged_size < max_size:
+            # the reference gates the merge on current size + the SCORE of
+            # the chosen neighbour — candidate size for option=None, radial
+            # variance for option='var' (quirky but load-bearing:
+            # lib_origin.py fusion_areas, `sum(label[n]) + test[ind] <
+            # MaxSize`)
+            if cu_size + score[best] < max_size:
                 label[n] += label[cand]
                 label[cand] = 0
         keep = np.sum(label, axis=(1, 2)) > 0

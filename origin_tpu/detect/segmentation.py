@@ -21,7 +21,7 @@ import numpy as np
 from scipy import ndimage as ndi
 from scipy.signal import fftconvolve
 
-from ..ops.stats import compute_thresh_gaussfit, sigma_clip
+from ..ops.stats import compute_thresh_gaussfit
 
 __all__ = [
     "detect_sources",
@@ -84,7 +84,7 @@ def _watershed_assign(data, region, markers):
             neigh = out[max(0, y - 1) : y + 2, max(0, x - 1) : x + 2]
             labs = neigh[neigh > 0]
             if len(labs):
-                out[y, x] = labs.max() if len(set(labs)) == 1 else labs[0]
+                out[y, x] = labs[0]
                 grown = True
         if not grown:
             break
@@ -149,8 +149,10 @@ def sigma_clipped_stats(data, sigma=3.0, maxiters=5, mask=None):
 def make_source_mask(data, snr=3.0, npixels=5, dilate_size=11, sigma=3.0,
                      maxiters=5):
     """Boolean mask of detected sources (photutils.make_source_mask subset)."""
+    # photutils' detect_threshold builds the background from the
+    # sigma-clipped MEAN (not the median)
     mean, median, std = sigma_clipped_stats(data, sigma=sigma, maxiters=maxiters)
-    seg = detect_sources(data, median + snr * std, npixels)
+    seg = detect_sources(data, mean + snr * std, npixels)
     if seg is None:
         return np.zeros(np.shape(data), dtype=bool)
     mask = seg > 0
