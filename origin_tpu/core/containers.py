@@ -172,6 +172,10 @@ class _Base:
         if np.ndim(out) == 0:
             return float(out)
         mask = ~np.isfinite(out)
+        # nansum returns 0 (not NaN) for all-NaN slices: mask those too, so
+        # fully-masked spaxels don't masquerade as genuine zero flux
+        if axis is not None:
+            mask |= np.all(~np.isfinite(data), axis=axis)
         if out.ndim == 2:
             return Image(data=out, mask=mask if mask.any() else None, wcs=self.wcs,
                          copy=False)
@@ -285,13 +289,17 @@ class Cube(_Base):
                 self.wave is not None and isinstance(zsl, slice)) else self.wave
             wcs = self.wcs[ysl, xsl] if self.wcs is not None else None
             return Cube(data=data, var=var, mask=mask, wcs=wcs, wave=wave, copy=False)
-        if data.ndim == 2:  # one channel
+        z_int = not isinstance(zsl, slice)
+        if data.ndim == 2 and z_int:  # one channel
             wcs = self.wcs[ysl, xsl] if self.wcs is not None else None
             return Image(data=data, var=var, mask=mask, wcs=wcs, copy=False)
-        if data.ndim == 1:  # one spaxel
-            wave = self.wave[_norm_slice(zsl, self.shape[0])] if (
-                self.wave is not None and isinstance(zsl, slice)) else self.wave
+        if data.ndim == 1 and not z_int:  # one spaxel
+            wave = (
+                self.wave[zsl] if self.wave is not None else None
+            )
             return Spectrum(data=data, var=var, mask=mask, wave=wave, copy=False)
+        # cross-sections (e.g. cube[:, 2, :] or cube[2, 3, :]) have no
+        # well-defined Cube/Image/Spectrum coordinates: return the raw array
         return data
 
     def subcube(self, center, size, lbda=None, unit_center=None, unit_size=None):
@@ -362,10 +370,14 @@ class Cube(_Base):
         import warnings
 
         func = {"sum": np.nansum, "mean": np.nanmean, "max": np.nanmax}[method]
+        if self.mask is not None:
+            sub = np.where(self.mask[z1 : z2 + 1], np.nan, sub)
         with np.errstate(invalid="ignore"), warnings.catch_warnings():
             warnings.simplefilter("ignore", category=RuntimeWarning)
-            img = func(np.where(self._mask[z1 : z2 + 1], np.nan, sub), axis=0)
+            img = func(sub, axis=0)
         mask = ~np.isfinite(img)
+        if method == "sum":
+            mask |= np.all(~np.isfinite(sub), axis=0)
         img = np.where(mask, 0.0, img)
         return Image(data=img, mask=mask if mask.any() else None, wcs=self.wcs,
                      copy=False)

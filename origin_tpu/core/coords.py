@@ -96,10 +96,30 @@ class WCS:
 
     # -- slicing (cutouts) ----------------------------------------------------
     def __getitem__(self, item):
-        """Return the WCS of a (yslice, xslice) cutout."""
+        """Return the WCS of a (yslice, xslice) cutout.
+
+        Integer indices are treated as length-1 slices; negative slice
+        starts resolve against the known shape (numpy semantics).
+        """
         ysl, xsl = item
-        y0 = ysl.start or 0
-        x0 = xsl.start or 0
+        if not isinstance(ysl, slice):
+            ysl = slice(int(ysl), int(ysl) + 1)
+        if not isinstance(xsl, slice):
+            xsl = slice(int(xsl), int(xsl) + 1)
+
+        def _start(sl, n):
+            if sl.start is None:
+                return 0
+            if sl.start < 0:
+                if n is None:
+                    raise ValueError(
+                        "negative slice start needs a WCS with a shape"
+                    )
+                return sl.indices(n)[0]
+            return sl.start
+
+        y0 = _start(ysl, None if self.shape is None else self.shape[0])
+        x0 = _start(xsl, None if self.shape is None else self.shape[1])
         new = WCS(
             crpix=(self.crpix[0] - y0, self.crpix[1] - x0),
             crval=tuple(self.crval),
@@ -203,6 +223,12 @@ class WaveCoord:
         """Wave coordinate of a spectral slice."""
         if isinstance(item, slice):
             start = item.start or 0
+            if start < 0:
+                if not self.shape:
+                    raise ValueError(
+                        "negative slice start needs a WaveCoord with a shape"
+                    )
+                start = item.indices(self.shape)[0]
             n = len(range(*item.indices(self.shape))) if self.shape else None
             return WaveCoord(
                 crpix=1.0,

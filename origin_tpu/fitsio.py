@@ -39,7 +39,9 @@ _BITPIX_TO_DTYPE = {
 }
 _DTYPE_TO_BITPIX = {
     "uint8": 8,
-    "int8": 8,  # stored widened to uint8-compatible via int16 below
+    "int8": 16,  # FITS has no signed byte; widened to int16 on write
+    "uint16": 32,  # FITS image ints are signed; widened losslessly
+    "uint32": 64,
     "int16": 16,
     "int32": 32,
     "int64": 64,
@@ -150,6 +152,14 @@ def _format_card(key, value, comment=None):
         card = f"{key:<8}= {val}"
         if comment:
             card += f" / {comment}"
+        if len(card) > CARDLEN and isinstance(value, str):
+            # too long even without the comment: truncate the string value
+            # but keep a syntactically valid card (closing quote intact)
+            avail = CARDLEN - 12  # "KEY     = '" prefix + closing quote
+            body = str(value).replace("'", "''")[:avail]
+            if body.count("'") % 2 == 1:
+                body = body[:-1]  # do not split an escaped quote
+            card = f"{key:<8}= '{body}'"
     return card[:CARDLEN].ljust(CARDLEN)
 
 
@@ -343,6 +353,18 @@ def _write_bintable(columns, header):
         if a.dtype.kind == "U":
             maxlen = max(1, a.dtype.itemsize // 4)
             a = np.char.encode(a.astype(f"U{maxlen}"), "ascii", "replace")
+        if a.dtype.kind == "u" and a.dtype.itemsize > 1:
+            # FITS table integers beyond 'B' are signed: widen unsigned
+            # columns so large values survive the round-trip
+            if a.dtype.itemsize == 8:
+                if a.size and a.max() > np.iinfo(np.int64).max:
+                    raise ValueError(
+                        f"uint64 column {name!r} exceeds the FITS signed "
+                        "64-bit range"
+                    )
+                a = a.astype(np.int64)
+            else:
+                a = a.astype(f"i{a.dtype.itemsize * 2}")
         if a.dtype.kind == "b":
             tforms.append("L")
             a = np.where(a, ord("T"), ord("F")).astype("u1")
@@ -413,7 +435,23 @@ def read(filename):
                 bscale = hdr.get("BSCALE", 1)
                 bzero = hdr.get("BZERO", 0)
                 if bscale != 1 or bzero != 0:
-                    data = data * bscale + bzero
+                    # canonical unsigned-integer encodings stay integral;
+                    # anything else scales in float64 (also avoids numpy 2
+                    # NEP-50 overflow of e.g. int16 + 32768)
+                    if bscale == 1 and bzero == 32768 and data.dtype == np.int16:
+                        data = (data.astype(np.int32) + 32768).astype(np.uint16)
+                    elif (bscale == 1 and bzero == 2147483648
+                          and data.dtype == np.int32):
+                        data = (data.astype(np.int64) + 2147483648).astype(
+                            np.uint32
+                        )
+                    else:
+                        data = data * float(bscale) + float(bzero)
+                    # scaling is applied: strip the cards so a re-write does
+                    # not double-scale
+                    for card in ("BSCALE", "BZERO"):
+                        if card in hdr:
+                            del hdr[card]
             hdus.append(HDU(data=data, header=hdr))
             first = False
         if first:
@@ -475,6 +513,17 @@ def _data_bytes(data):
     if dt.name == "int8":
         data = data.astype("int16")
         dt = data.dtype
+    elif dt.name == "uint16":
+        data = data.astype("int32")
+        dt = data.dtype
+    elif dt.name == "uint32":
+        data = data.astype("int64")
+        dt = data.dtype
+    elif dt.name == "uint64":
+        if data.size and data.max() > np.iinfo(np.int64).max:
+            raise ValueError("uint64 image exceeds the FITS signed range")
+        data = data.astype("int64")
+        dt = data.dtype
     bitpix = _DTYPE_TO_BITPIX[dt.name]
     out = np.ascontiguousarray(data.astype(_BITPIX_TO_DTYPE[bitpix])).tobytes()
     pad = (-len(out)) % BLOCK
@@ -511,8 +560,6 @@ def write(filename, hdus, overwrite=True):
         else:
             if data is not None:
                 data = np.asarray(data)
-                if primary and i + 0 == 0 and len(hdus) > 0 and data is None:
-                    pass
             parts.append(_header_bytes(hdu.header, primary, data,
                                        xtension="IMAGE"))
             parts.append(_data_bytes(data))

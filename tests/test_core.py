@@ -331,3 +331,95 @@ def test_fieldsmap_weights():
     total = w[0] + w[1]
     np.testing.assert_allclose(total[fmap > 0], 1.0)
     assert total[0, 0] == 0
+
+
+def test_fits_bzero_unsigned_roundtrip(tmp_path):
+    """Canonical uint16 encoding (BITPIX=16, BZERO=32768) reads back exact."""
+    from origin_tpu import fitsio
+
+    fn = str(tmp_path / "u16.fits")
+    raw = np.array([-32768, 0, 32767], dtype=">i2").reshape(1, 3)
+    hdr = fitsio.Header()
+    hdr.set("BSCALE", 1)
+    hdr.set("BZERO", 32768)
+    fitsio.write(fn, [fitsio.HDU(data=np.asarray(raw.astype("=i2")), header=hdr)])
+    hdus = fitsio.read(fn)
+    got = hdus[0].data
+    np.testing.assert_array_equal(got, np.array([[0, 32768, 65535]]))
+    # scaling cards must be stripped so a re-write does not double-scale
+    fn2 = str(tmp_path / "u16b.fits")
+    fitsio.write(fn2, hdus)
+    np.testing.assert_array_equal(fitsio.read(fn2)[0].data, got)
+
+
+def test_fits_int8_write_roundtrip(tmp_path):
+    from origin_tpu import fitsio
+
+    fn = str(tmp_path / "i8.fits")
+    data = np.array([[-1, 2, 3]], dtype=np.int8)
+    fitsio.write(fn, [fitsio.HDU(data=data)])
+    np.testing.assert_array_equal(fitsio.read(fn)[0].data, data)
+
+
+def test_fits_unsigned_table_columns(tmp_path):
+    from origin_tpu.core import Table
+
+    fn = str(tmp_path / "t.fits")
+    t = Table(data=[np.array([0, 40000, 65535], dtype=np.uint16),
+                    np.array([0, 3_000_000_000], dtype=np.uint32)[:3
+                    ] if False else np.array([0, 3000000000, 7], np.uint32)],
+              names=("a", "b"))
+    t.write(fn, overwrite=True)
+    t2 = Table.read(fn)
+    np.testing.assert_array_equal(np.asarray(t2["a"]), [0, 40000, 65535])
+    np.testing.assert_array_equal(np.asarray(t2["b"]), [0, 3000000000, 7])
+
+
+def test_fits_long_header_string_stays_valid(tmp_path):
+    from origin_tpu import fitsio
+
+    fn = str(tmp_path / "h.fits")
+    hdr = fitsio.Header()
+    long = "x" * 100
+    hdr.set("LONGVAL", long, "comment")
+    fitsio.write(fn, [fitsio.HDU(header=hdr)])
+    back = fitsio.read(fn)[0].header
+    val = back["LONGVAL"]
+    assert isinstance(val, str) and len(val) > 0
+    assert long.startswith(val)  # truncated but uncorrupted
+
+
+def test_wcs_wave_negative_slice_start():
+    from origin_tpu.core import WCS, WaveCoord
+
+    wcs = WCS(crpix=(10, 10), crval=(-30.0, 53.0), shape=(20, 20))
+    sub = wcs[slice(-5, None), slice(0, 20)]
+    # origin moves to row 15: crpix shifts by 15
+    assert sub.crpix[0] == 10 - 15
+    wave = WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25, shape=100)
+    wv = wave[-5:]
+    assert abs(wv.get_start() - wave.coord(95)) < 1e-9
+    assert wv.shape == 5
+
+
+def test_cube_cross_sections_and_masked_sum():
+    from origin_tpu.core import Cube, WCS, WaveCoord
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(5, 4, 3)).astype(np.float32)
+    mask = np.zeros(data.shape, bool)
+    mask[:, 1, 1] = True  # fully-masked spaxel
+    cube = Cube(data=data, mask=mask,
+                wcs=WCS(crpix=(2, 2), crval=(-30.0, 53.0)),
+                wave=WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25))
+    # cross-sections return raw arrays instead of mis-coordinated objects
+    assert isinstance(cube[:, 2, :], np.ndarray)
+    assert isinstance(cube[2, 3, :], np.ndarray)
+    # well-defined cases keep containers
+    from origin_tpu.core.containers import Image, Spectrum
+
+    assert isinstance(cube[2], Image)
+    assert isinstance(cube[:, 2, 1], Spectrum)
+    # sum over z must mask the dead spaxel, not report 0 flux
+    img = cube.sum(axis=0)
+    assert img.mask is not None and bool(img.mask[1, 1])
