@@ -1,0 +1,137 @@
+"""Typed registry for on-disk step products.
+
+Every pipeline stage publishes a fixed set of named products — cubes,
+images, catalogs, per-area vectors, per-line spectra.  A product is in one
+of three states:
+
+* **live**: the in-memory object, just computed;
+* **parked**: written to the session directory and replaced by a
+  :class:`Parked` marker, so its memory is freed; the file is re-read
+  transparently the next time the product is fetched;
+* **absent**: never produced (fetch returns ``None``).
+
+The park/restore cycle is what makes sessions resumable at step
+granularity (the reference achieves the same effect with lazy attribute
+descriptors, origin steps.py:121-163; here the state machine is explicit
+and the format knowledge lives in one table instead of per-kind branch
+chains).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+from ..core.containers import Cube, Image
+from ..core.table import Table
+from .spectra_io import load_spectra, save_spectra
+
+__all__ = ["FORMATS", "Format", "Parked", "ProductStore", "format_catalog"]
+
+
+def format_catalog(cat):
+    """Apply the standard column print formats to a catalog table."""
+    for fmt, names in (
+        (".1f", ("flux",)),
+        (".2f", ("lbda", "T_GLR", "STD")),
+        (".3f", ("ra", "dec", "residual", "purity")),
+    ):
+        for name in names:
+            if name in cat.colnames:
+                cat.set_format(name, fmt)
+    return cat
+
+
+class Format(NamedTuple):
+    """How one product kind maps to a session file."""
+
+    suffix: str
+    load: Callable
+    save: Callable
+
+
+FORMATS = {
+    "cube": Format(".fits", Cube, lambda obj, path: obj.write(path)),
+    "image": Format(".fits", Image, lambda obj, path: obj.write(path)),
+    "table": Format(
+        ".fits",
+        lambda path: format_catalog(Table.read(path)),
+        lambda obj, path: obj.write(path, overwrite=True),
+    ),
+    "array": Format(
+        ".txt",
+        lambda path: np.loadtxt(path, ndmin=1),
+        lambda obj, path: np.savetxt(path, np.atleast_1d(obj)),
+    ),
+    "spectra": Format(".fits", load_spectra, save_spectra),
+}
+
+
+class Parked:
+    """Marker standing in for a product that lives in a session file."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path):
+        self.path = path
+
+    def __repr__(self):
+        return f"Parked({self.path!r})"
+
+
+class ProductStore:
+    """Name -> value mapping for one step's typed products.
+
+    ``spec`` maps each product name to a key of :data:`FORMATS`.
+    """
+
+    def __init__(self, spec):
+        self.spec = dict(spec)
+        self._slots = {}
+
+    def __contains__(self, name):
+        return name in self.spec
+
+    def names(self):
+        return self.spec.keys()
+
+    def file_for(self, name, directory):
+        return os.path.join(directory, name + FORMATS[self.spec[name]].suffix)
+
+    def peek(self, name):
+        """The raw slot value (live object, Parked marker, or None) —
+        never touches the disk."""
+        return self._slots.get(name)
+
+    def stash(self, name, value):
+        if name not in self.spec:
+            raise KeyError(f"{name} is not a declared product")
+        self._slots[name] = value
+
+    def fetch(self, name):
+        """Materialize a product, reading its session file if parked."""
+        value = self._slots.get(name)
+        if isinstance(value, Parked):
+            if not os.path.isfile(value.path):
+                return None
+            value = FORMATS[self.spec[name]].load(value.path)
+            self._slots[name] = value
+        return value
+
+    def park_all(self, directory):
+        """Write every live product to ``directory`` and free its memory."""
+        for name, kind in self.spec.items():
+            value = self._slots.get(name)
+            if value is None or isinstance(value, Parked):
+                continue
+            path = self.file_for(name, directory)
+            FORMATS[kind].save(value, path)
+            self._slots[name] = Parked(path)
+
+    def point_at(self, directory):
+        """Mark every product as parked in ``directory`` (used on session
+        restore; nothing is read until fetched)."""
+        for name in self.spec:
+            self._slots[name] = Parked(self.file_for(name, directory))

@@ -71,7 +71,7 @@ def _sanitize(obj):
     return obj
 
 
-class ORIGIN(steps_mod.LogMixin, PlotMixin):
+class ORIGIN(PlotMixin):
     """ORIGIN session: blind emission-line detection on one datacube.
 
     Composed of the raw cube + variance, a dictionary of spectral profiles
@@ -117,11 +117,11 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
         self.param["loglevel"] = loglevel
         self.param["logcolor"] = logcolor
 
-        self._loginfo("Step 00 - Initialization (ORIGIN v%s)", __version__)
+        self.logger.info("Step 00 - Initialization (ORIGIN v%s)", __version__)
 
         # step wiring: instantiate, fix signatures, expose stepNN_* methods
         self.steps = OrderedDict()
-        self._dataobjs = {}
+        self._product_owner = {}
         for i, cls in enumerate(steps_mod.STEPS, start=1):
             step = cls(self, i, self.param)
             sig = inspect.signature(step.run)
@@ -131,10 +131,10 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
             )
             self.steps[step.name] = step
             self.__dict__[step.method_name] = step
-            for dname, _ in step._dataobjs:
-                self._dataobjs[dname] = step
+            for pname in step.store.names():
+                self._product_owner[pname] = step
 
-        self._loginfo("Read the Data Cube %s", filename)
+        self.logger.info("Read the Data Cube %s", filename)
         self.param["cubename"] = filename
         self.cube = Cube(filename)
         self.Nz, self.Ny, self.Nx = self.shape = self.cube.shape
@@ -155,20 +155,20 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
 
         self.ima_white = imawhite if imawhite else self.cube.mean(axis=0)
         self.testO2, self.histO2, self.binO2 = None, None, None
-        self._loginfo("00 Done")
+        self.logger.info("Step 00 finished")
 
     def __getattr__(self, name):
         if name.startswith("__"):
             raise AttributeError(name)
-        dataobjs = self.__dict__.get("_dataobjs", {})
-        if name in dataobjs:
-            return getattr(dataobjs[name], name)
+        owners = self.__dict__.get("_product_owner", {})
+        if name in owners:
+            return getattr(owners[name], name)
         raise AttributeError(f"unknown attribute {name}")
 
     def __dir__(self):
         return (
             list(super().__dir__())
-            + list(self._dataobjs.keys())
+            + list(self._product_owner.keys())
             + [s.method_name for s in self.steps.values()]
         )
 
@@ -279,10 +279,10 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
 
     # -- logging / reporting -------------------------------------------------
     def info(self):
-        """Print the processing log (without the Done lines)."""
+        """Print the processing log (without the step-completion lines)."""
         with open(self.logfile) as f:
             for line in f:
-                if line.find("Done") == -1:
+                if "finished" not in line:
                     print(line, end="")
 
     def status(self):
@@ -340,7 +340,7 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
     def profiles(self):
         """The spectral line profiles."""
         path = self.param["profiles"]
-        self._loginfo("Load dictionary of spectral profile %s", path)
+        self.logger.info("Load dictionary of spectral profile %s", path)
         profiles, _ = load_dictionary(path)
         return profiles
 
@@ -418,7 +418,7 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
     # -- checkpointing ------------------------------------------------------------
     def write(self, path=None, erase=False):
         """Dump the whole session (every step product + parameters)."""
-        self._loginfo("Writing...")
+        self.logger.info("Writing...")
         if path is not None and path != self.path:
             if not os.path.exists(path):
                 raise ValueError(f"path does not exist: {path}")
@@ -460,10 +460,10 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
         pending = [
             val
             for step in self.steps.values()
-            for name, _ in step._dataobjs
-            # raw stored values only: getattr would trigger disk loads of
-            # already-dumped products just to inspect them
-            for val in (step.__dict__.get(name),)
+            for name in step.store.names()
+            # peek: fetching would trigger disk loads of already-parked
+            # products just to inspect them
+            for val in (step.store.peek(name),)
             if isinstance(val, DeferredCube) and val.device is not None
         ]
         if pending:
@@ -485,7 +485,7 @@ class ORIGIN(steps_mod.LogMixin, PlotMixin):
                             "%s/%s_%d.txt" % (self.outpath, attr, area),
                             values[area - 1],
                         )
-        self._loginfo("Current session saved in %s", self.outpath)
+        self.logger.info("Current session saved in %s", self.outpath)
 
     # -- summaries ------------------------------------------------------------------
     def timestat(self, table=False):

@@ -1,10 +1,12 @@
-"""Step framework and the 11 pipeline steps.
+"""The 11 pipeline steps and the stage protocol that drives them.
 
-Keeps the reference's best structural ideas (steps.py:61-352): lazily-loaded
-data descriptors, a Step protocol that records parameters from the run
-signature, enforces step dependencies, times execution and can dump / reload
-every product so sessions are resumable at step granularity.  The numerics
-behind each step are the TPU kernels from origin_tpu.ops.
+The reference pipeline's best structural idea is resumability: each step's
+products can be flushed to the session directory and transparently re-read
+later (origin steps.py:301-352).  Here that lives in the typed
+:class:`~origin_tpu.pipeline.products.ProductStore`; the :class:`Step`
+protocol adds parameter capture, dependency checking and runtime metadata
+on top.  The numerics behind each step are the TPU kernels from
+``origin_tpu.ops``.
 """
 
 from __future__ import annotations
@@ -16,13 +18,14 @@ import shutil
 import time
 from collections import OrderedDict
 from datetime import datetime
-from enum import Enum
+from enum import Enum, auto
 
 import numpy as np
 from scipy import ndimage as ndi
 
 from ..core.containers import Cube, Image
 from ..core.table import Table, vstack
+from .products import ProductStore, format_catalog
 from ..detect import (
     area_growing,
     area_segmentation_convex_fusion,
@@ -44,7 +47,6 @@ from ..ops import (
     o2test,
 )
 from ..ops.stats import compute_thresh_gaussfit
-from .spectra_io import load_spectra, save_spectra
 
 __all__ = [
     "Preprocessing",
@@ -64,205 +66,142 @@ __all__ = [
 ]
 
 
-def _format_cat(cat):
-    columns = {
-        ".1f": ("flux",),
-        ".2f": ("lbda", "T_GLR", "STD"),
-        ".3f": ("ra", "dec", "residual", "purity"),
-    }
-    for fmt, names in columns.items():
-        for name in names:
-            if name in cat.colnames:
-                cat.set_format(name, fmt)
-    return cat
-
-
-class LogMixin:
-    def _logdebug(self, *args):
-        self.logger.debug(*args)
-
-    def _loginfo(self, *args):
-        self.logger.info(*args)
-
-    def _logwarning(self, *args):
-        self.logger.warning(*args)
-
-
 class Status(Enum):
-    """Step processing status."""
+    """Lifecycle of a step within a session.
 
-    NOTRUN = "not run yet"
-    RUN = "run"
-    DUMPED = "dumped outputs"
-    FAILED = "failed"
-
-
-class DataObj:
-    """Descriptor loading step products from disk on first access.
-
-    When the stored value is a string it is treated as a file path and the
-    object is materialized according to its kind ('cube', 'image', 'table',
-    'array', 'spectra').
+    NOTRUN -> RUN (computed, products live in memory) -> DUMPED (products
+    parked in the session directory); FAILED if ``run`` raised.  Only the
+    member *names* are persisted in the session parameter file.
     """
 
-    def __init__(self, kind):
-        self.kind = kind  # label set by StepMeta
-
-    def __get__(self, obj, owner=None):
-        if obj is None:
-            return self
-        try:
-            val = obj.__dict__[self.label]
-        except KeyError:
-            return None
-        if isinstance(val, str):
-            if os.path.isfile(val):
-                kind = self.kind
-                if kind == "cube":
-                    val = Cube(val)
-                elif kind == "image":
-                    val = Image(val)
-                elif kind == "table":
-                    val = _format_cat(Table.read(val))
-                elif kind == "array":
-                    val = np.loadtxt(val, ndmin=1)
-                elif kind == "spectra":
-                    val = load_spectra(val)
-                obj.__dict__[self.label] = val
-            else:
-                val = None
-        return val
-
-    def __set__(self, obj, val):
-        obj.__dict__[self.label] = val
+    NOTRUN = auto()
+    RUN = auto()
+    DUMPED = auto()
+    FAILED = auto()
 
 
-class StepMeta(type):
-    """Labels DataObj descriptors and collects them in ``_dataobjs``."""
+class Step:
+    """One pipeline stage bound to an ORIGIN session.
 
-    def __new__(cls, name, bases, attrs):
-        descr = []
-        for n, inst in attrs.items():
-            if isinstance(inst, DataObj):
-                inst.label = n
-                descr.append((n, inst.kind))
-        attrs["_dataobjs"] = descr
-        return super().__new__(cls, name, bases, attrs)
+    Subclasses declare three class attributes and implement
+    ``run(orig, **params)``:
 
+    * ``name`` / ``desc`` — identifier and log description;
+    * ``products`` — mapping of product name to a format key understood by
+      :class:`~origin_tpu.pipeline.products.ProductStore`;
+    * ``depends_on`` — names of stages that must have completed first.
 
-class Step(LogMixin, metaclass=StepMeta):
-    """One processing step bound to an ORIGIN session."""
+    Calling the step records its effective parameters into the session's
+    parameter schema, verifies dependencies, times the run and tracks a
+    :class:`Status`.  Products are published with :meth:`put` (or the
+    ``store_*`` convenience wrappers) and read back as plain attributes,
+    whether live or parked on disk.
+    """
 
-    name = None
-    desc = None
-    require = None
+    name = ""
+    desc = ""
+    products = {}
+    depends_on = ()
 
     def __init__(self, orig, idx, param):
         self.logger = logging.getLogger(__name__)
         self.orig = orig
         self.idx = idx
-        self.method_name = "step%02d_%s" % (idx, self.name)
-        self.meta = param.setdefault(self.name, {})
-        self.meta.setdefault("stepidx", idx)
-        self.param = self.meta.setdefault("params", {})
+        self.method_name = f"step{idx:02d}_{self.name}"
+        self.store = ProductStore(self.products)
+        meta = param.setdefault(self.name, {})
+        meta.setdefault("stepidx", idx)
+        self.meta = meta
+        self.param = meta.setdefault("params", {})
 
     def __repr__(self):
-        return "Step {:02d}: <{}(status: {})>".format(
-            self.idx, self.__class__.__name__, self.status.name
+        return (
+            f"<{type(self).__name__} [{self.idx:02d}] {self.status.name}>"
+        )
+
+    def __getattr__(self, name):
+        # products read as attributes, materializing parked files on demand
+        store = self.__dict__.get("store")
+        if store is not None and name in store:
+            return store.fetch(name)
+        raise AttributeError(
+            f"{type(self).__name__} has no attribute {name!r}"
         )
 
     @property
     def status(self):
         val = self.meta.get("status", Status.NOTRUN)
-        if isinstance(val, str):
-            val = Status[val]
-        return val
+        return Status[val] if isinstance(val, str) else val
 
     @status.setter
     def status(self, val):
         self.meta["status"] = val
 
-    def __call__(self, *args, **kwargs):
-        t0 = time.time()
-        self._loginfo("Step %02d - %s", self.idx, self.desc)
-
-        sig = inspect.signature(self.run)
-        for name, p in sig.parameters.items():
-            if name == "orig":
+    def _record_params(self, kwargs):
+        """Capture the call's effective parameters into the session schema
+        (the run signature doubles as the parameter documentation)."""
+        for pname, p in inspect.signature(self.run).parameters.items():
+            if pname == "orig":
                 continue
-            default = p.default if p.default is not p.empty else ""
-            self._logdebug(
-                "   - %s = %r (default: %r)", name, kwargs.get(name, ""), default
-            )
-            self.param[name] = kwargs.get(name, p.default)
+            self.param[pname] = value = kwargs.get(pname, p.default)
+            if value is not p.empty:
+                self.logger.debug("   %s = %r", pname, value)
 
-        if self.require is not None:
-            for req in self.require:
-                step = self.orig.steps[req]
-                if step.status not in (Status.RUN, Status.DUMPED):
-                    raise RuntimeError(f"step {step.idx:02d} must be run before")
+    def _check_dependencies(self):
+        for req in self.depends_on:
+            dep = self.orig.steps[req]
+            if dep.status not in (Status.RUN, Status.DUMPED):
+                raise RuntimeError(
+                    f"{self.method_name} requires {dep.method_name} "
+                    f"(status: {dep.status.name})"
+                )
 
+    def __call__(self, *args, **kwargs):
+        self.logger.info("Step %02d - %s", self.idx, self.desc)
+        t0 = time.perf_counter()
+        self._record_params(kwargs)
+        self._check_dependencies()
         try:
             self.run(self.orig, *args, **kwargs)
         except Exception:
             self.status = Status.FAILED
             raise
-        else:
-            self.status = Status.RUN
-
-        self.meta["runtime"] = tot = time.time() - t0
+        self.status = Status.RUN
+        self.meta["runtime"] = elapsed = time.perf_counter() - t0
         self.meta["execution_date"] = datetime.now().isoformat()
-        self._loginfo("%02d Done - %.2f sec.", self.idx, tot)
+        self.logger.info("Step %02d finished (%.2f s)", self.idx, elapsed)
+
+    def put(self, name, value):
+        """Publish a product (must be declared in ``products``)."""
+        self.store.stash(name, value)
 
     def store_cube(self, name, data, **kwargs):
-        cube = Cube(data=data, wave=self.orig.wave, wcs=self.orig.wcs,
-                    mask=False, copy=False, **kwargs)
-        setattr(self, name, cube)
+        self.put(name, Cube(data=data, wave=self.orig.wave,
+                            wcs=self.orig.wcs, mask=False, copy=False,
+                            **kwargs))
 
     def store_cube_dev(self, name, dev, post=None):
-        """Store a device-resident cube product (lazy host materialization)."""
+        """Publish a device-resident cube (lazy host materialization)."""
         from .engine import DeferredCube
 
-        cube = DeferredCube(dev, wcs=self.orig.wcs, wave=self.orig.wave,
-                            post=post)
-        setattr(self, name, cube)
+        self.put(name, DeferredCube(dev, wcs=self.orig.wcs,
+                                    wave=self.orig.wave, post=post))
 
     def store_image(self, name, data, **kwargs):
-        im = Image(data=data, wcs=self.orig.wcs, mask=False, copy=False,
-                   **kwargs)
-        setattr(self, name, im)
+        self.put(name, Image(data=data, wcs=self.orig.wcs, mask=False,
+                             copy=False, **kwargs))
 
     def dump(self, outpath):
-        """Write every product to disk and replace it by its path."""
-        if self.status is not Status.RUN:
-            return
-        self.logger.debug("%s - DUMP", self.method_name)
-        for name, kind in self._dataobjs:
-            obj = getattr(self, name)
-            if obj is None:
-                continue
-            ext = "txt" if kind == "array" else "fits"
-            outf = f"{outpath}/{name}.{ext}"
-            self.logger.debug("   - %s [%s]", name, kind)
-            if kind in ("cube", "image"):
-                obj.write(outf)
-            elif kind == "table":
-                obj.write(outf, overwrite=True)
-            elif kind == "array":
-                np.savetxt(outf, np.atleast_1d(obj))
-            elif kind == "spectra":
-                save_spectra(obj, outf)
-            setattr(self, name, outf)
-        self.status = Status.DUMPED
+        """Park every live product in the session directory."""
+        if self.status is Status.RUN:
+            self.logger.debug("parking %s products", self.method_name)
+            self.store.park_all(outpath)
+            self.status = Status.DUMPED
 
     def load(self, outpath):
-        """Point every product at its dump file (lazy loading on access)."""
-        if self.status is not Status.DUMPED:
-            return
-        self.logger.debug("%s - LOAD", self.method_name)
-        for name, kind in self._dataobjs:
-            ext = "txt" if kind == "array" else "fits"
-            setattr(self, name, f"{outpath}/{name}.{ext}")
+        """Point the products at their session files (read on access)."""
+        if self.status is Status.DUMPED:
+            self.store.point_at(outpath)
 
 
 class Preprocessing(Step):
@@ -276,58 +215,49 @@ class Preprocessing(Step):
 
     name = "preprocessing"
     desc = "Preprocessing"
-    cube_std = DataObj("cube")
-    cont_dct = DataObj("cube")
-    ima_std = DataObj("image")
-    ima_dct = DataObj("image")
-    segmap_cont = DataObj("image")
-    segmap_merged = DataObj("image")
-    cube_std_local_min = DataObj("cube")
-    cube_std_local_max = DataObj("cube")
+    products = dict(
+        cube_std="cube", cont_dct="cube", ima_std="image", ima_dct="image",
+        segmap_cont="image", segmap_merged="image",
+        cube_std_local_min="cube", cube_std_local_max="cube",
+    )
 
     def run(self, orig, dct_order=10, dct_approx=False, pfasegcont=0.01,
             pfasegres=0.01, local_max_size=3, bins="fd"):
-        self._loginfo("DCT + standardization + local extrema (fused on device)")
+        info = self.logger.info
+        info("DCT + standardization + local extrema (fused on device)")
         dev, host = orig.engine.preprocess(dct_order, dct_approx,
                                            local_max_size)
 
-        self._loginfo("Std signal saved in self.cube_std and self.ima_std")
+        info("cube_std / ima_std ready (standardized signal)")
         self.store_cube_dev("cube_std", dev["cube_std"])
         self.store_image("ima_std", host["ima_std"])
 
-        self._loginfo("Local maxima of std cube values saved")
+        info("cube_std_local_max / cube_std_local_min ready (std extrema)")
         self.store_cube_dev("cube_std_local_max", dev["cube_std_local_max"])
         self.store_cube_dev("cube_std_local_min", dev["cube_std_local_min"])
 
-        self._loginfo("DCT continuum saved in self.cont_dct and self.ima_dct")
+        info("cont_dct / ima_dct ready (DCT continuum)")
         self.store_cube_dev("cont_dct", dev["cont_dct"])
         self.store_image("ima_dct", host["ima_dct"])
 
         mean_fwhm = int(np.ceil(np.mean(orig.FWHM_PSF)))
 
-        self._loginfo("Segmentation based on the continuum")
         with np.errstate(divide="ignore"):
             map1 = np.log10(host["cont_sumsq"])
         thresh, map_cont = compute_segmap_gauss(map1, pfasegcont, mean_fwhm,
                                                 bins=bins)
-        self._loginfo(
-            "Found %d regions, threshold=%.2f",
-            len(np.unique(map_cont)) - 1, thresh,
-        )
+        info("continuum segmentation: %d regions at threshold %.2f",
+             len(np.unique(map_cont)) - 1, thresh)
         self.store_image("segmap_cont", map_cont)
 
-        self._loginfo("Segmentation based on the residual")
         map2 = host["o2"]
         thresh, map_res = compute_segmap_gauss(map2, pfasegres, mean_fwhm,
                                                bins=bins)
-        self._loginfo(
-            "Found %d regions, threshold=%.2f",
-            len(np.unique(map_res)) - 1, thresh,
-        )
+        info("residual segmentation: %d regions at threshold %.2f",
+             len(np.unique(map_res)) - 1, thresh)
 
-        self._loginfo("Merging both maps")
         segmap, nlabels = ndi.label((map_cont > 0) | (map_res > 0))
-        self._loginfo("Segmap saved in self.segmap_merged (%d regions)", nlabels)
+        info("segmap_merged ready (union of both maps, %d regions)", nlabels)
         self.store_image("segmap_merged", segmap)
 
         # diagnostics-only product: free its HBM on small-memory devices
@@ -343,7 +273,7 @@ class CreateAreas(Step):
 
     name = "areas"
     desc = "Areas creation"
-    areamap = DataObj("image")
+    products = dict(areamap="image")
 
     def run(self, orig, pfa=0.2, minsize=100, maxsize=None):
         nexpmap = (np.sum(~orig.mask, axis=0) > 0).astype(int)
@@ -356,19 +286,22 @@ class CreateAreas(Step):
             min_size2 = minsize ** 2
             max_size2 = maxsize ** 2
 
-            self._loginfo("First segmentation of %d^2 square", nb_subcube)
+            self.logger.info(
+                "initial grid segmentation: %d x %d squares",
+                nb_subcube, nb_subcube,
+            )
             squares = area_segmentation_square_fusion(
                 nexpmap, min_size2, max_size2, nb_subcube, orig.Ny, orig.Nx
             )
-            self._logdebug("Sources fusion")
+            self.logger.debug("merging squares with continuum sources")
             fused, src = area_segmentation_sources_fusion(
                 orig.segmap_merged.data, squares, pfa, orig.Ny, orig.Nx
             )
-            self._logdebug("Convex envelope")
+            self.logger.debug("convex closure of the source areas")
             convex = area_segmentation_convex_fusion(fused, src)
-            self._logdebug("Areas dilation")
+            self.logger.debug("growing areas over the exposed field")
             grown = area_growing(convex, nexpmap)
-            self._logdebug("Fusion of small area")
+            self.logger.debug("absorbing undersized areas")
             areamap = area_segmentation_final(grown, min_size2, max_size2)
         else:
             areamap = nexpmap
@@ -378,8 +311,7 @@ class CreateAreas(Step):
         nb_areas = len(labels) - 1 if 0 in labels else len(labels)
         orig.param["nbareas"] = nb_areas
         self.store_image("areamap", areamap)
-        self._loginfo("Save the map of areas in self.areamap")
-        self._loginfo("%d areas generated", nb_areas)
+        self.logger.info("areamap ready (%d areas)", nb_areas)
 
 
 class ComputePCAThreshold(Step):
@@ -390,10 +322,8 @@ class ComputePCAThreshold(Step):
 
     name = "compute_PCA_threshold"
     desc = "PCA threshold computation"
-    thresO2 = DataObj("array")
-    meaO2 = DataObj("array")
-    stdO2 = DataObj("array")
-    require = ("preprocessing", "areas")
+    products = dict(thresO2="array", meaO2="array", stdO2="array")
+    depends_on = ("preprocessing", "areas")
 
     def run(self, orig, pfa_test=0.01):
         # O2 map on device (one (Ny, Nx) download); per-area Gaussian fits
@@ -409,14 +339,14 @@ class ComputePCAThreshold(Step):
                 test, pfa_test
             )
             results.append((test, hist, bins, thres, mea, std))
-            self._loginfo(
-                "Area %d, estimation mean/std/threshold: %f/%f/%f",
+            self.logger.info(
+                "area %d: mean %f, std %f -> threshold %f",
                 area, mea, std, thres,
             )
         (orig.testO2, orig.histO2, orig.binO2, thres, mea, std) = zip(*results)
-        self.thresO2 = np.asarray(thres)
-        self.meaO2 = np.asarray(mea)
-        self.stdO2 = np.asarray(std)
+        self.put("thresO2", np.asarray(thres))
+        self.put("meaO2", np.asarray(mea))
+        self.put("stdO2", np.asarray(std))
 
 
 class ComputeGreedyPCA(Step):
@@ -428,33 +358,30 @@ class ComputeGreedyPCA(Step):
 
     name = "compute_greedy_PCA"
     desc = "Greedy PCA computation"
-    cube_faint = DataObj("cube")
-    mapO2 = DataObj("image")
-    require = ("preprocessing", "areas", "compute_PCA_threshold")
+    products = dict(cube_faint="cube", mapO2="image")
+    depends_on = ("preprocessing", "areas", "compute_PCA_threshold")
 
     def run(self, orig, Noise_population=50, itermax=100, threshold_list=None):
         thr = orig.thresO2 if threshold_list is None else threshold_list
         orig.param["threshold_list"] = [float(t) for t in thr]
-        self._loginfo(
-            "   - List of threshold = %s", " ".join("%.2f" % t for t in thr)
+        self.logger.info(
+            "per-area thresholds: %s", " ".join("%.2f" % t for t in thr)
         )
-        self._loginfo("Compute greedy PCA on each zone (device-resident)")
+        self.logger.info("greedy PCA over the zones (device-resident)")
         faint, mapo2, nstop = orig.engine.greedy_pca_by_area(
             orig.areamap.data, thr, orig.testO2,
             noise_population=Noise_population, itermax=itermax,
         )
         if nstop > 0:
-            self._logwarning(
-                "The iterations have been reached the limit of %d in %d cases",
-                itermax, nstop,
+            self.logger.warning(
+                "iteration cap (%d) hit in %d zone(s)", itermax, nstop
             )
-        self._loginfo("Save the faint signal in self.cube_faint")
         self.store_cube_dev("cube_faint", faint)
-        self._loginfo(
-            "Save numbers of iterations used by testO2 for each spaxel "
-            "in self.mapO2"
-        )
         self.store_image("mapO2", mapo2)
+        self.logger.info(
+            "cube_faint / mapO2 ready (nuisance-removed signal + per-spaxel "
+            "iteration counts)"
+        )
         # no later device stage reads cube_std (its local extrema are
         # separate products): free its HBM on small-memory devices
         orig.engine.maybe_offload("cube_std")
@@ -470,41 +397,43 @@ class ComputeTGLR(Step):
 
     name = "compute_TGLR"
     desc = "GLR test"
-    cube_correl = DataObj("cube")
-    cube_correl_min = DataObj("cube")
-    cube_profile = DataObj("cube")
-    cube_local_min = DataObj("cube")
-    cube_local_max = DataObj("cube")
-    maxmap = DataObj("image")
-    minmap = DataObj("image")
-    require = ("compute_greedy_PCA",)
+    products = dict(
+        cube_correl="cube", cube_correl_min="cube", cube_profile="cube",
+        cube_local_min="cube", cube_local_max="cube",
+        maxmap="image", minmap="image",
+    )
+    depends_on = ("compute_greedy_PCA",)
 
     def run(self, orig, size=3, ncpu=1, pcut=1e-8, pmeansub=True):
-        self._loginfo("Correlation (device-resident GLR + local extrema)")
+        self.logger.info("GLR matched filter + local extrema (device-resident)")
         dev, host = orig.engine.tglr(
             orig.PSF, orig.wfields, orig.profiles,
             pcut=pcut, pmeansub=pmeansub, size=size,
         )
-        self._loginfo("Save the TGLR value in self.cube_correl")
+        nprof = len(orig.profiles)
+        # int32 indices only once the dictionary outgrows int16 (the cast
+        # guard mirrors toeplitz_sweep's uint8 -> int32 index widening)
+        if nprof > np.iinfo(np.int16).max:
+            prof_post = None  # keep the kernel's int32 indices
+        else:
+            prof_post = lambda a: a.astype(np.int16)  # noqa: E731
+
         self.store_cube_dev("cube_correl", dev["cube_correl"])
         self.store_cube_dev("cube_correl_min", dev["cube_correl_min"])
-
-        self._loginfo(
-            "Save the number of profile associated to the TGLR "
-            "in self.cube_profile"
-        )
         self.store_cube_dev("cube_profile", dev["cube_profile"],
-                            post=lambda a: a.astype(np.int16))
+                            post=prof_post)
+        self.logger.info(
+            "cube_correl / cube_correl_min / cube_profile ready "
+            "(T_GLR statistic and best-profile indices)"
+        )
 
-        self._loginfo("Save the map of maxima in self.maxmap")
         self.store_image("maxmap", host["maxmap"])
         self.store_image("minmap", host["minmap"])
-
-        self._loginfo("Compute p-values of local maximum of correlation values")
-        self._loginfo("Save self.cube_local_max from max correlations")
         self.store_cube_dev("cube_local_max", dev["cube_local_max"])
-        self._loginfo("Save self.cube_local_min from min correlations")
         self.store_cube_dev("cube_local_min", dev["cube_local_min"])
+        self.logger.info(
+            "maxmap / minmap images and correlation local extrema ready"
+        )
         orig.engine.maybe_offload("cube_faint", "cube_correl_min")
 
 
@@ -516,10 +445,8 @@ class ComputePurityThreshold(Step):
 
     name = "compute_purity_threshold"
     desc = "Compute Purity threshold"
-    Pval = DataObj("table")
-    Pval_comp = DataObj("table")
-    segmap_purity = DataObj("image")
-    require = ("compute_TGLR",)
+    products = dict(Pval="table", Pval_comp="table", segmap_purity="image")
+    depends_on = ("compute_TGLR",)
 
     def run(self, orig, purity=0.9, purity_std=None, threshlist=None,
             pfasegfinal=1e-5, bins="fd"):
@@ -533,24 +460,26 @@ class ComputePurityThreshold(Step):
         segmap, _ = ndi.label((map_res > 0) | (orig.segmap_merged.data > 0))
         self.store_image("segmap_purity", segmap)
 
-        self._loginfo("Estimation of threshold with purity = %.2f", purity)
         eng = orig.engine
-        threshold, self.Pval = compute_threshold_purity(
+        threshold, pval = compute_threshold_purity(
             purity, eng.get("cube_local_max"), eng.get("cube_local_min"),
             segmap, threshlist=threshlist,
         )
+        self.put("Pval", pval)
         orig.param["threshold"] = threshold
-        self._loginfo("Threshold: %.2f ", threshold)
-
-        self._loginfo(
-            "Estimation of threshold std with purity = %.2f", purity_std
+        self.logger.info(
+            "correl threshold %.2f for purity %.2f", threshold, purity
         )
-        threshold_std, self.Pval_comp = compute_threshold_purity(
+
+        threshold_std, pval_comp = compute_threshold_purity(
             purity_std, eng.get("cube_std_local_max"),
             eng.get("cube_std_local_min"), threshlist=threshlist,
         )
+        self.put("Pval_comp", pval_comp)
         orig.param["threshold_std"] = threshold_std
-        self._loginfo("Threshold: %.2f ", threshold_std)
+        self.logger.info(
+            "std threshold %.2f for purity %.2f", threshold_std, purity_std
+        )
 
 
 class Detection(Step):
@@ -562,9 +491,7 @@ class Detection(Step):
 
     name = "detection"
     desc = "Thresholding and spatio-spectral merging"
-    Cat0 = DataObj("table")
-    Cat1 = DataObj("table")
-    segmap_label = DataObj("image")
+    products = dict(Cat0="table", Cat1="table", segmap_label="image")
 
     def det_correl_min(self, thresh=None):
         """3D positions of detections in correl_min."""
@@ -578,7 +505,9 @@ class Detection(Step):
         if threshold_std is not None:
             orig.threshold_std = threshold_std
 
-        self._loginfo("Thresholding correl (>%.2f)", orig.threshold_correl)
+        self.logger.info(
+            "thresholding correl local maxima (> %.2f)", orig.threshold_correl
+        )
         # device-side sparse extraction: only (n, 3) indices + values cross
         # the host boundary, never the local-max cubes themselves
         (z, y, x), tglr, (profvals,) = orig.engine.detections_above(
@@ -589,9 +518,11 @@ class Detection(Step):
         cat["STD"] = np.full(len(cat), np.nan)
         cat["T_GLR"] = tglr.astype(float)
         cat["profile"] = profvals.astype(int)
-        self._loginfo("%d detected lines", len(cat))
+        self.logger.info("%d detected lines", len(cat))
 
-        self._loginfo("Thresholding std (>%.2f)", orig.threshold_std)
+        self.logger.info(
+            "thresholding std local maxima (> %.2f)", orig.threshold_std
+        )
         (z, y, x), stdvals, _ = orig.engine.detections_above(
             "cube_std_local_max", orig.threshold_std
         )
@@ -600,32 +531,31 @@ class Detection(Step):
         cat_std["STD"] = stdvals.astype(float)
         cat_std["T_GLR"] = np.full(len(cat_std), np.nan)
         cat_std["profile"] = np.zeros(len(cat_std), dtype=int)
-        self._loginfo("%d detected lines", len(cat_std))
+        self.logger.info("%d detected lines", len(cat_std))
 
-        self.Cat0 = _format_cat(vstack([cat, cat_std]))
+        self.put("Cat0", format_catalog(vstack([cat, cat_std])))
 
         keep = filter_duplicate_lines(cat, cat_std, maxdist_lines)
         cat_std = cat_std[np.asarray(keep, dtype=int)]
-        self._loginfo("kept %d lines from std after filtering", len(keep))
+        self.logger.info("kept %d lines from std after filtering", len(keep))
 
         if segmap is not None:
-            self.logger.info("Overriding segmap_cont with the given one")
-            self.segmap_label = Image(segmap) if isinstance(segmap, str) else segmap
-            if self.segmap_label.shape != orig.shape[1:]:
+            self.logger.info("using the provided segmentation map")
+            segmap_label = Image(segmap) if isinstance(segmap, str) else segmap
+            if segmap_label.shape != orig.shape[1:]:
                 raise ValueError(
                     "segmap does not have the same shape as the processed cube"
                 )
         else:
-            self.logger.info(
-                "Using segmap_cont with an additional deblending step"
-            )
+            self.logger.info("deblending the continuum segmentation map")
             deb = deblend_sources(
                 orig.ima_dct.data, orig.segmap_cont.data, npixels=5,
                 mode="linear",
             )
-            self.segmap_label = Image(data=deb, wcs=orig.wcs, copy=False)
+            segmap_label = Image(data=deb, wcs=orig.wcs, copy=False)
+        self.put("segmap_label", segmap_label)
 
-        cat = _format_cat(vstack([cat, cat_std]))
+        cat = format_catalog(vstack([cat, cat_std]))
         cat["area"] = self.segmap_label.data[
             np.asarray(cat["y0"], int), np.asarray(cat["x0"], int)
         ].astype(int)
@@ -651,15 +581,15 @@ class Detection(Step):
         cat.add_column(idmap[np.asarray(cat["imatch"])], name="ID", index=0)
         cat.sort("ID")
 
-        self._loginfo("Purity estimation")
+        self.logger.info("per-line purity estimation")
         cat = purity_estimation(cat, orig.Pval, orig.Pval_comp)
 
         cat_comp = cat[np.asarray(cat["comp"]) == 1]
         ns = len(set(np.asarray(cat["ID"])))
         ds = len(set(np.asarray(cat_comp["ID"])) - set(np.asarray(cat["ID"])))
-        self.Cat1 = cat
-        self._loginfo(
-            "Save the catalog in self.Cat1 (%d [+%s] sources, %d [+%d] lines)",
+        self.put("Cat1", cat)
+        self.logger.info(
+            "Cat1 ready: %d [+%s] sources, %d [+%d] lines",
             ns, ds, len(cat), len(cat_comp),
         )
 
@@ -673,9 +603,8 @@ class ComputeSpectra(Step):
 
     name = "compute_spectra"
     desc = "Lines estimation"
-    Cat2 = DataObj("table")
-    spectra = DataObj("spectra")
-    require = ("detection",)
+    products = dict(Cat2="table", spectra="spectra")
+    depends_on = ("detection",)
 
     def run(self, orig, grid_dxy=0, spectrum_size_fwhm=6):
         from ..core.containers import Spectrum
@@ -702,16 +631,14 @@ class ComputeSpectra(Step):
             names=["x", "y", "z", "residual", "flux", "num_line"],
             indexes=[4, 5, 6, 8, 8, 8],
         )
-        _format_cat(cat2)
-        self.Cat2 = cat2
-        self._loginfo(
-            "Save the updated catalog in self.Cat2 (%d lines)", len(cat2)
-        )
+        format_catalog(cat2)
+        self.put("Cat2", cat2)
+        self.logger.info("Cat2 ready (%d refined lines)", len(cat2))
 
         radius = np.ceil(
             np.asarray(orig.FWHM_profiles) * spectrum_size_fwhm / 2
         ).astype(int)
-        self.spectra = OrderedDict()
+        spectra = OrderedDict()
         for i in range(len(cat2)):
             if not out["ok"][i]:
                 continue
@@ -721,10 +648,12 @@ class ComputeSpectra(Step):
             sp = Spectrum(
                 data=out["line"][i], var=out["line_var"][i], wave=orig.wave,
             )
-            self.spectra[num] = sp.subspec(
+            spectra[num] = sp.subspec(
                 zline - radius[prof], zline + radius[prof]
             )
-        self._loginfo("Save estimated spectrum of each line in self.spectra")
+        self.put("spectra", spectra)
+        self.logger.info("per-line deconvolved spectra ready (%d)",
+                         len(spectra))
 
 
 class CleanResults(Step):
@@ -736,30 +665,27 @@ class CleanResults(Step):
 
     name = "clean_results"
     desc = "Results cleaning"
-    Cat3_lines = DataObj("table")
-    Cat3_sources = DataObj("table")
-    require = ("compute_spectra",)
+    products = dict(Cat3_lines="table", Cat3_sources="table")
+    depends_on = ("compute_spectra",)
 
     def run(self, orig, merge_lines_z_threshold=5):
-        self.Cat3_lines = merge_similar_lines(
+        lines = merge_similar_lines(
             orig.Cat2, z_pix_threshold=merge_lines_z_threshold
         )
-        sources = unique_sources(self.Cat3_lines)
-        self.Cat3_sources = add_tglr_stat(
-            sources, self.Cat3_lines, orig.engine.std_scalar("cube_correl"),
+        self.put("Cat3_lines", lines)
+        sources = add_tglr_stat(
+            unique_sources(lines), lines,
+            orig.engine.std_scalar("cube_correl"),
             orig.engine.std_scalar("cube_std"),
         )
-        self._loginfo(
-            "Save the unique source catalog in self.Cat3_sources (%d sources)",
-            len(self.Cat3_sources),
+        self.put("Cat3_sources", sources)
+        self.logger.info(
+            "Cat3_sources / Cat3_lines ready (%d sources, %d lines)",
+            len(sources), len(lines),
         )
-        self._loginfo(
-            "Save the cleaned lines in self.Cat3_lines (%d lines)",
-            len(self.Cat3_lines),
-        )
-        nmerged = int(np.sum(np.asarray(self.Cat3_lines["merged_in"]) != -9999))
+        nmerged = int(np.sum(np.asarray(lines["merged_in"]) != -9999))
         if nmerged:
-            self._loginfo("%d lines were merged in nearby lines", nmerged)
+            self.logger.info("%d lines were merged into nearby lines", nmerged)
 
 
 class CreateMasks(Step):
@@ -771,7 +697,7 @@ class CreateMasks(Step):
 
     name = "create_masks"
     desc = "Mask creation"
-    require = ("clean_results",)
+    depends_on = ("clean_results",)
 
     def run(self, orig, path=None, overwrite=True, mask_size=25,
             min_sky_npixels=100, seg_thres_factor=0.5, fwhm_factor=2,

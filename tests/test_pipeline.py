@@ -140,7 +140,7 @@ def test_origin_full_pipeline(minicube, tmp_path, caplog):
     orig.info()
     with open(orig.logfile) as f:
         log = f.read().splitlines()
-        assert "11 Done" in log[-1]
+        assert "Step 11 finished" in log[-1]
 
     tbl = orig.timestat(table=True)
     assert len(tbl) == 12
