@@ -153,14 +153,35 @@ def _format_card(key, value, comment=None):
         if comment:
             card += f" / {comment}"
         if len(card) > CARDLEN and isinstance(value, str):
-            # too long even without the comment: truncate the string value
-            # but keep a syntactically valid card (closing quote intact)
-            avail = CARDLEN - 12  # "KEY     = '" prefix + closing quote
-            body = str(value).replace("'", "''")[:avail]
-            if body.count("'") % 2 == 1:
-                body = body[:-1]  # do not split an escaped quote
-            card = f"{key:<8}= '{body}'"
+            # over-long string: use the FITS CONTINUE convention ('&'-
+            # terminated chunks on follow-on CONTINUE cards) so nothing is
+            # lost; the comment rides the last card when it fits
+            return _long_string_cards(key, str(value), comment)
     return card[:CARDLEN].ljust(CARDLEN)
+
+
+def _long_string_cards(key, value, comment=None):
+    """Value card + CONTINUE cards for a string too long for one card."""
+    escaped = value.replace("'", "''")
+    avail = CARDLEN - 13  # prefix (10) + quotes (2) + continuation '&'
+    chunks = []
+    while True:
+        take = escaped[:avail]
+        if take.count("'") % 2 == 1:
+            take = take[:-1]  # do not split an escaped quote pair
+        chunks.append(take)
+        escaped = escaped[len(take):]
+        if not escaped:
+            break
+    cards = []
+    last = len(chunks) - 1
+    for i, chunk in enumerate(chunks):
+        prefix = f"{key:<8}= " if i == 0 else "CONTINUE  "
+        card = f"{prefix}'{chunk}{'&' if i < last else ''}'"
+        if i == last and comment and len(card) + 3 + len(comment) <= CARDLEN:
+            card += f" / {comment}"
+        cards.append(card[:CARDLEN].ljust(CARDLEN))
+    return "".join(cards)
 
 
 def _parse_value(raw):
@@ -216,6 +237,7 @@ def _read_header(fh):
         if done:
             break
     hdr = Header()
+    last_key = None
     for card in cards:
         key = card[:8].strip()
         if not key:
@@ -227,25 +249,31 @@ def _read_header(fh):
             else:
                 hdr.comments_raw.append(text)
             continue
+        if key == "CONTINUE":
+            # continuation of the previous card's '&'-terminated string
+            value, comment = _split_value_comment(card[10:])
+            prev = hdr.get(last_key) if last_key else None
+            if isinstance(prev, str) and prev.endswith("&"):
+                more = _parse_value(value)
+                hdr.set(last_key, prev[:-1] + str(more), comment)
+            continue
         if card[8:10] != "= ":
             continue
-        rest = card[10:]
-        # split off the comment: a '/' outside of a quoted string
-        in_str = False
-        comment = None
-        value_raw = rest
-        i = 0
-        while i < len(rest):
-            ch = rest[i]
-            if ch == "'":
-                in_str = not in_str
-            elif ch == "/" and not in_str:
-                value_raw = rest[:i]
-                comment = rest[i + 1 :].strip()
-                break
-            i += 1
-        hdr.set(key, _parse_value(value_raw), comment)
+        value, comment = _split_value_comment(card[10:])
+        hdr.set(key, _parse_value(value), comment)
+        last_key = key
     return hdr
+
+
+def _split_value_comment(rest):
+    """Split a card's value field from its comment (a '/' outside quotes)."""
+    in_str = False
+    for i, ch in enumerate(rest):
+        if ch == "'":
+            in_str = not in_str
+        elif ch == "/" and not in_str:
+            return rest[:i], rest[i + 1 :].strip()
+    return rest, None
 
 
 class HDU:

@@ -378,8 +378,9 @@ def glr_spectral(cube_fsf, norm_fsf, prof_bank, prof2_bank, centers, nz):
     hardware).  Each profile's centred 'same' window is a static slice of
     the 'full' convolution at offset L-1-c_k.
 
-    Inputs are (Nz, Ny, Nx); returns (correl, profile_idx uint8,
-    correl_min), each (Nz, Ny, Nx).
+    Inputs are (Nz, Ny, Nx); returns (correl, profile_idx, correl_min),
+    each (Nz, Ny, Nx); profile indices are uint8 for dictionaries of up to
+    255 profiles and int32 beyond that.
     """
     ny, nx = cube_fsf.shape[1:]
     s = ny * nx
@@ -530,8 +531,9 @@ def glr_spectral_mxu(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
     different association order); ~4x faster on TPU because the
     contraction runs on the systolic array instead of the VPU.
 
-    Inputs are (Nz, Ny, Nx); returns (correl, profile_idx uint8,
-    correl_min), each (Nz, Ny, Nx).
+    Inputs are (Nz, Ny, Nx); returns (correl, profile_idx, correl_min),
+    each (Nz, Ny, Nx); profile indices are uint8 for dictionaries of up to
+    255 profiles and int32 beyond that.
     """
     return toeplitz_sweep(
         cube_fsf, norm_fsf, t_num, t_den, pad_left, nz, precision=precision

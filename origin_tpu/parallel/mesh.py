@@ -14,8 +14,12 @@ lib_origin.py:1130-1147).  Here the cube itself is sharded over a
 
 All collectives operate inside one jitted ``shard_map``; XLA overlaps the
 halo transfers with the local FFT work.  Halo exchange with zero fill at the
-mesh edges reproduces exactly the zero-padded 'same' convolution of the
-single-chip kernel, so sharded and unsharded runs are bit-comparable.
+mesh edges reproduces the zero-padded 'same' convolution of the single-chip
+kernel *numerically* (the halo-extended tile uses its own DFT grid size, so
+results agree to float32 round-off, not bit-for-bit; the parity test pins
+atol=2e-3 / rtol=1e-3 on the local-max cubes and allows the detection
+counts at scanned thresholds to differ by <=2 voxels sitting exactly at a
+threshold).
 """
 
 from __future__ import annotations
@@ -171,11 +175,10 @@ def detect_tile_kernel(
     )[..., 0]
     cont = jnp.einsum("zi,yxi->zyx", d0, coef, precision=hi)
 
-    # --- standardization: channel means need a GLOBAL reduction ----------
+    # --- standardization: channel means need a reduction over the row
+    # shards (sp only: each dp batch element standardizes independently) --
     data = cube - cont
-    ngood = jax.lax.psum(
-        jax.lax.psum(jnp.sum(good, axis=(1, 2)), axis_name), "dp"
-    ) if False else jax.lax.psum(jnp.sum(good, axis=(1, 2)), axis_name)
+    ngood = jax.lax.psum(jnp.sum(good, axis=(1, 2)), axis_name)
     mean_z = jax.lax.psum(
         jnp.sum(jnp.where(good, data, 0.0), axis=(1, 2)), axis_name
     ) / jnp.maximum(ngood, 1)
@@ -245,8 +248,17 @@ class ShardedPipeline:
         # tile's exact DFT grid, plus the matmul factor matrices whose
         # inverse side folds in both the 'same' offset and the halo trim
         ph, pw = self.psf.shape[-2:]
-        self.halo = (pw - 1) // 2
+        # the halo pads the sharded row (y) axis, so it is sized from the
+        # FSF's y extent
+        self.halo = (ph - 1) // 2
         ny_loc = ny // self.sp
+        if ny_loc < self.halo:
+            # the halo exchange is single-hop (immediate mesh neighbours),
+            # so each tile must be at least one halo tall
+            raise ValueError(
+                f"tile height ny/sp = {ny_loc} is smaller than the FSF halo "
+                f"({self.halo}); use fewer sp shards or a taller field"
+            )
         nyp = ny_loc + 2 * self.halo
         fshape = (nyp + ph - 1, nx + pw - 1)
         kern = self.psf[:, ::-1, ::-1]

@@ -45,7 +45,47 @@ from ..ops.glr import (
 )
 from ..ops.pca import _bucket, greedy_pca
 
-__all__ = ["DeferredCube", "DeviceEngine"]
+__all__ = ["DeferredCube", "DeviceEngine", "device_memory_fits"]
+
+
+def device_memory_fits(nbytes, device=None):
+    """Whether ``nbytes`` of working set fits on ``device``, measured.
+
+    Resolution order:
+
+    1. ``ORIGIN_TPU_HBM_BYTES`` environment variable (an explicit budget in
+       bytes; scientific notation accepted);
+    2. the backend-reported allocator limit (``memory_stats()['bytes_limit']``
+       — absent on some backends, e.g. tunnelled devices);
+    3. host platforms are treated as unlimited;
+    4. otherwise a one-shot probe: try to actually allocate ``nbytes`` on
+       the device (freed immediately).  Anything already resident shrinks
+       the probe's headroom, which errs toward chunking — the safe side.
+    """
+    import os
+
+    env = os.environ.get("ORIGIN_TPU_HBM_BYTES")
+    if env:
+        return nbytes <= int(float(env))
+    if device is None:
+        device = jax.devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+    except Exception:
+        limit = None
+    if limit:
+        return nbytes <= int(limit)
+    if device.platform == "cpu":
+        return True
+    try:
+        with jax.default_device(device):
+            probe = jnp.zeros((max(1, int(nbytes)),), dtype=jnp.int8)
+            probe.block_until_ready()
+        del probe
+        return True
+    except Exception:
+        return False
 
 
 class DeferredCube(Cube):
@@ -115,6 +155,13 @@ class DeferredCube(Cube):
         compiled program (start offsets are traced, not baked in).
         """
         if self._host is not None or self._dev is None:
+            return super()._region(zsl, ysl, xsl)
+        if any(
+            isinstance(sl, slice) and sl.step not in (None, 1)
+            for sl in (zsl, ysl, xsl)
+        ):
+            # strided windows are rare: materialize and defer to the host
+            # path rather than silently returning the unstrided block
             return super()._region(zsl, ysl, xsl)
         nz, ny, nx = self.shape
         squeeze_z = not isinstance(zsl, slice)
@@ -237,39 +284,24 @@ class DeviceEngine:
         for n in names:
             self._inputs.pop(n, None)
 
+    # headroom demanded before running unchunked: ~10 resident cube-sized
+    # products plus FFT/window transients
+    HEADROOM_CUBES = 24
+
     @property
     def tight_memory(self):
         """True when the device HBM cannot hold ~24 cubes of this field.
 
         Decides whether diagnostics-only products are offloaded to host
-        eagerly and whether the GLR spatial stage runs z-chunked.  A v5p
-        (95 GB) never triggers this for a full MUSE field; a 16 GB chip
-        does above ~200x200 spaxels.
+        eagerly and whether the GLR spatial stage runs z-chunked.  The
+        budget is measured, never guessed from the device model name:
+        ``ORIGIN_TPU_HBM_BYTES`` (env) > ``memory_stats()['bytes_limit']``
+        > a one-shot probe allocation of the required headroom.
         """
         if self._tight is None:
-            dev = jax.devices()[0]
-            limit = None
-            try:
-                stats = dev.memory_stats() or {}
-                limit = stats.get("bytes_limit")
-            except Exception:
-                pass
-            if not limit:
-                kind = getattr(dev, "device_kind", "").lower()
-                if dev.platform == "cpu":
-                    limit = None  # host memory: treat as unlimited
-                elif "lite" in kind or "v5e" in kind:
-                    limit = 16 << 30
-                elif "v5p" in kind or "v5" in kind:
-                    limit = 95 << 30
-                elif "v4" in kind:
-                    limit = 32 << 30
-                else:
-                    limit = 16 << 30  # conservative for unknown TPUs
             cube_bytes = 4 * int(np.prod(self.orig.shape))
-            # ~10 resident cube-sized products + FFT/window transients:
-            # demand ~24 cube-sizes of headroom before going unchunked
-            self._tight = bool(limit) and cube_bytes * 24 > limit
+            need = cube_bytes * self.HEADROOM_CUBES
+            self._tight = not device_memory_fits(need)
         return self._tight
 
     def offload(self, *names):

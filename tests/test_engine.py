@@ -193,6 +193,36 @@ def test_deferred_cube_device_subcube(problem):
     assert d.device is not None
 
 
+def test_device_memory_budget_env(monkeypatch):
+    """The env override decides the budget and flips the engine's mode."""
+    from origin_tpu.pipeline.engine import DeviceEngine, device_memory_fits
+
+    monkeypatch.setenv("ORIGIN_TPU_HBM_BYTES", "1e6")
+    assert device_memory_fits(10_000)
+    assert not device_memory_fits(2_000_000)
+
+    class FakeOrig:  # the engine only consults .shape here
+        shape = (100, 50, 50)
+
+    assert DeviceEngine(FakeOrig()).tight_memory
+    monkeypatch.setenv("ORIGIN_TPU_HBM_BYTES", "1e12")
+    assert not DeviceEngine(FakeOrig()).tight_memory
+
+
+def test_device_memory_budget_stats():
+    """A backend-reported allocator limit is honored without probing."""
+    from origin_tpu.pipeline.engine import device_memory_fits
+
+    class FakeDev:
+        platform = "tpu"
+
+        def memory_stats(self):
+            return {"bytes_limit": 1 << 20}
+
+    assert device_memory_fits(1 << 19, device=FakeDev())
+    assert not device_memory_fits(1 << 21, device=FakeDev())
+
+
 def test_tight_memory_pipeline(tmp_path, monkeypatch):
     """Full pipeline through the memory-bounded paths (chunked spatial,
     slab sweep, eager offload), forced via the tight heuristic."""

@@ -95,6 +95,30 @@ def test_sharded_detect_matches_single_chip(problem):
     assert np.abs(np.asarray(cmax) - expected_cmax).max() <= 2
 
 
+def test_sharded_nonsquare_fsf(problem):
+    """Row halo must be sized from the FSF's y extent (regression: it was
+    sized from x, corrupting tile boundaries whenever ph > pw)."""
+    cube, var, mask, psf, profiles = problem
+    psf_ns = np.ascontiguousarray(psf[:, :, 1:-1])  # (nz, 7, 5): ph > pw
+    mesh = make_mesh(8, dp=1)
+    lmax_sh, lmin_sh, _, _ = sharded_detect(
+        mesh, cube, var, mask, psf_ns, profiles
+    )
+
+    from origin_tpu.ops import dct_residual, standardize
+
+    cont = np.asarray(dct_residual(cube, 10, var=var, mask=mask))
+    data, _ = standardize(cube, cont, var, mask)
+    correl, _, correl_min = correlation_glr_test(
+        np.asarray(data), psf_ns, None, profiles
+    )
+    correl[mask] = 0
+    correl_min[mask] = 0
+    lmax, lmin = compute_local_max(correl, correl_min, mask, 3)
+    np.testing.assert_allclose(lmax_sh, np.asarray(lmax), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(lmin_sh, np.asarray(lmin), atol=2e-3, rtol=1e-3)
+
+
 def test_sharded_batch_dp_sp(problem):
     cube, var, mask, psf, profiles = problem
     mesh = make_mesh(8, dp=2)
@@ -103,8 +127,18 @@ def test_sharded_batch_dp_sp(problem):
     masks = np.stack([mask, mask])
     pipe = ShardedPipeline(mesh, *cube.shape, psf, profiles)
     lmax, lmin, cmax, cmin = pipe(cubes, variances, masks)
-    assert np.asarray(lmax).shape == cubes.shape
+    lmax = np.asarray(lmax)
+    assert lmax.shape == cubes.shape
     assert np.asarray(cmax).shape[0] == 2
-    # batch elements are independent
-    pipe1 = ShardedPipeline(make_mesh(8, dp=2), *cube.shape, psf, profiles)
-    assert np.isfinite(np.asarray(lmax)).all()
+    assert np.isfinite(lmax).all()
+
+    # dp batch elements must be fully independent: swapping the batch slots
+    # must swap the outputs bit-for-bit (same program, same partitioning)
+    lmax_sw, _, cmax_sw, _ = pipe(cubes[::-1], variances[::-1], masks[::-1])
+    lmax_sw = np.asarray(lmax_sw)
+    np.testing.assert_array_equal(lmax[0], lmax_sw[1])
+    np.testing.assert_array_equal(lmax[1], lmax_sw[0])
+    np.testing.assert_array_equal(np.asarray(cmax), np.asarray(cmax_sw)[::-1])
+    # and the scaled element must actually differ (guards against one
+    # element being broadcast over the dp axis)
+    assert not np.array_equal(lmax[0], lmax[1])
