@@ -185,6 +185,71 @@ def test_merging_segmap_regions():
     assert im[zs == 500] != im[zs == 100]
 
 
+def test_merging_reference_golden():
+    """Exact 14-row golden spec of the merging semantics.
+
+    Mirrors the reference's unit test (tests/test_origin.py:186-242): a
+    hand-built table exercising the seed/neighbour traversal order, the
+    sqrt(2) distance gate, and the second (segmap-region) merge pass, with
+    the exact expected ``(imatch, imatch2)`` assignment.  Area labels are the
+    values of the reference's tests/segmap.fits at the 14 positions
+    ([0]*10 + [1]*4 — rows 11-14 sit in continuum region 1).
+    """
+    rows = [
+        # first source: four spatially-linked lines ...
+        (72, 49, 545),
+        (71, 49, 549),
+        (71, 47, 751),
+        (72, 45, 543),
+        # ... plus a close line beyond tol_spat*sqrt(2) of the seed but
+        # within tol_spec in z, so it still merges
+        (74, 44, 546),
+        # same spaxel, two wavelengths -> one spatial group
+        (51, 44, 360),
+        (51, 44, 564),
+        (3, 15, 589),
+        (3, 15, 597),
+        (3, 15, 601),
+        # inside segmap region 1: three spatially-separate groups merged by
+        # the region pass, and one left out by the tol_spec gate
+        (24, 12, 733),
+        (24, 15, 736),
+        (29, 11, 740),
+        (20, 10, 749),
+    ]
+    t = Table(rows=rows, names=["x0", "y0", "z0"])
+    t["area"] = np.array([0] * 10 + [1] * 4)
+
+    out = spatiospectral_merging(t, tol_spat=3, tol_spec=5)
+
+    expected = np.array(
+        [
+            # (x0, y0, z0, area, imatch, imatch2)
+            (72, 49, 545, 0, 0, 0),
+            (71, 49, 549, 0, 0, 0),
+            (71, 47, 751, 0, 0, 0),
+            (72, 45, 543, 0, 0, 0),
+            (74, 44, 546, 0, 0, 0),
+            (51, 44, 360, 0, 1, 1),
+            (51, 44, 564, 0, 1, 1),
+            (3, 15, 589, 0, 2, 2),
+            (3, 15, 597, 0, 2, 2),
+            (3, 15, 601, 0, 2, 2),
+            (24, 12, 733, 1, 3, 3),
+            (24, 15, 736, 1, 3, 4),
+            (29, 11, 740, 1, 3, 5),
+            (20, 10, 749, 1, 6, 6),
+        ],
+        dtype=[("x0", int), ("y0", int), ("z0", int), ("area", int),
+               ("imatch", int), ("imatch2", int)],
+    )
+
+    for col in expected.dtype.names:
+        np.testing.assert_array_equal(
+            np.asarray(out[col]), expected[col], err_msg=col
+        )
+
+
 def test_filter_duplicate_lines():
     cor = Table(rows=[(10, 10, 100)], names=["x0", "y0", "z0"])
     std = Table(rows=[(10, 11, 100), (30, 30, 200)], names=["x0", "y0", "z0"])

@@ -98,8 +98,17 @@ def test_origin_full_pipeline(minicube, tmp_path, caplog):
     orig.step05_compute_TGLR(ncpu=1)
     orig.step06_compute_purity_threshold(purity=0.8)
 
+    # frozen golden thresholds for the synthetic minicube (mirrors the
+    # reference integration test pinning 9.28/5.46 for its minicube,
+    # tests/test_origin.py:156-168) — any purity/GLR semantic drift
+    # must break here, not pass silently
+    assert orig.param["threshold"] == pytest.approx(4.5908, abs=0.02)
+    assert orig.param["threshold_std"] == pytest.approx(4.8666, abs=0.02)
+
     # detection with the automatic threshold and the provided segmap
     orig.step07_detection(segmap=seg_fn)
+    assert len(orig.Cat0) == 15
+    assert len(orig.Cat1) == 14
     orig.step08_compute_spectra()
     orig.write()
 
@@ -156,6 +165,13 @@ def test_origin_full_pipeline(minicube, tmp_path, caplog):
     nsources = len(np.unique(cat3["ID"]))
     assert nsources >= len(FAINT_LINES)  # all faint lines as separate sources
     assert max(cat3["ID"]) == nsources
+    # frozen golden catalog counts (14 lines / 13 sources, 2 of them
+    # complementary std-only detections) for the synthetic minicube
+    assert len(cat3) == 14
+    assert nsources == 13
+    sources = Table.read(str(tmp_path / "tmp2" / "Cat3_sources.fits"))
+    assert len(sources) == 13
+    assert int(np.sum(np.asarray(sources["comp"]) == 1)) == 2
 
     # source files
     ids = sorted(np.unique(np.asarray(cat3["ID"])))
