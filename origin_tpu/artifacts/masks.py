@@ -1,10 +1,18 @@
 """Source and sky mask generation.
 
-Host-side reimplementation of reference source_masks.py and
-lib_origin.py:2225-2372 (`create_masks`): per source, segment the max-image
-of the detection cube around each line, OR in an FWHM-scaled disc, grow the
-mask size (x1.5, up to 4 retries) when the source touches the cutout edge or
-leaves too few sky pixels, then trim back to the smallest valid size.
+Reimplementation of reference source_masks.py and lib_origin.py:2225-2372
+(`create_masks`): per source, segment the max-image of the detection cube
+around each line, OR in an FWHM-scaled disc, grow the mask size (x1.5, up to
+4 retries) when the source touches the cutout edge or leaves too few sky
+pixels, then trim back to the smallest valid size.
+
+TPU redesign: the per-line max-images are computed by ONE batched device
+program per retry round (ops.cutouts.line_max_images_kernel) covering every
+still-pending source, instead of the reference's (and round 1's) per-source
+subcube downloads — only (nlines, size, size) images ever cross the
+host-device link.  The recursive retry of the reference becomes an explicit
+round loop over sizes mask_size * 1.5**k, preserving its size progression,
+failure conditions and log messages.
 """
 
 from __future__ import annotations
@@ -14,7 +22,9 @@ import logging
 import numpy as np
 
 from ..core.containers import Image
+from ..core.coords import WCS
 from ..detect.segmentation import detect_sources
+from ..ops.pca import _bucket
 
 __all__ = ["gen_source_mask", "create_masks"]
 
@@ -32,61 +42,134 @@ def _trimmed(arr, border):
     return arr[border:-border, border:-border]
 
 
-def _create_mask(
+def _mask_sizes(mask_size, max_steps=5):
+    """The retry size ladder: odd-adjusted mask_size, then x1.5 per step."""
+    size = int(mask_size)
+    for _ in range(max_steps):
+        if size % 2 == 0:
+            logger.debug("Mask size must be odd; using %d", size + 1)
+            size += 1
+        yield size
+        size = int(size * 1.5)
+
+
+def _window_start(y, x, size):
+    """Window start indices, matching Cube.subcube / Image.subimage."""
+    return int(np.rint(y)) - size // 2, int(np.rint(x)) - size // 2
+
+
+def _cutout_wcs(wcs, y0, x0, size):
+    """The WCS of a (size x size) cutout starting at (y0, x0)."""
+    if wcs is None:
+        return None
+    return WCS(
+        crpix=(wcs.crpix[0] - y0, wcs.crpix[1] - x0),
+        crval=tuple(wcs.crval),
+        cd=wcs.cd.copy(),
+        shape=(size, size),
+    )
+
+
+def _line_zrange(z, fwhm_line, nz):
+    """Inclusive spectral slab of a line's max-image (get_image clamping)."""
+    zlo = max(0, int(z - fwhm_line))
+    zhi = min(nz - 1, int(z + fwhm_line))
+    return zlo, zhi
+
+
+def _fetch_line_images(detection_cube, jobs, size):
+    """Max-images for every (source, line) job at one cutout size.
+
+    ``jobs`` is a list of ``(key, x, y, [(num_line, zlo, zhi), ...])`` with
+    pre-clamped spectral ranges.  Returns ``{(key, num_line): (data, mask)}``
+    with get_image(max) semantics: invalid pixels (outside the field, or
+    non-finite max) are masked and zero-filled; ``mask`` is None when every
+    pixel is valid.
+
+    When the cube is device-resident (DeferredCube), all images come from a
+    single compiled gather/reduce program; otherwise the host path cuts one
+    subcube per source, as the reference does.
+    """
+    out = {}
+    dev = getattr(detection_cube, "device", None)
+    if dev is not None and len(jobs):
+        y0s, x0s, zlos, zhis, keys = [], [], [], [], []
+        for key, x, y, lines in jobs:
+            wy0, wx0 = _window_start(y, x, size)
+            for num_line, zlo, zhi in lines:
+                y0s.append(wy0)
+                x0s.append(wx0)
+                zlos.append(zlo)
+                zhis.append(zhi)
+                keys.append((key, num_line))
+        from ..ops.cutouts import line_max_images_kernel
+
+        zlos = np.asarray(zlos, np.int32)
+        zhis = np.asarray(zhis, np.int32)
+        slab = _bucket(int(np.max(zhis - zlos + 1)), 8)
+        imgs, _ = line_max_images_kernel(
+            dev,
+            np.asarray(y0s, np.int32), np.asarray(x0s, np.int32),
+            zlos, zhis, int(size), int(slab),
+        )
+        imgs = np.asarray(imgs)
+        for key, img in zip(keys, imgs):
+            mask = ~np.isfinite(img)
+            data = np.where(mask, 0.0, img)
+            out[key] = (data, mask if mask.any() else None)
+        return out
+
+    for key, x, y, lines in jobs:
+        sub_cube = detection_cube.subcube(center=(y, x), size=size)
+        for num_line, zlo, zhi in lines:
+            max_map = sub_cube.get_image(wave=(zlo, zhi), method="max")
+            out[(key, num_line)] = (max_map.data, max_map.mask)
+    return out
+
+
+def _single_pass(
     source_id,
-    x,
-    y,
     lines,
-    detection_cube,
+    line_images,
     threshold,
-    cont_sky,
+    sky,
+    sub_wcs,
     fwhm,
     out_dir,
     *,
-    mask_size=25,
-    seg_npixel=5,
-    min_sky_pixels=100,
-    fwhm_factor=2,
+    mask_size,
+    seg_npixel,
+    min_sky_pixels,
+    fwhm_factor,
     verbose=False,
     step=1,
+    key=None,
 ):
-    """Build the (possibly enlarged) source mask and sky mask.
+    """One mask-building attempt at a fixed cutout size.
 
-    ``x``/``y`` are the source position in pixels; lines must provide
-    ra/dec (deg), z, fwhm and num_line columns.  Returns
-    (source_mask bool, sky_mask int, wcs) on the final cutout grid.
+    Returns (source_mask bool, sky_mask int, is_wrong).
     """
-    mask_size = int(mask_size)
-    if mask_size % 2 == 0:
-        logger.debug("Mask size must be odd; using %d", mask_size + 1)
-        mask_size += 1
-
     is_wrong = False
-    sub_cube = detection_cube.subcube(center=(y, x), size=mask_size)
-    sky = cont_sky.subimage(center=(y, x), size=mask_size)
-    sky_mask = np.where(sky.mask, 0, sky.data).astype(int) if sky.mask is not None \
-        else sky.data.astype(int)
-
+    sky_mask = (
+        np.where(sky.mask, 0, sky.data).astype(int)
+        if sky.mask is not None else sky.data.astype(int)
+    )
     source_mask = np.zeros((mask_size, mask_size), dtype=bool)
 
-    pix = sub_cube.wcs.sky2pix(
+    pix = sub_wcs.sky2pix(
         np.stack([np.asarray(lines["dec"]), np.asarray(lines["ra"])], axis=1)
     )
     lines_y, lines_x = pix[:, 0], pix[:, 1]
 
-    for x_line, y_line, z_line, fwhm_line, num_line in zip(
+    for x_line, y_line, z_line, num_line in zip(
         lines_x, lines_y, np.asarray(lines["z"], dtype=int),
-        np.asarray(lines["fwhm"]), np.asarray(lines["num_line"]),
+        np.asarray(lines["num_line"]),
     ):
-        min_z = int(z_line - fwhm_line)
-        max_z = int(z_line + fwhm_line)
-        max_map = sub_cube.get_image(wave=(min_z, max_z), method="max")
+        data, msk = line_images[(key, num_line)]
 
         # invalid pixels of THIS line's max image (reference max_map.mask),
         # not the mask of an arbitrary spectral plane
-        segmap = detect_sources(
-            max_map.data, threshold, seg_npixel, mask=max_map.mask
-        )
+        segmap = detect_sources(data, threshold, seg_npixel, mask=msk)
 
         xi, yi = int(np.round(x_line)), int(np.round(y_line))
         if not (0 <= yi < mask_size and 0 <= xi < mask_size):
@@ -109,7 +192,7 @@ def _create_mask(
             ((xx - xi) ** 2 + (yy - yi) ** 2) <= radius ** 2
         )
         if verbose:
-            max_map.write(
+            Image(data=data, mask=msk, wcs=sub_wcs).write(
                 f"{out_dir}/S{source_id}_L{num_line}_step{step}_cor.fits"
             )
         source_mask |= line_mask
@@ -120,25 +203,7 @@ def _create_mask(
         _touches_edge(source_mask)
         or int(np.sum(sky_mask == 1)) < min_sky_pixels
     )
-
-    if is_wrong and step <= 4:
-        new_size = int(mask_size * 1.5)
-        logger.debug(
-            "Source %s mask can't be done with size %s px at step %s. "
-            "Trying with %s px.", source_id, mask_size, step, new_size,
-        )
-        return _create_mask(
-            source_id, x, y, lines, detection_cube, threshold, cont_sky,
-            fwhm, out_dir, mask_size=new_size, seg_npixel=seg_npixel,
-            min_sky_pixels=min_sky_pixels, fwhm_factor=fwhm_factor,
-            verbose=verbose, step=step + 1,
-        )
-    if is_wrong:
-        logger.error(
-            "Source %s mask couldn't be done after %s attempts with a mask "
-            "size up to %s.", source_id, step, mask_size,
-        )
-    return source_mask, sky_mask, sub_cube.wcs
+    return source_mask, sky_mask, is_wrong
 
 
 def _trim_masks(source_mask, sky_mask, min_size, min_sky_npixels):
@@ -158,6 +223,39 @@ def _trim_masks(source_mask, sky_mask, min_size, min_sky_npixels):
     touch = _touches_edge(source_mask)
     not_enough_sky = int(np.sum(sky_mask == 1)) < min_sky_npixels
     return source_mask, sky_mask, border if border > 1 else 0, touch, not_enough_sky
+
+
+def _finalize_mask(
+    source_id, source_mask, sky_mask, sub_wcs, out_dir, *,
+    mask_size, min_sky_npixels,
+):
+    """Trim, write the FITS pair, and report problems (returns source_id
+    when the mask is problematic, else None)."""
+    source_mask, sky_mask, border, touch, not_enough_sky = _trim_masks(
+        source_mask, sky_mask, min_size=mask_size,
+        min_sky_npixels=min_sky_npixels,
+    )
+    if touch:
+        logger.error(
+            "Mask creation problem: the source %s touches the edge of the "
+            "mask.", source_id,
+        )
+    if not_enough_sky:
+        logger.error(
+            "Mask creation problem: the source %s has not enough sky "
+            "pixels.", source_id,
+        )
+    if border and sub_wcs is not None:
+        sub_wcs = sub_wcs[border:-border, border:-border]
+
+    Image(data=source_mask.astype(np.int64), wcs=sub_wcs).write(
+        f"{out_dir}/source-mask-%0.5d.fits" % source_id
+    )
+    Image(data=sky_mask.astype(np.int64), wcs=sub_wcs).write(
+        f"{out_dir}/sky-mask-%0.5d.fits" % source_id
+    )
+    if touch or not_enough_sky:
+        return source_id
 
 
 def gen_source_mask(
@@ -183,37 +281,44 @@ def gen_source_mask(
     too few sky pixels after all retries), else None.
     (Reference source_masks.py:281-401.)
     """
-    source_mask, sky_mask, wcs = _create_mask(
-        source_id, x, y, lines, detection_cube, threshold, cont_sky, fwhm,
-        out_dir, mask_size=mask_size, seg_npixel=seg_npixel,
-        min_sky_pixels=min_sky_npixels, fwhm_factor=fwhm_factor,
-        verbose=verbose,
-    )
-    source_mask, sky_mask, border, touch, not_enough_sky = _trim_masks(
-        source_mask, sky_mask, min_size=mask_size,
-        min_sky_npixels=min_sky_npixels,
-    )
-    if touch:
-        logger.error(
-            "Mask creation problem: the source %s touches the edge of the "
-            "mask.", source_id,
+    nz = detection_cube.shape[0]
+    zjobs = [
+        (num_line,) + _line_zrange(z, fwhm_line, nz)
+        for z, fwhm_line, num_line in zip(
+            np.asarray(lines["z"], dtype=int), np.asarray(lines["fwhm"]),
+            np.asarray(lines["num_line"]),
         )
-    if not_enough_sky:
-        logger.error(
-            "Mask creation problem: the source %s has not enough sky "
-            "pixels.", source_id,
+    ]
+    sizes = list(_mask_sizes(mask_size))
+    for step, size in enumerate(sizes, start=1):
+        sky = cont_sky.subimage(center=(y, x), size=size)
+        wy0, wx0 = _window_start(y, x, size)
+        sub_wcs = _cutout_wcs(detection_cube.wcs, wy0, wx0, size)
+        line_images = _fetch_line_images(
+            detection_cube, [(source_id, x, y, zjobs)], size
         )
-    if border:
-        wcs = wcs[border:-border, border:-border]
-
-    Image(data=source_mask.astype(np.int64), wcs=wcs).write(
-        f"{out_dir}/source-mask-%0.5d.fits" % source_id
+        source_mask, sky_mask, is_wrong = _single_pass(
+            source_id, lines, line_images, threshold, sky, sub_wcs, fwhm,
+            out_dir, mask_size=size, seg_npixel=seg_npixel,
+            min_sky_pixels=min_sky_npixels, fwhm_factor=fwhm_factor,
+            verbose=verbose, step=step, key=source_id,
+        )
+        if not is_wrong:
+            break
+        if step < len(sizes):
+            logger.debug(
+                "Source %s mask can't be done with size %s px at step %s. "
+                "Trying with %s px.", source_id, size, step, sizes[step],
+            )
+        else:
+            logger.error(
+                "Source %s mask couldn't be done after %s attempts with a "
+                "mask size up to %s.", source_id, step, size,
+            )
+    return _finalize_mask(
+        source_id, source_mask, sky_mask, sub_wcs, out_dir,
+        mask_size=mask_size, min_sky_npixels=min_sky_npixels,
     )
-    Image(data=sky_mask.astype(np.int64), wcs=wcs).write(
-        f"{out_dir}/sky-mask-%0.5d.fits" % source_id
-    )
-    if touch or not_enough_sky:
-        return source_id
 
 
 def create_masks(
@@ -239,6 +344,10 @@ def create_masks(
     Primary (comp=0) sources segment the correlation cube; complementary
     (comp=1) sources segment the std cube, each at ``threshold *
     seg_thres_factor``.  (Reference lib_origin.py:2225-2372.)
+
+    Sources are processed in retry rounds: all still-pending sources of a
+    round share one batched device program per detection cube, so the
+    device link carries only the (nlines, size, size) max-images.
     """
     line_table = line_table.copy()
     # segmentation at the raw detection position (x0/y0/z0), not the refined
@@ -261,44 +370,108 @@ def create_masks(
         copy=False,
     )
 
+    cubes = {0: cube_correl, 1: cube_std}
+    thresholds = {
+        0: threshold_correl * seg_thres_factor,
+        1: threshold_std * seg_thres_factor,
+    }
+
     src_by_id = {int(i): k for k, i in enumerate(np.asarray(source_table["ID"]))}
     grouped = line_table.group_by("ID")
-    from ..utils import progressbar
 
-    for group in progressbar(grouped.groups, desc="masks",
-                             total=len(grouped.groups), leave=False):
+    pending = []
+    for group in grouped.groups:
         source_id = int(group["ID"][0])
         k = src_by_id[source_id]
-        source_x = float(np.asarray(source_table["x"])[k])
-        source_y = float(np.asarray(source_table["y"])[k])
-        logger.debug("Making mask of source %s.", source_id)
-
-        if int(np.asarray(source_table["comp"])[k]) == 0:
-            detection_cube = cube_correl
-            threshold = threshold_correl * seg_thres_factor
-        else:
-            detection_cube = cube_std
-            threshold = threshold_std * seg_thres_factor
-
-        ret = gen_source_mask(
-            source_id, source_x, source_y, lines=group,
-            detection_cube=detection_cube, threshold=threshold,
-            cont_sky=skymap, fwhm=fwhm, out_dir=out_dir,
-            mask_size=mask_size, min_sky_npixels=min_sky_npixels,
-            fwhm_factor=fwhm_factor,
-        )
-        if ret is not None:
-            logger.warning(
-                "The source %s mask is problematic. You may want to check "
-                "source-mask-%0.5d.fits", ret, ret,
+        comp = int(np.asarray(source_table["comp"])[k])
+        nz = cubes[comp].shape[0]
+        zjobs = [
+            (num_line,) + _line_zrange(z, fwhm_line, nz)
+            for z, fwhm_line, num_line in zip(
+                np.asarray(group["z"], dtype=int),
+                np.asarray(group["fwhm"]),
+                np.asarray(group["num_line"]),
             )
-            with open(f"{out_dir}/problematic_masks.txt", "a") as out:
-                out.write(f"{ret}\n")
-            if plot_problems:
-                gen_source_mask(
-                    source_id, source_x, source_y, lines=group,
-                    detection_cube=detection_cube, threshold=threshold,
-                    cont_sky=skymap, fwhm=fwhm, out_dir=out_dir,
-                    mask_size=mask_size, min_sky_npixels=min_sky_npixels,
-                    fwhm_factor=fwhm_factor, verbose=True,
+        ]
+        pending.append(dict(
+            source_id=source_id,
+            x=float(np.asarray(source_table["x"])[k]),
+            y=float(np.asarray(source_table["y"])[k]),
+            comp=comp,
+            lines=group,
+            zjobs=zjobs,
+        ))
+
+    from ..utils import progressbar
+
+    bar = progressbar(total=len(pending), desc="masks", leave=False)
+    sizes = list(_mask_sizes(mask_size))
+    problematic = []
+    for step, size in enumerate(sizes, start=1):
+        if not pending:
+            break
+        # one batched device fetch per detection cube for this round
+        line_images = {}
+        for comp, cube in cubes.items():
+            jobs = [
+                (r["source_id"], r["x"], r["y"], r["zjobs"])
+                for r in pending if r["comp"] == comp
+            ]
+            if jobs:
+                line_images.update(_fetch_line_images(cube, jobs, size))
+
+        retry = []
+        for r in pending:
+            source_id = r["source_id"]
+            logger.debug("Making mask of source %s.", source_id)
+            sky_img = skymap.subimage(center=(r["y"], r["x"]), size=size)
+            wy0, wx0 = _window_start(r["y"], r["x"], size)
+            sub_wcs = _cutout_wcs(cubes[r["comp"]].wcs, wy0, wx0, size)
+            source_mask, sky_mask, is_wrong = _single_pass(
+                source_id, r["lines"], line_images, thresholds[r["comp"]],
+                sky_img, sub_wcs, fwhm, out_dir, mask_size=size,
+                seg_npixel=5, min_sky_pixels=min_sky_npixels,
+                fwhm_factor=fwhm_factor, step=step, key=source_id,
+            )
+            if is_wrong and step < len(sizes):
+                logger.debug(
+                    "Source %s mask can't be done with size %s px at step "
+                    "%s. Trying with %s px.",
+                    source_id, size, step, sizes[step],
                 )
+                retry.append(r)
+                continue
+            if is_wrong:
+                logger.error(
+                    "Source %s mask couldn't be done after %s attempts with "
+                    "a mask size up to %s.", source_id, step, size,
+                )
+            ret = _finalize_mask(
+                source_id, source_mask, sky_mask, sub_wcs, out_dir,
+                mask_size=mask_size, min_sky_npixels=min_sky_npixels,
+            )
+            if ret is not None:
+                problematic.append(r)
+            if bar is not None and hasattr(bar, "update"):
+                bar.update(1)
+        pending = retry
+    if bar is not None and hasattr(bar, "close"):
+        bar.close()
+
+    for r in problematic:
+        ret = r["source_id"]
+        logger.warning(
+            "The source %s mask is problematic. You may want to check "
+            "source-mask-%0.5d.fits", ret, ret,
+        )
+        with open(f"{out_dir}/problematic_masks.txt", "a") as out:
+            out.write(f"{ret}\n")
+        if plot_problems:
+            gen_source_mask(
+                ret, r["x"], r["y"], lines=r["lines"],
+                detection_cube=cubes[r["comp"]],
+                threshold=thresholds[r["comp"]],
+                cont_sky=skymap, fwhm=fwhm, out_dir=out_dir,
+                mask_size=mask_size, min_sky_npixels=min_sky_npixels,
+                fwhm_factor=fwhm_factor, verbose=True,
+            )

@@ -29,7 +29,11 @@ from .pca import (
     greedy_pca_by_area,
     rank1_left_vector,
 )
-from .purity import compute_threshold_purity, counts_above_thresholds
+from .purity import (
+    compute_threshold_purity,
+    compute_threshold_purity_pair,
+    counts_above_thresholds,
+)
 from .stats import compute_thresh_gaussfit, o2test, sigma_clip, standardize
 
 __all__ = [
@@ -44,6 +48,7 @@ __all__ = [
     "compute_local_max", "local_maxima",
     "compute_pca_threshold", "greedy_pca", "greedy_pca_by_area",
     "rank1_left_vector",
-    "compute_threshold_purity", "counts_above_thresholds",
+    "compute_threshold_purity", "compute_threshold_purity_pair",
+    "counts_above_thresholds",
     "compute_thresh_gaussfit", "o2test", "sigma_clip", "standardize",
 ]

@@ -42,7 +42,7 @@ from ..detect import (
     add_tglr_stat,
 )
 from ..ops import (
-    compute_threshold_purity,
+    compute_threshold_purity_pair,
     estimation_line_arrays,
     o2test,
 )
@@ -461,19 +461,17 @@ class ComputePurityThreshold(Step):
         self.store_image("segmap_purity", segmap)
 
         eng = orig.engine
-        threshold, pval = compute_threshold_purity(
-            purity, eng.get("cube_local_max"), eng.get("cube_local_min"),
-            segmap, threshlist=threshlist,
+        threshold, pval, threshold_std, pval_comp = (
+            compute_threshold_purity_pair(
+                purity, eng.get("cube_local_max"), eng.get("cube_local_min"),
+                eng.get("cube_std_local_max"), eng.get("cube_std_local_min"),
+                segmap, purity_std=purity_std, threshlist=threshlist,
+            )
         )
         self.put("Pval", pval)
         orig.param["threshold"] = threshold
         self.logger.info(
             "correl threshold %.2f for purity %.2f", threshold, purity
-        )
-
-        threshold_std, pval_comp = compute_threshold_purity(
-            purity_std, eng.get("cube_std_local_max"),
-            eng.get("cube_std_local_min"), threshlist=threshlist,
         )
         self.put("Pval_comp", pval_comp)
         orig.param["threshold_std"] = threshold_std

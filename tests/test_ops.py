@@ -280,6 +280,84 @@ def test_compute_threshold_purity():
     assert 1 - n0 / n1 >= 0.85
 
 
+def test_purity_pair_matches_single_calls():
+    """The fused step-06 program must reproduce the two independent scans."""
+    from origin_tpu.ops import compute_threshold_purity_pair
+
+    rng = np.random.default_rng(34)
+    shape = (40, 20, 20)
+
+    def noisy(nsig):
+        c = np.zeros(shape, np.float32)
+        c.ravel()[rng.integers(0, c.size, 300)] = rng.uniform(2, 6, 300)
+        if nsig:
+            c.ravel()[rng.integers(0, c.size, nsig)] = rng.uniform(8, 12, nsig)
+        return c
+
+    lmax, lmin = noisy(50), noisy(0)
+    slmax, slmin = noisy(80), noisy(0)
+    segmap = np.zeros(shape[1:], int)
+    segmap[5:10, 5:10] = 1
+
+    # explicit threshold list: exact equality with the single-scan calls
+    th = np.linspace(2.0, 8.0, 50)
+    t_c, pv, t_s, pvc = compute_threshold_purity_pair(
+        0.9, lmax, lmin, slmax, slmin, segmap, threshlist=th
+    )
+    t_c1, pv1 = compute_threshold_purity(0.9, lmax, lmin, segmap,
+                                         threshlist=th)
+    t_s1, pvc1 = compute_threshold_purity(0.9, slmax, slmin, threshlist=th)
+    assert t_c == t_c1 and t_s == t_s1
+    for col in ("Tval_r", "Pval_r", "Det_m", "Det_M"):
+        np.testing.assert_allclose(np.asarray(pv[col], float),
+                                   np.asarray(pv1[col], float))
+        np.testing.assert_allclose(np.asarray(pvc[col], float),
+                                   np.asarray(pvc1[col], float))
+
+    # auto grids: fused device linspace vs host linspace, float32 round-off
+    t_c, pv, t_s, pvc = compute_threshold_purity_pair(
+        0.9, lmax, lmin, slmax, slmin, segmap
+    )
+    t_c1, _ = compute_threshold_purity(0.9, lmax, lmin, segmap)
+    t_s1, _ = compute_threshold_purity(0.9, slmax, slmin)
+    assert t_c == pytest.approx(t_c1, abs=1e-3)
+    assert t_s == pytest.approx(t_s1, abs=1e-3)
+
+
+def test_line_max_images_kernel_matches_host_path():
+    """Batched device max-images == per-source subcube + get_image(max),
+    including windows hanging off the field edge."""
+    from origin_tpu.core.containers import Cube
+    from origin_tpu.pipeline.engine import DeferredCube
+    from origin_tpu.artifacts.masks import _fetch_line_images, _line_zrange
+
+    rng = np.random.default_rng(35)
+    nz, ny, nx = 60, 30, 28
+    data = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    host = Cube(data=data.copy())
+    dev = DeferredCube(jnp.asarray(data))
+
+    size = 9
+    jobs = []
+    for key, (x, y) in enumerate([(10.3, 12.7), (1.0, 2.0), (26.9, 28.4),
+                                  (0.0, 0.0), (14.5, 15.5)]):
+        lines = []
+        for ln, (z, f) in enumerate([(5, 2.5), (0, 3.0), (58, 4.0)]):
+            lines.append((ln,) + _line_zrange(z, f, nz))
+        jobs.append((key, x, y, lines))
+
+    got = _fetch_line_images(dev, jobs, size)
+    want = _fetch_line_images(host, jobs, size)
+    assert set(got) == set(want)
+    for k in want:
+        dg, mg = got[k]
+        dw, mw = want[k]
+        np.testing.assert_allclose(dg, dw, atol=1e-6)
+        mg = np.zeros(dg.shape, bool) if mg is None else mg
+        mw = np.zeros(dw.shape, bool) if mw is None else mw
+        np.testing.assert_array_equal(mg, mw)
+
+
 def test_ls_deconv_matches_oracle():
     rng = np.random.default_rng(41)
     nl, s = 30, 5
