@@ -36,6 +36,7 @@ from ..ops.dct import dctmat
 __all__ = [
     "make_mesh",
     "halo_exchange_rows",
+    "build_tile_spatial_op",
     "sharded_detect",
     "sharded_detect_batch",
     "ShardedPipeline",
@@ -142,6 +143,80 @@ def _local_max_sharded(x, mask, size, axis_name="sp"):
     return jnp.where(keep, filt, 0.0)
 
 
+def build_tile_spatial_op(psf, ny_loc, nx, halo=None):
+    """Per-tile spatial FSF operator for a halo-extended row tile (host).
+
+    Precomputes the FSF spectra (of the flipped zero-mean kernel and its
+    square) on the tile's exact DFT grid, plus the DFT-matmul factor
+    matrices whose inverse side folds in both the 'same' offset and the
+    halo trim (see ops.glr.dft_spatial_factors).
+
+    The halo pads the sharded row (y) axis, so it is sized from the FSF's
+    y extent.  Returns (spatial_op dict, halo).
+    """
+    from ..ops.glr import dft_spatial_factors
+
+    psf = np.asarray(psf, dtype=np.float32)
+    ph, pw = psf.shape[-2:]
+    if halo is None:
+        halo = (ph - 1) // 2
+    if ny_loc < halo:
+        # the halo exchange is single-hop (immediate mesh neighbours),
+        # so each tile must be at least one halo tall
+        raise ValueError(
+            f"tile height {ny_loc} is smaller than the FSF halo ({halo}); "
+            "use fewer sp shards or a taller field"
+        )
+    nyp = ny_loc + 2 * halo
+    fshape = (nyp + ph - 1, nx + pw - 1)
+    kern = psf[:, ::-1, ::-1]
+    kern = kern - kern.mean(axis=(1, 2), keepdims=True)
+    kern_hat = np.fft.rfft2(kern, fshape)
+    kern2_hat = np.fft.rfft2(kern * kern, fshape)
+    factors = dft_spatial_factors(
+        nyp, nx, fshape, (ph, pw), ny_out=ny_loc, y_extra=halo
+    )
+    spatial_op = dict(
+        kern_r=kern_hat.real.astype(np.float32),
+        kern_i=kern_hat.imag.astype(np.float32),
+        kern2_r=kern2_hat.real.astype(np.float32),
+        kern2_i=kern2_hat.imag.astype(np.float32),
+        factors=factors,
+    )
+    return spatial_op, halo
+
+
+def glr_tile(faint, mask, spatial_op, t_num, t_den, pad_left, nz,
+             local_max_size=3, halo=0, axis_name="sp"):
+    """Full step-05 tile math with collectives; runs inside shard_map.
+
+    Spatial FSF convolution on the halo-extended tile, banded-Toeplitz
+    spectral sweep (with best-profile indices), masking, local extrema and
+    the max/min maps.  Matches the single-chip DeviceEngine.tglr products.
+    """
+    from ..ops.glr import toeplitz_sweep
+
+    cube_fsf = _conv2d_same_local_matmul(
+        faint, spatial_op["kern_r"], spatial_op["kern_i"],
+        spatial_op["factors"], halo, axis_name,
+    )
+    norm_fsf = _conv2d_same_local_matmul(
+        jnp.ones_like(faint), spatial_op["kern2_r"], spatial_op["kern2_i"],
+        spatial_op["factors"], halo, axis_name,
+    )
+    correl, profile, correl_min = toeplitz_sweep(
+        cube_fsf, norm_fsf, t_num, t_den, pad_left, nz
+    )
+    correl = jnp.where(mask, 0.0, correl)
+    correl_min = jnp.where(mask, 0.0, correl_min)
+    profile = jnp.where(mask, jnp.zeros((), profile.dtype), profile)
+    lmax = _local_max_sharded(correl, mask, local_max_size, axis_name)
+    lmin = _local_max_sharded(-correl_min, mask, local_max_size, axis_name)
+    maxmap = jnp.amax(correl, axis=0)
+    minmap = jnp.amin(correl_min, axis=0)
+    return correl, correl_min, profile, lmax, lmin, maxmap, minmap
+
+
 def detect_tile_kernel(
     cube, var, mask, spatial_op, t_num, t_den, d0, thresholds,
     pad_left=0, local_max_size=3, axis_name="sp", halo=0,
@@ -185,29 +260,12 @@ def detect_tile_kernel(
     data = (data - mean_z[:, None, None]) / jnp.sqrt(var)
     data = jnp.where(good & jnp.isfinite(data), data, 0.0)
 
-    # --- spatial FSF convolution with halo exchange (MXU DFT-matmul) -----
-    factors = spatial_op["factors"]
-    cube_fsf = _conv2d_same_local_matmul(
-        data, spatial_op["kern_r"], spatial_op["kern_i"], factors, halo,
-        axis_name,
+    # --- GLR matched filter + local extrema (halo-exchange tile stage;
+    # the unused profile/map outputs are dead-code-eliminated by XLA) -----
+    _, _, _, lmax, lmin, _, _ = glr_tile(
+        data, mask, spatial_op, t_num, t_den, pad_left, nz,
+        local_max_size=local_max_size, halo=halo, axis_name=axis_name,
     )
-    norm_fsf = _conv2d_same_local_matmul(
-        jnp.ones_like(data), spatial_op["kern2_r"], spatial_op["kern2_i"],
-        factors, halo, axis_name,
-    )
-
-    # --- spectral matched filter (local z axis; MXU Toeplitz sweep) -------
-    from ..ops.glr import toeplitz_sweep
-
-    correl, _, correl_min = toeplitz_sweep(
-        cube_fsf, norm_fsf, t_num, t_den, pad_left, nz, with_profile=False
-    )
-    correl = jnp.where(good, correl, 0.0)
-    correl_min = jnp.where(good, correl_min, 0.0)
-
-    # --- local maxima (halo 1 on the sharded row axis) --------------------
-    lmax = _local_max_sharded(correl, mask, local_max_size, axis_name)
-    lmin = _local_max_sharded(-correl_min, mask, local_max_size, axis_name)
 
     # --- purity counts: global psum over the mesh -------------------------
     def counts(v):
@@ -225,11 +283,7 @@ class ShardedPipeline:
 
     def __init__(self, mesh, nz, ny, nx, psf, profiles, dct_order=10,
                  local_max_size=3, thresholds=None):
-        from ..ops.glr import (
-            dft_spatial_factors,
-            pack_profiles_toeplitz,
-            prepare_profiles,
-        )
+        from ..ops.glr import pack_profiles_toeplitz, prepare_profiles
 
         self.mesh = mesh
         self.sp = mesh.shape["sp"]
@@ -243,37 +297,10 @@ class ShardedPipeline:
             prepped, block=min(128, nz)
         )
 
-        # precompute the per-tile spatial FSF operator: FSF spectra (of the
-        # flipped zero-mean kernel and its square) on the halo-extended
-        # tile's exact DFT grid, plus the matmul factor matrices whose
-        # inverse side folds in both the 'same' offset and the halo trim
-        ph, pw = self.psf.shape[-2:]
-        # the halo pads the sharded row (y) axis, so it is sized from the
-        # FSF's y extent
-        self.halo = (ph - 1) // 2
-        ny_loc = ny // self.sp
-        if ny_loc < self.halo:
-            # the halo exchange is single-hop (immediate mesh neighbours),
-            # so each tile must be at least one halo tall
-            raise ValueError(
-                f"tile height ny/sp = {ny_loc} is smaller than the FSF halo "
-                f"({self.halo}); use fewer sp shards or a taller field"
-            )
-        nyp = ny_loc + 2 * self.halo
-        fshape = (nyp + ph - 1, nx + pw - 1)
-        kern = self.psf[:, ::-1, ::-1]
-        kern = kern - kern.mean(axis=(1, 2), keepdims=True)
-        kern_hat = np.fft.rfft2(kern, fshape)
-        kern2_hat = np.fft.rfft2(kern * kern, fshape)
-        factors = dft_spatial_factors(
-            nyp, nx, fshape, (ph, pw), ny_out=ny_loc, y_extra=self.halo
-        )
-        self.spatial_op = dict(
-            kern_r=kern_hat.real.astype(np.float32),
-            kern_i=kern_hat.imag.astype(np.float32),
-            kern2_r=kern2_hat.real.astype(np.float32),
-            kern2_i=kern2_hat.imag.astype(np.float32),
-            factors=factors,
+        # precompute the per-tile spatial FSF operator on the halo-extended
+        # tile's exact DFT grid
+        self.spatial_op, self.halo = build_tile_spatial_op(
+            self.psf, ny // self.sp, nx
         )
         self.d0 = dctmat(nz, dct_order)
         if thresholds is None:

@@ -45,7 +45,7 @@ from ..ops.glr import (
 )
 from ..ops.pca import _bucket, greedy_pca
 
-__all__ = ["DeferredCube", "DeviceEngine", "device_memory_fits"]
+__all__ = ["DeferredCube", "DeviceEngine", "MeshEngine", "device_memory_fits"]
 
 
 def device_memory_fits(nbytes, device=None):
@@ -528,3 +528,159 @@ class DeviceEngine:
             np.asarray(vals)[:n],
             [np.asarray(e)[:n] for e in evals],
         )
+
+
+class MeshEngine(DeviceEngine):
+    """DeviceEngine over a (1 x sp) ``jax.sharding.Mesh``.
+
+    The interface is identical to :class:`DeviceEngine`, so the pipeline
+    steps run unchanged; the front-end cubes live row-sharded over the
+    mesh's ``sp`` axis (spec ``P(None, 'sp', None)``) and the per-step math
+    distributes as:
+
+    - step 01 (DCT/standardize/local max): the existing fused jit program
+      on sharded inputs — the DCT solve is per-spaxel (no communication),
+      the channel means become psums, and XLA's SPMD partitioner handles
+      the ``reduce_window`` halo exchange natively;
+    - step 04 (greedy PCA): areas sharded over devices with an on-device
+      gather/scatter (parallel.pca.greedy_pca_mesh) — the realisation of
+      the reference areamap's stated purpose (reference steps.py:496-499);
+    - step 05 (GLR): explicit ``shard_map`` tiles with single-hop
+      ``ppermute`` halo exchange for the spatial FSF convolution
+      (parallel.mesh.glr_tile) — the one stage where auto-sharding would
+      all-gather the field (the DFT mixes the sharded row axis);
+    - steps 06/07 (purity counts, stream compaction): the single-chip jit
+      programs on sharded inputs (global reductions become collectives).
+
+    Numerics note: the sharded GLR computes each tile's spatial
+    convolution on its own (halo-extended) DFT grid, so correl values
+    match the single-chip kernel to float32 round-off (atol ~2e-3), not
+    bit-for-bit; catalogs agree at matched thresholds except for values
+    within round-off of a threshold.  Mosaic fieldmaps (``wfields``) are
+    not supported on a session mesh yet — run per-field ingest
+    (tools/mosaic_batch.py) instead.
+    """
+
+    def __init__(self, orig, mesh):
+        super().__init__(orig)
+        if "sp" not in mesh.shape:
+            raise ValueError("session mesh needs an 'sp' axis "
+                             "(make_mesh(n, dp=1))")
+        extra = {k: v for k, v in mesh.shape.items()
+                 if k != "sp" and v != 1}
+        if extra:
+            raise ValueError(
+                f"session mesh must be (1 x sp), got extra axes {extra}; "
+                "a session processes one cube — use sharded_detect_batch "
+                "for dp batches of cubes"
+            )
+        ny = orig.shape[1]
+        self.sp = mesh.shape["sp"]
+        if ny % self.sp != 0:
+            raise ValueError(
+                f"Ny={ny} must divide evenly over sp={self.sp} row shards"
+            )
+        self.mesh = mesh
+        self._row = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "sp", None)
+        )
+        self._glr_prog = None
+
+    # -- inputs: device_put row-sharded -------------------------------------
+    def input_cube(self):
+        if "cube" not in self._inputs:
+            self._inputs["cube"] = jax.device_put(
+                np.asarray(self.orig.cube_raw, np.float32), self._row
+            )
+        return self._inputs["cube"]
+
+    def input_var(self):
+        if "var" not in self._inputs:
+            self._inputs["var"] = jax.device_put(
+                np.asarray(self.orig.var, np.float32), self._row
+            )
+        return self._inputs["var"]
+
+    def input_mask(self):
+        if "mask" not in self._inputs:
+            self._inputs["mask"] = jax.device_put(
+                np.asarray(self.orig.mask), self._row
+            )
+        return self._inputs["mask"]
+
+    def get(self, name):
+        """Device array for a session product, row-sharded on (re-)upload."""
+        obj = getattr(self.orig, name)
+        if isinstance(obj, DeferredCube) and obj.device is not None:
+            return obj.device
+        host = obj.filled(0)
+        if host.dtype == np.float64:
+            host = host.astype(np.float32)
+        if host.ndim == 3:
+            return jax.device_put(host, self._row)
+        return jnp.asarray(host)
+
+    # -- step 04 -------------------------------------------------------------
+    def greedy_pca_by_area(self, areamap, thresholds, testO2,
+                           noise_population=50.0, itermax=100):
+        """Area-parallel greedy PCA over the mesh (one jitted program)."""
+        from ..parallel.pca import greedy_pca_mesh
+
+        return greedy_pca_mesh(
+            self.mesh, self.get("cube_std"), areamap, thresholds, testO2,
+            noise_population=noise_population, itermax=itermax,
+        )
+
+    # -- step 05 -------------------------------------------------------------
+    def tglr(self, psf, wfields, profiles, pcut=1e-8, pmeansub=True, size=3):
+        """Sharded GLR matched filter + local extrema (shard_map tiles)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.glr import pack_profiles_toeplitz, prepare_profiles
+        from ..parallel.mesh import build_tile_spatial_op, glr_tile
+
+        if wfields is not None:
+            raise NotImplementedError(
+                "mosaic fieldmaps are not supported on a session mesh yet; "
+                "run per-field sessions (tools/mosaic_batch.py)"
+            )
+        faint = self.get("cube_faint")
+        mask = self.input_mask()
+        nz, ny, nx = faint.shape
+        psfs = np.asarray(psf, dtype=np.float32)
+        if psfs.ndim == 4:
+            psfs = psfs[0]
+
+        spatial_op, halo = build_tile_spatial_op(psfs, ny // self.sp, nx)
+        prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
+        t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
+            prepped, block=min(128, nz)
+        )
+
+        row = P(None, "sp", None)
+        img = P("sp", None)
+        rep = P()
+        op_spec = jax.tree.map(lambda _: rep, spatial_op)
+
+        @partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(row, row, op_spec, rep, rep),
+            out_specs=(row, row, row, row, row, img, img),
+        )
+        def prog(faint, mask, op, t_num, t_den):
+            return glr_tile(
+                faint, mask, op, t_num, t_den, pad_left, nz,
+                local_max_size=size, halo=halo,
+            )
+
+        out = jax.jit(prog)(
+            faint, mask, jax.tree.map(jnp.asarray, spatial_op),
+            jnp.asarray(t_num), jnp.asarray(t_den),
+        )
+        correl, correl_min, profile, lmax, lmin, maxmap, minmap = out
+
+        dev = dict(cube_correl=correl, cube_correl_min=correl_min,
+                   cube_profile=profile, cube_local_max=lmax,
+                   cube_local_min=lmin)
+        host = dict(maxmap=np.asarray(maxmap), minmap=np.asarray(minmap))
+        return dev, host

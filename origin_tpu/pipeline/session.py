@@ -95,8 +95,10 @@ class ORIGIN(PlotMixin):
         param=None,
         imawhite=None,
         wfields=None,
+        mesh=None,
     ):
         self.path = path
+        self.mesh = mesh
         self.name = name
         self.outpath = os.path.join(path, name)
         self.param = param or {}
@@ -175,9 +177,16 @@ class ORIGIN(PlotMixin):
     # -- device engine -------------------------------------------------------
     @cached_property
     def engine(self):
-        """Device-resident front-end engine (see pipeline.engine)."""
-        from .engine import DeviceEngine
+        """Device-resident front-end engine (see pipeline.engine).
 
+        With a session mesh (``init(..., mesh=...)``), the MeshEngine runs
+        the front-end steps 01-07 sharded over the mesh's ``sp`` axis with
+        the same interface.
+        """
+        from .engine import DeviceEngine, MeshEngine
+
+        if self.mesh is not None:
+            return MeshEngine(self, self.mesh)
         return DeviceEngine(self)
 
     # -- raw data views ------------------------------------------------------
@@ -200,17 +209,28 @@ class ORIGIN(PlotMixin):
     @classmethod
     def init(cls, cube, fieldmap=None, profiles=None, PSF=None,
              LBDA_FWHM_PSF=None, FWHM_PSF=None, PSF_size=25, name="origin",
-             path=".", loglevel="DEBUG", logcolor=False):
-        """Create an ORIGIN session from a cube FITS file."""
+             path=".", loglevel="DEBUG", logcolor=False, mesh=None):
+        """Create an ORIGIN session from a cube FITS file.
+
+        ``mesh`` (optional): a ``jax.sharding.Mesh`` with a (1 x sp) shape
+        (see ``origin_tpu.parallel.make_mesh(n, dp=1)``); the detection
+        front-end (steps 01-07) then runs sharded over its ``sp`` axis.
+        """
         return cls(
             cube, path=path, name=name, fieldmap=fieldmap, profiles=profiles,
             PSF=PSF, LBDA_FWHM_PSF=LBDA_FWHM_PSF, FWHM_PSF=FWHM_PSF,
             PSF_size=PSF_size, loglevel=loglevel, logcolor=logcolor,
+            mesh=mesh,
         )
 
     @classmethod
-    def load(cls, folder, newname=None, loglevel=None, logcolor=None):
-        """Restore a saved session; optionally fork it under a new name."""
+    def load(cls, folder, newname=None, loglevel=None, logcolor=None,
+             mesh=None):
+        """Restore a saved session; optionally fork it under a new name.
+
+        A mesh is runtime state, not session state: pass ``mesh=`` again to
+        resume a sharded session (the on-disk format is identical).
+        """
         path = os.path.dirname(os.path.abspath(folder))
         name = os.path.basename(folder)
 
@@ -261,7 +281,7 @@ class ORIGIN(PlotMixin):
             loglevel=loglevel, logcolor=logcolor,
             filename=param["cubename"], fieldmap=param.get("fieldmap"),
             wfields=wfields, profiles=param["profiles"], PSF=PSF,
-            FWHM_PSF=FWHM_PSF, LBDA_FWHM_PSF=LBDA_FWHM_PSF,
+            FWHM_PSF=FWHM_PSF, LBDA_FWHM_PSF=LBDA_FWHM_PSF, mesh=mesh,
         )
 
         for step in obj.steps.values():
