@@ -275,7 +275,19 @@ def test_session_mesh_full_pipeline(tmp_path):
     )
     assert prof_same > 0.999, f"profile agreement {prof_same:.5f}"
 
-    for orig in (ref, shd):
+    # sharded resume: write the meshed session, re-load with mesh=, and
+    # re-detect — MeshEngine.get must re-upload host products row-sharded
+    shd.write()
+    from origin_tpu import ORIGIN as _ORIGIN
+
+    res = _ORIGIN.load(str(tmp_path / "meshed"), mesh=mesh,
+                       loglevel="WARNING")
+    assert isinstance(res.engine, MeshEngine)
+    res.step07_detection(threshold=thr, threshold_std=thr_std,
+                         segmap=seg_fn)
+    assert keyed(res.Cat1) == keyed(shd.Cat1)
+
+    for orig in (ref, shd, res):
         for h in orig.logger.handlers:
             h.close()
 
