@@ -8,7 +8,14 @@ dictionary and a 25x25 wavelength-dependent Moffat FSF.
 Baseline: the reference runs this step in 11.57 s single-core
 (docs/example.ipynb cell 36/79) => 73.62 Mvoxels / 11.57 s = 6.36 Mvox/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — plus a
+"steps" key with warm per-step wall times (seconds, second of two runs) of
+a full 11-step pipeline on a minicube-scale synthetic field, so regressions
+OUTSIDE the GLR kernel (purity fusion, mask batching, catalog steps,
+checkpoint write) are caught round over round.  Set BENCH_SKIP_E2E=1 to
+emit only the kernel metric; the per-step pass is also skipped
+automatically if it exceeds its 600 s time box.  Full-size per-step numbers
+vs the reference notebook live in docs/benchmarks.md.
 """
 
 import json
@@ -22,6 +29,76 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NZ, NY, NX = 3681, 100, 200
 BASELINE_MVOX_S = (NZ * NY * NX / 1e6) / 11.57
+
+E2E_TIMEBOX_S = 600
+
+
+def e2e_step_times():
+    """Warm per-step wall times of the full pipeline on a small field.
+
+    Runs the 11 steps (+ checkpoint write) twice on a 500x60x60 synthetic
+    minicube and returns the second run's timings (compilation amortized by
+    the persistent cache / first run).  Returns None when disabled or when
+    the time box expires.
+    """
+    if os.environ.get("BENCH_SKIP_E2E"):
+        return None
+    import shutil
+    import signal
+    import tempfile
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    )
+    from make_minicube import make_minicube, make_segmap
+    from origin_tpu import ORIGIN
+
+    def expired(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, expired)
+    signal.alarm(E2E_TIMEBOX_S)
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    times = None
+    try:
+        cube_fn = os.path.join(tmp, "minicube.fits")
+        seg_fn = os.path.join(tmp, "segmap.fits")
+        make_minicube(cube_fn)
+        make_segmap(seg_fn)
+        for run in range(2):
+            orig = ORIGIN.init(cube_fn, name=f"b{run}", path=tmp,
+                               loglevel="ERROR")
+            steps = [
+                ("step01", lambda: orig.step01_preprocessing()),
+                ("step02", lambda: orig.step02_areas(minsize=30,
+                                                     maxsize=60)),
+                ("step03", lambda: orig.step03_compute_PCA_threshold()),
+                ("step04", lambda: orig.step04_compute_greedy_PCA()),
+                ("step05", lambda: orig.step05_compute_TGLR(ncpu=1)),
+                ("step06",
+                 lambda: orig.step06_compute_purity_threshold(purity=0.8)),
+                ("step07", lambda: orig.step07_detection(segmap=seg_fn)),
+                ("step08", lambda: orig.step08_compute_spectra()),
+                ("step09", lambda: orig.step09_clean_results()),
+                ("step10", lambda: orig.step10_create_masks()),
+                ("write", lambda: orig.write()),
+                ("step11",
+                 lambda: orig.step11_save_sources("bench", n_jobs=1)),
+            ]
+            times = {}
+            for name, fn in steps:
+                t0 = time.perf_counter()
+                fn()
+                times[name] = round(time.perf_counter() - t0, 3)
+            for h in orig.logger.handlers:
+                h.close()
+    except TimeoutError:
+        times = None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return times
 
 
 def main():
@@ -119,16 +196,18 @@ def main():
     dt = max(1e-9, (min(times) - overhead) / n_iter)
 
     mvox_s = NZ * NY * NX / 1e6 / dt
-    print(
-        json.dumps(
-            {
-                "metric": "glr_correlation_throughput",
-                "value": round(mvox_s, 2),
-                "unit": "Mvoxels/s/chip",
-                "vs_baseline": round(mvox_s / BASELINE_MVOX_S, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "glr_correlation_throughput",
+        "value": round(mvox_s, 2),
+        "unit": "Mvoxels/s/chip",
+        "vs_baseline": round(mvox_s / BASELINE_MVOX_S, 2),
+    }
+    steps = e2e_step_times()
+    if steps is not None:
+        record["steps"] = steps
+        record["steps_total"] = round(sum(steps.values()), 2)
+        record["steps_field"] = "500x60x60 synthetic minicube, warm run"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,9 @@ def _add_run_args(p):
                    help="host workers for source-file writing")
     p.add_argument("--no-sources", action="store_true",
                    help="stop after the catalogs (skip masks/source files)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="shard the detection front-end over the first N "
+                   "devices (a (1 x N) spatial mesh; Ny must divide by N)")
 
 
 def _steps_from(orig, args, start_at=1):
@@ -106,14 +109,22 @@ def main(argv=None):
     from origin_tpu.pipeline.session import ORIGIN
     from origin_tpu.pipeline.steps import Status
 
+    def _mesh(args):
+        if getattr(args, "mesh", None) is None:
+            return None
+        from origin_tpu.parallel import make_mesh
+
+        return make_mesh(args.mesh, dp=1)
+
     if args.command == "run":
         orig = ORIGIN.init(args.cube, name=args.name, path=args.path,
                            loglevel=args.loglevel, profiles=args.profiles,
-                           fieldmap=args.fieldmap, PSF=args.psf)
+                           fieldmap=args.fieldmap, PSF=args.psf,
+                           mesh=_mesh(args))
         _steps_from(orig, args, start_at=1)
     elif args.command == "resume":
         orig = ORIGIN.load(args.folder, newname=args.newname,
-                           loglevel=args.loglevel)
+                           loglevel=args.loglevel, mesh=_mesh(args))
         done = [s.idx for s in orig.steps.values()
                 if s.status in (Status.RUN, Status.DUMPED)]
         start = (max(done) + 1) if done else 1

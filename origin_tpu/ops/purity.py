@@ -117,7 +117,9 @@ def compute_threshold_purity(
         l0 = l1
 
     if threshlist is None:
-        maxmin, maxmax, med = _purity_stats(cube_local_max, cube_local_min)
+        maxmin, maxmax, med = jax.device_get(
+            _purity_stats(cube_local_max, cube_local_min)
+        )
         threshmax = min(float(maxmin), float(maxmax))
         threshmin = float(med) * 1.1
         threshlist = np.linspace(threshmin, threshmax, 50)
@@ -125,7 +127,8 @@ def compute_threshold_purity(
         threshlist = np.sort(np.asarray(threshlist, dtype=float))
 
     th = jnp.asarray(threshlist, dtype=jnp.float32)
-    n1, n0 = _counts_pair(cube_local_max, cube_local_min, th)
+    # one batched device->host transfer (async prefetch of both vectors)
+    n1, n0 = jax.device_get(_counts_pair(cube_local_max, cube_local_min, th))
     return _purity_table(purity, threshlist, n1, n0, l0, l1)
 
 
@@ -198,17 +201,20 @@ def compute_threshold_purity_pair(
     logger.info("using only background pixels (%.1f%%)", l0 / l1 * 100)
     segmask = jnp.asarray(segmask, jnp.float32)
 
+    # jax.device_get fetches every output vector in one batched transfer
+    # (async prefetch then a single block) — on a high-latency host link
+    # the per-array np.asarray round-trips dominate this step otherwise
     if threshlist is None:
-        th_c, n1_c, n0_c, th_s, n1_s, n0_s = _fused_pair_auto(
-            clmax, clmin, segmask, cslmax, cslmin
+        th_c, n1_c, n0_c, th_s, n1_s, n0_s = jax.device_get(
+            _fused_pair_auto(clmax, clmin, segmask, cslmax, cslmin)
         )
         th_c, th_s = np.asarray(th_c, float), np.asarray(th_s, float)
     else:
         th_c = th_s = np.sort(np.asarray(threshlist, dtype=float))
         th = jnp.asarray(th_c, jnp.float32)
-        n1_c, n0_c, n1_s, n0_s = _fused_pair_given(
+        n1_c, n0_c, n1_s, n0_s = jax.device_get(_fused_pair_given(
             clmax, clmin, segmask, cslmax, cslmin, th
-        )
+        ))
 
     threshold, pval = _purity_table(purity, th_c, n1_c, n0_c, l0, l1)
     threshold_std, pval_comp = _purity_table(

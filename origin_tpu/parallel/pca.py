@@ -125,9 +125,9 @@ def greedy_pca_mesh(mesh, cube_std, areamap, thresholds, testO2,
         jnp.asarray(thres), mesh, float(noise_population), int(itermax),
     )
 
-    mapo2 = np.asarray(mapo2)
+    mapo2, nstop = jax.device_get((mapo2, nstop))  # one batched fetch
     mapO2 = np.zeros(spatial_shape, dtype=np.int32)
     flatmap = mapO2.ravel()
     for a, sel in enumerate(sels):
         flatmap[sel] = mapo2[a, : len(sel)]
-    return faint, mapO2, int(np.asarray(nstop)[:max(1, nb_area)].sum())
+    return faint, mapO2, int(nstop[:max(1, nb_area)].sum())

@@ -351,10 +351,13 @@ class DeviceEngine:
         data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq = out
         dev = dict(cube_std=data, cont_dct=cont_std,
                    cube_std_local_max=lmax, cube_std_local_min=lmin)
-        host = dict(ima_std=np.asarray(ima_std),
-                    ima_dct=np.asarray(ima_dct),
-                    o2=np.asarray(o2),
-                    cont_sumsq=np.asarray(cont_sumsq))
+        # one batched transfer for the 2-D products (a high-latency host
+        # link pays per-fetch round-trips otherwise)
+        ima_std, ima_dct, o2, cont_sumsq = jax.device_get(
+            (ima_std, ima_dct, o2, cont_sumsq)
+        )
+        host = dict(ima_std=ima_std, ima_dct=ima_dct, o2=o2,
+                    cont_sumsq=cont_sumsq)
         # the raw cube / variance are needed again by the line-estimation
         # minicube gather (step 08); keep them resident unless HBM is tight
         if self.tight_memory:
@@ -405,7 +408,8 @@ class DeviceEngine:
             )
             # out-of-bounds scatters (padding columns) are dropped
             flat = flat.at[:, didx].set(faint, mode="drop")
-            mapO2.ravel()[idx] = np.asarray(m)[:npx]
+            m, k = jax.device_get((m, k))  # one batched fetch per area
+            mapO2.ravel()[idx] = m[:npx]
             nstop += int(k)
         return flat.reshape(cube_std.shape), mapO2, nstop
 
@@ -471,8 +475,10 @@ class DeviceEngine:
         dev = dict(cube_correl=correl, cube_correl_min=correl_min,
                    cube_profile=profile, cube_local_max=lmax,
                    cube_local_min=lmin)
-        host = dict(maxmap=np.asarray(jnp.amax(correl, axis=0)),
-                    minmap=np.asarray(jnp.amin(correl_min, axis=0)))
+        maxmap, minmap = jax.device_get(
+            (jnp.amax(correl, axis=0), jnp.amin(correl_min, axis=0))
+        )
+        host = dict(maxmap=maxmap, minmap=minmap)
         return dev, host
 
     # -- step 08 -----------------------------------------------------------
@@ -521,12 +527,14 @@ class DeviceEngine:
                 np.zeros(0, np.float32) for _ in gather
             ]
         cap = min(_bucket(n, 256), arr.size)
-        fidx, vals, evals = _extract_above(arr, extras, threshold, cap)
-        zyx = np.unravel_index(np.asarray(fidx)[:n], arr.shape)
+        fidx, vals, evals = jax.device_get(
+            _extract_above(arr, extras, threshold, cap)
+        )
+        zyx = np.unravel_index(fidx[:n], arr.shape)
         return (
             zyx,
-            np.asarray(vals)[:n],
-            [np.asarray(e)[:n] for e in evals],
+            vals[:n],
+            [e[:n] for e in evals],
         )
 
 
@@ -584,7 +592,7 @@ class MeshEngine(DeviceEngine):
         self._row = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(None, "sp", None)
         )
-        self._glr_prog = None
+        self._glr_cache = {}
 
     # -- inputs: device_put row-sharded -------------------------------------
     def input_cube(self):
@@ -657,23 +665,29 @@ class MeshEngine(DeviceEngine):
             prepped, block=min(128, nz)
         )
 
-        row = P(None, "sp", None)
-        img = P("sp", None)
-        rep = P()
-        op_spec = jax.tree.map(lambda _: rep, spatial_op)
+        # one compiled program per static configuration (jit caching is
+        # keyed on the function object, so the closure must be reused)
+        key = (int(pad_left), int(nz), int(size), int(halo))
+        if key not in self._glr_cache:
+            row = P(None, "sp", None)
+            img = P("sp", None)
+            rep = P()
+            op_spec = jax.tree.map(lambda _: rep, spatial_op)
 
-        @partial(
-            jax.shard_map, mesh=self.mesh,
-            in_specs=(row, row, op_spec, rep, rep),
-            out_specs=(row, row, row, row, row, img, img),
-        )
-        def prog(faint, mask, op, t_num, t_den):
-            return glr_tile(
-                faint, mask, op, t_num, t_den, pad_left, nz,
-                local_max_size=size, halo=halo,
+            @partial(
+                jax.shard_map, mesh=self.mesh,
+                in_specs=(row, row, op_spec, rep, rep),
+                out_specs=(row, row, row, row, row, img, img),
             )
+            def prog(faint, mask, op, t_num, t_den):
+                return glr_tile(
+                    faint, mask, op, t_num, t_den, pad_left, nz,
+                    local_max_size=size, halo=halo,
+                )
 
-        out = jax.jit(prog)(
+            self._glr_cache[key] = jax.jit(prog)
+
+        out = self._glr_cache[key](
             faint, mask, jax.tree.map(jnp.asarray, spatial_op),
             jnp.asarray(t_num), jnp.asarray(t_den),
         )
