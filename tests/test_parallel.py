@@ -333,3 +333,42 @@ def test_greedy_pca_mesh_matches_sequential():
     # spaxels of areas that never iterated stay bit-equal to the input
     area_iters = [m0[areamap == a].max() for a in (1, 2, 3)]
     assert max(area_iters) >= 2  # the case must exercise real iterations
+
+
+def test_mesh_engine_validation(tmp_path):
+    """MeshEngine rejects unusable meshes with actionable errors."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_minicube import make_minicube
+
+    from origin_tpu import ORIGIN
+    from origin_tpu.parallel import make_mesh
+
+    cube_fn = str(tmp_path / "m.fits")
+    make_minicube(cube_fn, nz=80, ny=30, nx=24)
+
+    # Ny=30 does not divide over 8 shards
+    orig = ORIGIN.init(cube_fn, name="bad1", path=str(tmp_path),
+                       loglevel="ERROR", mesh=make_mesh(8, dp=1))
+    with pytest.raises(ValueError, match="divide"):
+        orig.engine
+
+    # dp > 1 meshes are for batch fleets, not sessions
+    orig2 = ORIGIN.init(cube_fn, name="bad2", path=str(tmp_path),
+                        loglevel="ERROR", mesh=make_mesh(8, dp=2))
+    with pytest.raises(ValueError, match="dp batches"):
+        orig2.engine
+
+    # mosaic fieldmaps are not supported on a session mesh
+    orig3 = ORIGIN.init(cube_fn, name="ok3", path=str(tmp_path),
+                        loglevel="ERROR", mesh=make_mesh(2, dp=1))
+    eng = orig3.engine
+    with pytest.raises(NotImplementedError, match="mosaic"):
+        eng.tglr(np.zeros((80, 5, 5), np.float32), [np.ones((30, 24))],
+                 [np.ones(41)])
+
+    for orig_ in (orig, orig2, orig3):
+        for h in orig_.logger.handlers:
+            h.close()
