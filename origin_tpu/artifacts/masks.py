@@ -21,8 +21,7 @@ import logging
 
 import numpy as np
 
-from ..core.containers import Image
-from ..core.coords import WCS
+from ..core.containers import Image, cutout_window, cutout_wcs
 from ..detect.segmentation import detect_sources
 from ..ops.pca import _bucket
 
@@ -53,23 +52,6 @@ def _mask_sizes(mask_size, max_steps=5):
         size = int(size * 1.5)
 
 
-def _window_start(y, x, size):
-    """Window start indices, matching Cube.subcube / Image.subimage."""
-    return int(np.rint(y)) - size // 2, int(np.rint(x)) - size // 2
-
-
-def _cutout_wcs(wcs, y0, x0, size):
-    """The WCS of a (size x size) cutout starting at (y0, x0)."""
-    if wcs is None:
-        return None
-    return WCS(
-        crpix=(wcs.crpix[0] - y0, wcs.crpix[1] - x0),
-        crval=tuple(wcs.crval),
-        cd=wcs.cd.copy(),
-        shape=(size, size),
-    )
-
-
 def _line_zrange(z, fwhm_line, nz):
     """Inclusive spectral slab of a line's max-image (get_image clamping)."""
     zlo = max(0, int(z - fwhm_line))
@@ -95,7 +77,7 @@ def _fetch_line_images(detection_cube, jobs, size):
     if dev is not None and len(jobs):
         y0s, x0s, zlos, zhis, keys = [], [], [], [], []
         for key, x, y, lines in jobs:
-            wy0, wx0 = _window_start(y, x, size)
+            wy0, wx0 = cutout_window(y, x, size)
             for num_line, zlo, zhi in lines:
                 y0s.append(wy0)
                 x0s.append(wx0)
@@ -292,8 +274,8 @@ def gen_source_mask(
     sizes = list(_mask_sizes(mask_size))
     for step, size in enumerate(sizes, start=1):
         sky = cont_sky.subimage(center=(y, x), size=size)
-        wy0, wx0 = _window_start(y, x, size)
-        sub_wcs = _cutout_wcs(detection_cube.wcs, wy0, wx0, size)
+        wy0, wx0 = cutout_window(y, x, size)
+        sub_wcs = cutout_wcs(detection_cube.wcs, wy0, wx0, size)
         line_images = _fetch_line_images(
             detection_cube, [(source_id, x, y, zjobs)], size
         )
@@ -425,8 +407,8 @@ def create_masks(
             source_id = r["source_id"]
             logger.debug("Making mask of source %s.", source_id)
             sky_img = skymap.subimage(center=(r["y"], r["x"]), size=size)
-            wy0, wx0 = _window_start(r["y"], r["x"], size)
-            sub_wcs = _cutout_wcs(cubes[r["comp"]].wcs, wy0, wx0, size)
+            wy0, wx0 = cutout_window(r["y"], r["x"], size)
+            sub_wcs = cutout_wcs(cubes[r["comp"]].wcs, wy0, wx0, size)
             source_mask, sky_mask, is_wrong = _single_pass(
                 source_id, r["lines"], line_images, thresholds[r["comp"]],
                 sky_img, sub_wcs, fwhm, out_dir, mask_size=size,

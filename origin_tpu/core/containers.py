@@ -257,6 +257,29 @@ def _norm_slice(sl, n):
     return slice(sl, sl + 1)
 
 
+def cutout_window(y, x, size):
+    """Start indices of a (size x size) cutout centred at (y, x).
+
+    THE shared convention: Cube.subcube, Image.subimage and the batched
+    device cutout path (artifacts.masks) must all agree on it, or
+    device-fetched windows would silently shift against host ones.
+    """
+    size = int(size)
+    return int(np.rint(y)) - size // 2, int(np.rint(x)) - size // 2
+
+
+def cutout_wcs(wcs, y0, x0, size):
+    """WCS of a (size x size) cutout starting at pixel (y0, x0)."""
+    if wcs is None:
+        return None
+    return WCS(
+        crpix=(wcs.crpix[0] - y0, wcs.crpix[1] - x0),
+        crval=tuple(wcs.crval),
+        cd=wcs.cd.copy(),
+        shape=(size, size),
+    )
+
+
 class Cube(_Base):
     """(Nz, Ny, Nx) spectral cube."""
 
@@ -315,8 +338,7 @@ class Cube(_Base):
             y, x = center
         size = int(size)
         nz, ny, nx = self.shape
-        y0 = int(np.rint(y)) - size // 2
-        x0 = int(np.rint(x)) - size // 2
+        y0, x0 = cutout_window(y, x, size)
         zsl = slice(0, nz)
         if lbda is not None:
             k1 = int(self.wave.pixel(lbda[0], nearest=True))
@@ -341,14 +363,7 @@ class Cube(_Base):
             )
             if var is not None and vblock is not None:
                 var[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = vblock
-        wcs = None
-        if self.wcs is not None:
-            wcs = WCS(
-                crpix=(self.wcs.crpix[0] - y0, self.wcs.crpix[1] - x0),
-                crval=tuple(self.wcs.crval),
-                cd=self.wcs.cd.copy(),
-                shape=(size, size),
-            )
+        wcs = cutout_wcs(self.wcs, y0, x0, size)
         wave = self._copy_wave()
         if lbda is not None and wave is not None:
             wave = self.wave[zsl]
@@ -407,8 +422,7 @@ class Image(_Base):
             y, x = center
         size = int(size)
         ny, nx = self.shape
-        y0 = int(np.rint(y)) - size // 2
-        x0 = int(np.rint(x)) - size // 2
+        y0, x0 = cutout_window(y, x, size)
         data = np.zeros((size, size), dtype=self.data.dtype)
         mask = np.ones((size, size), dtype=bool)
         sy0, sy1 = max(0, y0), min(ny, y0 + size)
@@ -421,14 +435,7 @@ class Image(_Base):
             mask[dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = (
                 self.mask[sy0:sy1, sx0:sx1] if self.mask is not None else False
             )
-        wcs = None
-        if self.wcs is not None:
-            wcs = WCS(
-                crpix=(self.wcs.crpix[0] - y0, self.wcs.crpix[1] - x0),
-                crval=tuple(self.wcs.crval),
-                cd=self.wcs.cd.copy(),
-                shape=(size, size),
-            )
+        wcs = cutout_wcs(self.wcs, y0, x0, size)
         return Image(data=data, mask=mask, wcs=wcs, copy=False)
 
 

@@ -178,8 +178,12 @@ def _long_string_cards(key, value, comment=None):
     for i, chunk in enumerate(chunks):
         prefix = f"{key:<8}= " if i == 0 else "CONTINUE  "
         card = f"{prefix}'{chunk}{'&' if i < last else ''}'"
-        if i == last and comment and len(card) + 3 + len(comment) <= CARDLEN:
-            card += f" / {comment}"
+        if i == last and comment:
+            # keep as much of the comment as fits (truncated rather than
+            # dropped whole, matching the single-card writer's behavior)
+            room = CARDLEN - len(card) - 3
+            if room > 0:
+                card += f" / {comment[:room]}"
         cards.append(card[:CARDLEN].ljust(CARDLEN))
     return "".join(cards)
 

@@ -63,6 +63,11 @@ def _scan_auto(cmax, cmin):
     th = tmin + (tmax - tmin) * (
         jnp.arange(NTHRESH, dtype=cmax.dtype) / (NTHRESH - 1)
     )
+    # pin the endpoint exactly to tmax (float32 rounding can land the last
+    # grid point strictly below it, which would count the cube maximum into
+    # n_min at the top of the grid and collapse the purity curve to a
+    # spurious "unreachable" -> threshold = inf)
+    th = th.at[-1].set(tmax)
     return th, counts_above_thresholds(cmax, th), counts_above_thresholds(cmin, th)
 
 

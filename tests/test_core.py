@@ -399,6 +399,17 @@ def test_fits_long_header_string_roundtrip(tmp_path):
     fitsio.write(fn, [fitsio.HDU(header=hdr2)])
     assert fitsio.read(fn)[0].header["SHORT"] == "abc"
 
+    # a short value pushed overlong only by its comment keeps a truncated
+    # comment prefix instead of losing the comment entirely
+    hdr3 = fitsio.Header()
+    long_comment = "important provenance " * 5
+    hdr3.set("KEY", "abc", long_comment)
+    fitsio.write(fn, [fitsio.HDU(header=hdr3)])
+    back3 = fitsio.read(fn)[0].header
+    assert back3["KEY"] == "abc"
+    got = back3.comment("KEY")
+    assert got and long_comment.startswith(got.rstrip())
+
 
 def test_wcs_wave_negative_slice_start():
     from origin_tpu.core import WCS, WaveCoord

@@ -324,6 +324,46 @@ def test_purity_pair_matches_single_calls():
     assert t_s == pytest.approx(t_s1, abs=1e-3)
 
 
+def test_purity_pair_auto_grid_endpoint():
+    """The fused auto grid must pin its last threshold exactly to tmax.
+
+    float32 grid arithmetic can otherwise land the endpoint strictly below
+    min(max(cmax), max(cmin)); the cube maximum then counts into the top of
+    the noise curve, the purity collapses and the step silently returns
+    threshold = inf (empty catalog).  Stressed over many random cubes: the
+    pair function must agree with the two single scans and never go
+    infinite when they do not."""
+    from origin_tpu.ops import compute_threshold_purity_pair
+
+    shape = (30, 16, 16)
+    segmap = np.zeros(shape[1:], int)
+    for seed in range(40):
+        rng = np.random.default_rng(1000 + seed)
+
+        def noisy(hi):
+            c = np.zeros(shape, np.float32)
+            idx = rng.integers(0, c.size, 200)
+            c.ravel()[idx] = rng.uniform(2, hi, 200).astype(np.float32)
+            return c
+
+        lmax, lmin = noisy(9.0), noisy(6.0)
+        slmax, slmin = noisy(8.0), noisy(5.5)
+        t_c, pv, t_s, pvc = compute_threshold_purity_pair(
+            0.9, lmax, lmin, slmax, slmin, segmap
+        )
+        t_c1, _ = compute_threshold_purity(0.9, lmax, lmin, segmap)
+        t_s1, _ = compute_threshold_purity(0.9, slmax, slmin)
+        assert np.isfinite(t_c) == np.isfinite(t_c1), f"seed {seed}"
+        assert np.isfinite(t_s) == np.isfinite(t_s1), f"seed {seed}"
+        if np.isfinite(t_c1):
+            assert t_c == pytest.approx(t_c1, abs=1e-3), f"seed {seed}"
+        if np.isfinite(t_s1):
+            assert t_s == pytest.approx(t_s1, abs=1e-3), f"seed {seed}"
+        # noise curve reaches purity 1.0 at the pinned endpoint
+        assert np.asarray(pv["Pval_r"], float)[-1] == pytest.approx(1.0)
+        assert np.asarray(pvc["Pval_r"], float)[-1] == pytest.approx(1.0)
+
+
 def test_line_max_images_kernel_matches_host_path():
     """Batched device max-images == per-source subcube + get_image(max),
     including windows hanging off the field edge."""

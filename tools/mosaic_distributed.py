@@ -106,9 +106,16 @@ def run_worker(args):
     mesh = Mesh(devices, axis_names=("dp", "sp"))
 
     workdir = args.workdir
+    all_fields = sorted(json.loads(args.fields))
+    # every process must run the SAME number of global steps (each step is
+    # a collective): pad uneven splits by wrapping around the field list —
+    # duplicated fields recompute identical results, which overwrite
+    per = -(-len(all_fields) // args.nprocs)
     my_fields = [
-        os.path.join(workdir, f)
-        for f in sorted(json.loads(args.fields))[args.pid :: args.nprocs]
+        os.path.join(
+            workdir, all_fields[(args.pid + k * args.nprocs) % len(all_fields)]
+        )
+        for k in range(per)
     ]
 
     psf, profiles = _psf_profiles(args.nz)
@@ -221,7 +228,11 @@ def run_dryrun(args):
     ok = True
     for w in workers:
         for name, counts in w["fields"].items():
-            if counts != expected[name]:
+            # per-tile DFT grids differ between the worker mesh and the
+            # single-process check, so voxels within float32 round-off of a
+            # scanned threshold may flip: allow the documented <=2 slack
+            diff = np.abs(np.asarray(counts) - np.asarray(expected[name]))
+            if diff.max() > 2:
                 print(f"MISMATCH {name}: {counts} != {expected[name]}")
                 ok = False
     report = dict(
