@@ -614,6 +614,17 @@ class MeshEngine(DeviceEngine):
         )
         self._glr_cache = {}
 
+    @property
+    def tight_memory(self):
+        """Row sharding divides every cube-sized product over sp devices,
+        so the per-device headroom demand shrinks accordingly."""
+        if self._tight is None:
+            cube_bytes = 4 * int(np.prod(self.orig.shape)) // self.sp
+            self._tight = not device_memory_fits(
+                cube_bytes * self.HEADROOM_CUBES
+            )
+        return self._tight
+
     # -- inputs: device_put row-sharded -------------------------------------
     def input_cube(self):
         if "cube" not in self._inputs:

@@ -250,3 +250,33 @@ def test_tight_memory_pipeline(tmp_path, monkeypatch):
     orig.step06_compute_purity_threshold(purity=0.8)
     orig.step07_detection()
     assert len(orig.Cat1) > 0
+
+
+def test_mesh_engine_memory_budget_scales_with_sp(tmp_path, monkeypatch):
+    """The tight-memory decision must use the PER-DEVICE share of a
+    row-sharded cube, not the full footprint."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_minicube import make_minicube
+
+    from origin_tpu import ORIGIN
+    from origin_tpu.parallel import make_mesh
+
+    cube_fn = str(tmp_path / "m.fits")
+    make_minicube(cube_fn, nz=80, ny=32, nx=24)
+    cube_bytes = 4 * 80 * 32 * 24
+
+    # budget: too small for 24 full cubes, ample for 24 cubes / 8 shards
+    monkeypatch.setenv("ORIGIN_TPU_HBM_BYTES", str(cube_bytes * 24 // 2))
+
+    single = ORIGIN.init(cube_fn, name="t1", path=str(tmp_path),
+                         loglevel="ERROR")
+    meshed = ORIGIN.init(cube_fn, name="t2", path=str(tmp_path),
+                         loglevel="ERROR", mesh=make_mesh(8, dp=1))
+    assert single.engine.tight_memory is True
+    assert meshed.engine.tight_memory is False
+    for o in (single, meshed):
+        for h in o.logger.handlers:
+            h.close()
