@@ -287,6 +287,19 @@ def test_session_mesh_full_pipeline(tmp_path):
                          segmap=seg_fn)
     assert keyed(res.Cat1) == keyed(shd.Cat1)
 
+    # the back-end steps (sharded minicube gathers, masks, source files)
+    # run through on the meshed session
+    import glob
+
+    res.step08_compute_spectra()
+    assert len(res.Cat2) == len(res.Cat1)
+    res.step09_clean_results()
+    res.step10_create_masks()
+    res.step11_save_sources("0.1")
+    nsrc = len(np.unique(np.asarray(res.Cat3_lines["ID"])))
+    assert len(glob.glob(str(tmp_path / "meshed" / "sources"
+                             / "source-*.fits"))) == nsrc
+
     for orig in (ref, shd, res):
         for h in orig.logger.handlers:
             h.close()
