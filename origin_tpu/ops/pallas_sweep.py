@@ -78,24 +78,31 @@ def _vmem_bytes(tile_s, zin, zout):
     return 2 * tile_s * 4 * (2 * zin + 3 * zout)
 
 
-def _plan_chunks(zout, window, block, budget=14 << 20):
+def _plan_chunks(zout, window, block, budget=14 << 20, tile_fixed=None):
     """Choose the spaxel tile height and spectral chunking under VMEM.
 
     Preference order (measured on v5e): FEWEST chunks first — chunking
     re-reads the (window - block) input overlap and pays extra slice /
     concat HBM passes, which costs more than a half-height tile saves —
-    then the tallest tile that fits.  Returns (tile_s, [(z0, zout_c)]).
+    then the tallest tile that fits.  ``tile_fixed`` forces the tile height
+    and plans chunks for it.  Returns (tile_s, [(z0, zout_c)]).
+
+    Chunk extents are multiples of ``block`` (except possibly the last),
+    and the planner budgets each chunk's input for its PADDED output
+    extent, so the kernel's final window read never overruns.
     """
     nb = zout // block
+    tiles = (tile_fixed,) if tile_fixed else (256, 128, 64, 32, 16, 8)
     for nchunk in range(1, nb + 1):
         bpc = -(-nb // nchunk)
         zout_c = bpc * block
         zin_c = _round_up(zout_c + window - block, 128)
-        for t in (256, 128, 64, 32, 16, 8):
+        for t in tiles:
             if _vmem_bytes(t, zin_c, zout_c) <= budget:
                 starts = range(0, nb * block, zout_c)
                 return t, [(z0, min(zout_c, zout - z0)) for z0 in starts]
-    return 8, [(z0, min(block, zout - z0)) for z0 in range(0, zout, block)]
+    return tiles[-1], [(z0, min(block, zout - z0))
+                       for z0 in range(0, zout, block)]
 
 
 @partial(
@@ -108,17 +115,16 @@ def toeplitz_sweep_pallas(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
 
     Inputs/outputs match :func:`origin_tpu.ops.glr.glr_spectral_mxu`:
     (Nz, Ny, Nx) float32 cubes in, (correl, profile_idx, correl_min) out.
-    Profile indices are int32 (the narrowing cast happens at the session
-    layer, matching the XLA path's handling of large dictionaries).
+    Profile indices are uint8 for dictionaries of up to 255 profiles
+    (written directly by the kernel — no extra cube-sized cast pass),
+    int32 beyond that or on degenerate (<32-row) tiles.
     """
     nprof, window, block = t_num.shape
     nb = -(-nz // block)
     zout = nb * block
     ny, nx = cube_fsf.shape[1:]
     s = ny * nx
-    tile, chunks = _plan_chunks(zout, window, block)
-    if tile_s is not None:
-        tile = tile_s
+    tile, chunks = _plan_chunks(zout, window, block, tile_fixed=tile_s)
     sp = _round_up(s, tile)
     ztot = zout + window - block
 
@@ -133,19 +139,23 @@ def toeplitz_sweep_pallas(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
 
     # pad the flats once so every chunk's (lane-aligned) input slice is
     # in range
-    need = max(z0 + _round_up(zc + window - block, 128)
+    need = max(z0 + _round_up(-(-zc // block) * block + window - block, 128)
                for z0, zc in chunks)
     if need > ztot:
         x = jnp.pad(x, ((0, 0), (0, need - ztot)))
         n = jnp.pad(n, ((0, 0), (0, need - ztot)))
 
+    pdtype = jnp.uint8 if (nprof <= 255 and tile >= 32) else jnp.int32
+
     outs = []
     for z0, zout_c in chunks:
-        zin_c = _round_up(zout_c + window - block, 128)
+        nb_c = -(-zout_c // block)
+        zpad_c = nb_c * block
+        # budget the input for the PADDED output extent: the kernel's last
+        # window read ends at (nb_c - 1) * block + window
+        zin_c = _round_up(zpad_c + window - block, 128)
         xin = jax.lax.slice_in_dim(x, z0, z0 + zin_c, axis=1)
         nin = jax.lax.slice_in_dim(n, z0, z0 + zin_c, axis=1)
-        nb_c = zout_c // block if zout_c % block == 0 else -(-zout_c // block)
-        zpad_c = nb_c * block
         grid = (sp // tile, nprof)
         kernel = partial(_sweep_kernel, nb=nb_c, block=block, window=window)
         res = pl.pallas_call(
@@ -173,7 +183,7 @@ def toeplitz_sweep_pallas(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((sp, zpad_c), jnp.float32),
-                jax.ShapeDtypeStruct((sp, zpad_c), jnp.int32),
+                jax.ShapeDtypeStruct((sp, zpad_c), pdtype),
                 jax.ShapeDtypeStruct((sp, zpad_c), jnp.float32),
             ],
             interpret=interpret,

@@ -81,7 +81,10 @@ def device_memory_fits(nbytes, device=None):
     try:
         with jax.default_device(device):
             probe = jnp.zeros((max(1, int(nbytes)),), dtype=jnp.int8)
-            probe.block_until_ready()
+            # fetch a VALUE, not just block_until_ready: on async tunnel
+            # backends a failed allocation can otherwise surface its
+            # RESOURCE_EXHAUSTED on the NEXT unrelated device operation
+            _ = int(np.asarray(probe[-1]))
         del probe
         return True
     except Exception:
@@ -258,11 +261,20 @@ class DeviceEngine:
     session resumes mid-pipeline.
     """
 
+    #: cube-sized products are divided over this many devices (mesh
+    #: engines shard rows over sp devices)
+    memory_shards = 1
+
     def __init__(self, orig):
         self.orig = orig
         self._inputs = {}
         self._mini_cache = {}
         self._tight = None
+        # decide the memory mode NOW, while HBM is empty: the probe
+        # fallback attempts a real allocation of the full headroom, which
+        # must not race against resident pipeline state (and a failed
+        # giant allocation mid-step can destabilize async backends)
+        _ = self.tight_memory
 
     # -- inputs ------------------------------------------------------------
     def input_cube(self):
@@ -300,7 +312,7 @@ class DeviceEngine:
         """
         if self._tight is None:
             cube_bytes = 4 * int(np.prod(self.orig.shape))
-            need = cube_bytes * self.HEADROOM_CUBES
+            need = cube_bytes * self.HEADROOM_CUBES // self.memory_shards
             self._tight = not device_memory_fits(need)
         return self._tight
 
@@ -462,12 +474,14 @@ class DeviceEngine:
         )
         import os
 
-        # fused Pallas sweep on real accelerators (reads the two input
+        from ..ops.pallas_kernels import pallas_available
+
+        # fused Pallas sweep on TPU-family backends (reads the two input
         # cubes once for ALL profiles: 1.4-1.7x the XLA Toeplitz path,
         # growing with the dictionary size; parity ~1e-6);
         # ORIGIN_TPU_PALLAS=0 falls back to the XLA path
         use_pallas = (
-            jax.default_backend() != "cpu"
+            pallas_available()
             and os.environ.get("ORIGIN_TPU_PALLAS", "1") != "0"
         )
         if use_pallas:
@@ -477,8 +491,6 @@ class DeviceEngine:
                 cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),
                 pad_left, nz,
             )
-            if len(prepped) <= 255:  # match the XLA path's compact indices
-                profile = profile.astype(jnp.uint8)
         else:
             correl, profile, correl_min = glr_spectral_mxu(
                 cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),
@@ -590,7 +602,6 @@ class MeshEngine(DeviceEngine):
     """
 
     def __init__(self, orig, mesh):
-        super().__init__(orig)
         if "sp" not in mesh.shape:
             raise ValueError("session mesh needs an 'sp' axis "
                              "(make_mesh(n, dp=1))")
@@ -609,21 +620,15 @@ class MeshEngine(DeviceEngine):
                 f"Ny={ny} must divide evenly over sp={self.sp} row shards"
             )
         self.mesh = mesh
+        # row sharding divides every cube-sized product over sp devices, so
+        # the per-device tight-memory headroom shrinks accordingly — set
+        # BEFORE the parent's init, which decides the memory mode eagerly
+        self.memory_shards = self.sp
         self._row = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(None, "sp", None)
         )
         self._glr_cache = {}
-
-    @property
-    def tight_memory(self):
-        """Row sharding divides every cube-sized product over sp devices,
-        so the per-device headroom demand shrinks accordingly."""
-        if self._tight is None:
-            cube_bytes = 4 * int(np.prod(self.orig.shape)) // self.sp
-            self._tight = not device_memory_fits(
-                cube_bytes * self.HEADROOM_CUBES
-            )
-        return self._tight
+        super().__init__(orig)
 
     # -- inputs: device_put row-sharded -------------------------------------
     def input_cube(self):

@@ -61,13 +61,16 @@ def test_pallas_sweep_chunked(monkeypatch):
     """Force the spectral-chunked path (VMEM-constrained plan) and check
     the overlap/concat reassembly against the unchunked XLA result."""
     cf, nf, t_num, t_den, pad_left = _problem(500, 7, 6, (2.0, 6.0), seed=5)
-    zout = -(-500 // 128) * 128
 
-    def tiny_plan(zout_, window, block):
+    def tiny_plan(zout_, window, block, budget=None, tile_fixed=None):
         return 32, [(0, 256), (256, zout_ - 256)]
 
     monkeypatch.setattr(ps, "_plan_chunks", tiny_plan)
+    # the plan runs at trace time: drop any cached trace of these shapes so
+    # the monkeypatched plan actually takes effect
+    ps.toeplitz_sweep_pallas.clear_cache()
     _compare(cf, nf, t_num, t_den, pad_left, 500)
+    ps.toeplitz_sweep_pallas.clear_cache()
 
 
 def test_plan_chunks_prefers_fewest_chunks():
@@ -77,6 +80,9 @@ def test_plan_chunks_prefers_fewest_chunks():
     # full MUSE z extent: one chunk at a half-height tile beats two chunks
     tile, chunks = ps._plan_chunks(29 * 128, 186, 128)
     assert len(chunks) == 1 and tile == 64
+    # a forced tile re-plans the chunking under the same budget
+    tile, chunks = ps._plan_chunks(29 * 128, 186, 128, tile_fixed=256)
+    assert tile == 256 and len(chunks) > 1
     # chunk starts/extents tile the output exactly
     tile, chunks = ps._plan_chunks(29 * 128, 186, 128, budget=4 << 20)
     assert sum(c[1] for c in chunks) == 29 * 128
