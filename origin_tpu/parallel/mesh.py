@@ -187,23 +187,42 @@ def build_tile_spatial_op(psf, ny_loc, nx, halo=None):
 
 
 def glr_tile(faint, mask, spatial_op, t_num, t_den, pad_left, nz,
-             local_max_size=3, halo=0, axis_name="sp"):
+             local_max_size=3, halo=0, axis_name="sp", wtiles=None):
     """Full step-05 tile math with collectives; runs inside shard_map.
 
     Spatial FSF convolution on the halo-extended tile, banded-Toeplitz
     spectral sweep (with best-profile indices), masking, local extrema and
     the max/min maps.  Matches the single-chip DeviceEngine.tglr products.
+
+    Mosaics: pass a LIST of per-field spatial ops plus ``wtiles``, the
+    (F, ny_loc, nx) row shard of the field weight maps; each field
+    convolves the weighted tile with its own FSF and the results sum, as
+    in the single-chip stage (ops.glr.glr_spatial_matmul with wmaps).
     """
     from ..ops.glr import toeplitz_sweep
 
-    cube_fsf = _conv2d_same_local_matmul(
-        faint, spatial_op["kern_r"], spatial_op["kern_i"],
-        spatial_op["factors"], halo, axis_name,
+    spatial_ops = (
+        [spatial_op] if isinstance(spatial_op, dict) else list(spatial_op)
     )
-    norm_fsf = _conv2d_same_local_matmul(
-        jnp.ones_like(faint), spatial_op["kern2_r"], spatial_op["kern2_i"],
-        spatial_op["factors"], halo, axis_name,
-    )
+    cube_fsf = None
+    norm_fsf = None
+    for f, op in enumerate(spatial_ops):
+        if wtiles is None:
+            data = faint
+            base = jnp.ones_like(faint)
+        else:
+            w = wtiles[f][None]
+            data = faint * w
+            base = jnp.broadcast_to(w, faint.shape)
+        cf = _conv2d_same_local_matmul(
+            data, op["kern_r"], op["kern_i"], op["factors"], halo, axis_name,
+        )
+        nf_ = _conv2d_same_local_matmul(
+            base, op["kern2_r"], op["kern2_i"], op["factors"], halo,
+            axis_name,
+        )
+        cube_fsf = cf if cube_fsf is None else cube_fsf + cf
+        norm_fsf = nf_ if norm_fsf is None else norm_fsf + nf_
     correl, profile, correl_min = toeplitz_sweep(
         cube_fsf, norm_fsf, t_num, t_den, pad_left, nz
     )

@@ -597,8 +597,8 @@ class MeshEngine(DeviceEngine):
     match the single-chip kernel to float32 round-off (atol ~2e-3), not
     bit-for-bit; catalogs agree at matched thresholds except for values
     within round-off of a threshold.  Mosaic fieldmaps (``wfields``) are
-    not supported on a session mesh yet — run per-field ingest
-    (tools/mosaic_batch.py) instead.
+    supported: each field's FSF convolves the field-weighted tile (same
+    halo exchange) and the per-field results sum, as on a single chip.
     """
 
     def __init__(self, orig, mesh):
@@ -683,19 +683,32 @@ class MeshEngine(DeviceEngine):
         from ..ops.glr import pack_profiles_toeplitz, prepare_profiles
         from ..parallel.mesh import build_tile_spatial_op, glr_tile
 
-        if wfields is not None:
-            raise NotImplementedError(
-                "mosaic fieldmaps are not supported on a session mesh yet; "
-                "run per-field sessions (tools/mosaic_batch.py)"
-            )
         faint = self.get("cube_faint")
         mask = self.input_mask()
         nz, ny, nx = faint.shape
-        psfs = np.asarray(psf, dtype=np.float32)
-        if psfs.ndim == 4:
-            psfs = psfs[0]
+        if wfields is None:
+            psfs = np.asarray(psf, dtype=np.float32)
+            if psfs.ndim == 4:
+                psfs = psfs[0]
+            fields = [psfs]
+            wtiles = None
+        else:
+            # mosaic: per-field FSFs convolve the field-weighted tile and
+            # the results sum (single-chip semantics, glr_spatial_matmul)
+            fields = [np.asarray(p, np.float32) for p in psf]
+            wtiles = jax.device_put(
+                np.stack([np.asarray(w, np.float32) for w in wfields]),
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(None, "sp", None)
+                ),
+            )
 
-        spatial_op, halo = build_tile_spatial_op(psfs, ny // self.sp, nx)
+        spatial_ops = []
+        halo = 0
+        for pf in fields:
+            op, h = build_tile_spatial_op(pf, ny // self.sp, nx)
+            spatial_ops.append(op)
+            halo = max(halo, h)
         prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
         t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
             prepped, block=min(128, nz)
@@ -703,30 +716,47 @@ class MeshEngine(DeviceEngine):
 
         # one compiled program per static configuration (jit caching is
         # keyed on the function object, so the closure must be reused)
-        key = (int(pad_left), int(nz), int(size), int(halo))
+        mosaic = wtiles is not None
+        key = (int(pad_left), int(nz), int(size), int(halo), len(fields),
+               mosaic)
         if key not in self._glr_cache:
             row = P(None, "sp", None)
             img = P("sp", None)
             rep = P()
-            op_spec = jax.tree.map(lambda _: rep, spatial_op)
+            op_spec = jax.tree.map(lambda _: rep, spatial_ops)
+            out_specs = (row, row, row, row, row, img, img)
 
-            @partial(
-                jax.shard_map, mesh=self.mesh,
-                in_specs=(row, row, op_spec, rep, rep),
-                out_specs=(row, row, row, row, row, img, img),
-            )
-            def prog(faint, mask, op, t_num, t_den):
-                return glr_tile(
-                    faint, mask, op, t_num, t_den, pad_left, nz,
-                    local_max_size=size, halo=halo,
+            if mosaic:
+                @partial(
+                    jax.shard_map, mesh=self.mesh,
+                    in_specs=(row, row, op_spec, rep, rep,
+                              P(None, "sp", None)),
+                    out_specs=out_specs,
                 )
+                def prog(faint, mask, ops, t_num, t_den, wt):
+                    return glr_tile(
+                        faint, mask, ops, t_num, t_den, pad_left, nz,
+                        local_max_size=size, halo=halo, wtiles=wt,
+                    )
+            else:
+                @partial(
+                    jax.shard_map, mesh=self.mesh,
+                    in_specs=(row, row, op_spec, rep, rep),
+                    out_specs=out_specs,
+                )
+                def prog(faint, mask, ops, t_num, t_den):
+                    return glr_tile(
+                        faint, mask, ops, t_num, t_den, pad_left, nz,
+                        local_max_size=size, halo=halo,
+                    )
 
             self._glr_cache[key] = jax.jit(prog)
 
-        out = self._glr_cache[key](
-            faint, mask, jax.tree.map(jnp.asarray, spatial_op),
-            jnp.asarray(t_num), jnp.asarray(t_den),
-        )
+        args = [faint, mask, jax.tree.map(jnp.asarray, spatial_ops),
+                jnp.asarray(t_num), jnp.asarray(t_den)]
+        if mosaic:
+            args.append(wtiles)
+        out = self._glr_cache[key](*args)
         correl, correl_min, profile, lmax, lmin, maxmap, minmap = out
 
         dev = dict(cube_correl=correl, cube_correl_min=correl_min,

@@ -103,3 +103,47 @@ def test_plots_smoke(tmp_path):
     # det_correl_min helper
     zm, ym, xm = orig.steps["detection"].det_correl_min()
     assert len(zm) == len(ym) == len(xm)
+
+
+def test_mosaic_on_mesh_matches_single_chip(mosaic_cube, tmp_path):
+    """The mosaic (multi-field weighted FSF) GLR runs sharded: per-field
+    weighted tiles with halo exchange, summed — catalog parity with the
+    single-chip mosaic session at matched thresholds."""
+    from origin_tpu.parallel import make_mesh
+
+    cube_fn, fmap_fn = mosaic_cube
+
+    def run(name, mesh):
+        orig = ORIGIN.init(cube_fn, fieldmap=fmap_fn, name=name,
+                           path=str(tmp_path), loglevel="WARNING",
+                           PSF_size=13, mesh=mesh)
+        orig.step01_preprocessing()
+        orig.step02_areas()
+        orig.step03_compute_PCA_threshold()
+        orig.step04_compute_greedy_PCA()
+        orig.step05_compute_TGLR()
+        orig.step06_compute_purity_threshold(purity=0.8)
+        return orig
+
+    ref = run("mosref", None)
+    shd = run("mosmesh", make_mesh(4, dp=1))  # ny=40 / 4 = 10 >= halo 6
+
+    thr = ref.param["threshold"]
+    thr_std = ref.param["threshold_std"]
+    ref.step07_detection(threshold=thr, threshold_std=thr_std)
+    shd.step07_detection(threshold=thr, threshold_std=thr_std)
+
+    def keyed(cat):
+        return sorted(zip(
+            np.asarray(cat["x0"]), np.asarray(cat["y0"]),
+            np.asarray(cat["z0"]), np.asarray(cat["comp"]),
+        ))
+
+    assert keyed(shd.Cat1) == keyed(ref.Cat1)
+    d = np.abs(shd.cube_correl.data - ref.cube_correl.data)
+    # same PCA trace here (single area typical) -> round-off agreement
+    assert np.percentile(d, 99.9) < 2e-2
+
+    for orig in (ref, shd):
+        for h in orig.logger.handlers:
+            h.close()

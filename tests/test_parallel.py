@@ -374,14 +374,6 @@ def test_mesh_engine_validation(tmp_path):
     with pytest.raises(ValueError, match="dp batches"):
         orig2.engine
 
-    # mosaic fieldmaps are not supported on a session mesh
-    orig3 = ORIGIN.init(cube_fn, name="ok3", path=str(tmp_path),
-                        loglevel="ERROR", mesh=make_mesh(2, dp=1))
-    eng = orig3.engine
-    with pytest.raises(NotImplementedError, match="mosaic"):
-        eng.tglr(np.zeros((80, 5, 5), np.float32), [np.ones((30, 24))],
-                 [np.ones(41)])
-
-    for orig_ in (orig, orig2, orig3):
+    for orig_ in (orig, orig2):
         for h in orig_.logger.handlers:
             h.close()
