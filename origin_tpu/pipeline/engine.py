@@ -56,12 +56,17 @@ def device_memory_fits(nbytes, device=None):
     1. ``ORIGIN_TPU_HBM_BYTES`` environment variable (an explicit budget in
        bytes; scientific notation accepted);
     2. the backend-reported allocator limit (``memory_stats()['bytes_limit']``
-       — absent on some backends, e.g. tunnelled devices);
+       — production TPU/GPU runtimes report it);
     3. host platforms are treated as unlimited;
-    4. otherwise a one-shot probe: try to actually allocate ``nbytes`` on
-       the device (freed immediately).  Anything already resident shrinks
-       the probe's headroom, which errs toward chunking — the safe side.
+    4. otherwise: assume it does NOT fit.  Probing by allocation is not an
+       option — a deliberately failing multi-GB allocation destabilizes
+       some backends even when the exception is caught (observed on the
+       async dev tunnel: the RESOURCE_EXHAUSTED poisons a later, perfectly
+       ordinary program).  Tight mode (chunked programs, eager offloads)
+       is correct everywhere, merely slower on big-memory devices, whose
+       runtimes report their limit anyway.
     """
+    import logging
     import os
 
     env = os.environ.get("ORIGIN_TPU_HBM_BYTES")
@@ -78,17 +83,11 @@ def device_memory_fits(nbytes, device=None):
         return nbytes <= int(limit)
     if device.platform == "cpu":
         return True
-    try:
-        with jax.default_device(device):
-            probe = jnp.zeros((max(1, int(nbytes)),), dtype=jnp.int8)
-            # fetch a VALUE, not just block_until_ready: on async tunnel
-            # backends a failed allocation can otherwise surface its
-            # RESOURCE_EXHAUSTED on the NEXT unrelated device operation
-            _ = int(np.asarray(probe[-1]))
-        del probe
-        return True
-    except Exception:
-        return False
+    logging.getLogger(__name__).info(
+        "device memory limit unknown (no memory_stats): assuming the "
+        "tight-memory mode; set ORIGIN_TPU_HBM_BYTES to override"
+    )
+    return False
 
 
 class DeferredCube(Cube):
