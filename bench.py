@@ -43,6 +43,11 @@ def e2e_step_times():
     """
     if os.environ.get("BENCH_SKIP_E2E"):
         return None
+    # pin the memory mode so the per-step numbers stay comparable across
+    # rounds on backends that report no memory limit (unknown limit means
+    # tight mode): the minicube working set is ~200 MB, so a 2 GB budget
+    # holds on any accelerator
+    os.environ.setdefault("ORIGIN_TPU_HBM_BYTES", "2e9")
     import shutil
     import signal
     import tempfile
