@@ -147,11 +147,28 @@ def main():
         for k, v in dft_spatial_factors(NY, NX, fshape2, (25, 25)).items()
     }
 
+    # production spectral-sweep path: the fused Pallas kernel on real
+    # accelerators (the engine's default, ORIGIN_TPU_PALLAS=0 reverts),
+    # the XLA Toeplitz formulation elsewhere — same selection as
+    # DeviceEngine so the headline measures what the pipeline runs
+    from origin_tpu.ops.pallas_kernels import pallas_available
+
+    if pallas_available() and os.environ.get("ORIGIN_TPU_PALLAS", "1") != "0":
+        from origin_tpu.ops.pallas_sweep import toeplitz_sweep_pallas
+
+        def sweep(cube_fsf, norm_fsf, t_num, t_den):
+            return toeplitz_sweep_pallas(
+                cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ
+            )
+    else:
+        def sweep(cube_fsf, norm_fsf, t_num, t_den):
+            return glr_spectral_mxu(
+                cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ
+            )
+
     def step05(cube, kern_r, kern_i, norm_fsf, t_num, t_den, mask):
         cube_fsf = glr_spatial_matmul(cube, kern_r, kern_i, None, factors)
-        correl, profile, correl_min = glr_spectral_mxu(
-            cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ
-        )
+        correl, profile, correl_min = sweep(cube_fsf, norm_fsf, t_num, t_den)
         lmax, lmin = compute_local_max(correl, correl_min, mask, 3)
         return correl, profile, lmax, lmin
 

@@ -507,10 +507,14 @@ class Detection(Step):
             "thresholding correl local maxima (> %.2f)", orig.threshold_correl
         )
         # device-side sparse extraction: only (n, 3) indices + values cross
-        # the host boundary, never the local-max cubes themselves
-        (z, y, x), tglr, (profvals,) = orig.engine.detections_above(
-            "cube_local_max", orig.threshold_correl, gather=("cube_profile",)
+        # the host boundary, never the local-max cubes themselves; both
+        # cubes are counted and compacted in paired programs (two link
+        # round-trips total)
+        det_corr, det_std = orig.engine.detections_above_pair(
+            ("cube_local_max", orig.threshold_correl, ("cube_profile",)),
+            ("cube_std_local_max", orig.threshold_std, ()),
         )
+        (z, y, x), tglr, (profvals,) = det_corr
         cat = Table(data=[x, y, z], names=("x0", "y0", "z0"))
         cat["comp"] = np.zeros(len(cat), dtype=int)
         cat["STD"] = np.full(len(cat), np.nan)
@@ -521,9 +525,7 @@ class Detection(Step):
         self.logger.info(
             "thresholding std local maxima (> %.2f)", orig.threshold_std
         )
-        (z, y, x), stdvals, _ = orig.engine.detections_above(
-            "cube_std_local_max", orig.threshold_std
-        )
+        (z, y, x), stdvals, _ = det_std
         cat_std = Table(data=[x, y, z], names=("x0", "y0", "z0"))
         cat_std["comp"] = np.ones(len(cat_std), dtype=int)
         cat_std["STD"] = stdvals.astype(float)

@@ -97,6 +97,49 @@ def test_detections_above_empty(problem):
     assert len(z) == 0 and len(vals) == 0
 
 
+def test_detections_above_pair_matches_two_calls(problem):
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    arr1 = cube * 3.0
+    arr2 = (cube * -2.0).astype(np.float32)
+    extra = (cube * 7).astype(np.float32)
+    orig._store["cube_local_max"] = DeferredCube(jnp.asarray(arr1))
+    orig._store["cube_std_local_max"] = DeferredCube(jnp.asarray(arr2))
+    orig._store["cube_profile"] = DeferredCube(jnp.asarray(extra))
+
+    (r1, r2) = eng.detections_above_pair(
+        ("cube_local_max", 2.5, ("cube_profile",)),
+        ("cube_std_local_max", 1.5, ()),
+    )
+    for res, arr, thr, has_extra in (
+        (r1, arr1, 2.5, True), (r2, arr2, 1.5, False)
+    ):
+        (z, y, x), vals, extras = res
+        ez, ey, ex = np.where(arr > thr)
+        assert len(ez) > 0  # non-trivial case
+        np.testing.assert_array_equal(z, ez)
+        np.testing.assert_array_equal(y, ey)
+        np.testing.assert_array_equal(x, ex)
+        np.testing.assert_allclose(vals, arr[ez, ey, ex])
+        if has_extra:
+            np.testing.assert_allclose(extras[0], extra[ez, ey, ex])
+
+    # one-sided empty: the pair call degrades gracefully
+    (r1, r2) = eng.detections_above_pair(
+        ("cube_local_max", 1e9, ("cube_profile",)),
+        ("cube_std_local_max", 1.5, ()),
+    )
+    assert len(r1[0][0]) == 0 and len(r1[1]) == 0 and len(r1[2][0]) == 0
+    assert len(r2[0][0]) == len(np.where(arr2 > 1.5)[0])
+
+    # both empty
+    (r1, r2) = eng.detections_above_pair(
+        ("cube_local_max", 1e9, ()), ("cube_std_local_max", 1e9, ())
+    )
+    assert len(r1[0][0]) == 0 and len(r2[0][0]) == 0
+
+
 def test_minicubes_match_host_extraction(problem):
     cube, var, mask = problem
     nz, ny, nx = cube.shape
