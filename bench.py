@@ -110,6 +110,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the chained timing programs compile in
+    # tens of seconds cold through a slow tunnel; the driver re-runs this
+    # benchmark every round on the same host
+    from origin_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from origin_tpu.core import MoffatFSF, gaussian_profile
     from origin_tpu.ops import compute_local_max
     from origin_tpu.ops.convolve import fft2_shape
@@ -147,27 +154,47 @@ def main():
         for k, v in dft_spatial_factors(NY, NX, fshape2, (25, 25)).items()
     }
 
-    # production spectral-sweep path: the fused Pallas kernel on real
-    # accelerators (the engine's default, ORIGIN_TPU_PALLAS=0 reverts),
-    # the XLA Toeplitz formulation elsewhere — same selection as
-    # DeviceEngine so the headline measures what the pipeline runs
-    from origin_tpu.ops.pallas_kernels import pallas_available
+    # production GLR path: the fused Pallas kernels on real accelerators
+    # (the engine's defaults; ORIGIN_TPU_PALLAS=0 reverts to XLA,
+    # ORIGIN_TPU_PRECISION=bf16x3 selects the 3-pass throughput mode) —
+    # same selection as DeviceEngine so the headline measures what the
+    # pipeline runs
+    from origin_tpu.pipeline.engine import DeviceEngine
 
-    if pallas_available() and os.environ.get("ORIGIN_TPU_PALLAS", "1") != "0":
+    if DeviceEngine._use_pallas():
         from origin_tpu.ops.pallas_sweep import toeplitz_sweep_pallas
+
+        prec = DeviceEngine._pallas_precision()
+
+        if prec == "bf16x3":
+            from origin_tpu.ops.pallas_spatial import glr_spatial_pallas
+
+            def spatial(cube, kern_r, kern_i):
+                return glr_spatial_pallas(
+                    cube, kern_r, kern_i, None, factors, precision=prec
+                )
+        else:
+            def spatial(cube, kern_r, kern_i):
+                return glr_spatial_matmul(
+                    cube, kern_r, kern_i, None, factors
+                )
 
         def sweep(cube_fsf, norm_fsf, t_num, t_den):
             return toeplitz_sweep_pallas(
-                cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ
+                cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ,
+                precision=prec,
             )
     else:
+        def spatial(cube, kern_r, kern_i):
+            return glr_spatial_matmul(cube, kern_r, kern_i, None, factors)
+
         def sweep(cube_fsf, norm_fsf, t_num, t_den):
             return glr_spectral_mxu(
                 cube_fsf, norm_fsf, t_num, t_den, pad_left, NZ
             )
 
     def step05(cube, kern_r, kern_i, norm_fsf, t_num, t_den, mask):
-        cube_fsf = glr_spatial_matmul(cube, kern_r, kern_i, None, factors)
+        cube_fsf = spatial(cube, kern_r, kern_i)
         correl, profile, correl_min = sweep(cube_fsf, norm_fsf, t_num, t_den)
         lmax, lmin = compute_local_max(correl, correl_min, mask, 3)
         return correl, profile, lmax, lmin

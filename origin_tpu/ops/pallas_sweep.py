@@ -37,8 +37,15 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _sweep_kernel(x_ref, n_ref, tnum_ref, tden_ref,
-                  correl_ref, profile_ref, cmin_ref, *, nb, block, window):
+                  correl_ref, profile_ref, cmin_ref, *, nb, block, window,
+                  precision=jax.lax.Precision.HIGHEST):
     """One (TILE_S, Ztot) spaxel tile x one profile k of the sweep."""
     k = pl.program_id(1)
 
@@ -48,20 +55,36 @@ def _sweep_kernel(x_ref, n_ref, tnum_ref, tden_ref,
         cmin_ref[:] = jnp.full_like(cmin_ref, jnp.inf)
         profile_ref[:] = jnp.zeros_like(profile_ref)
 
-    tn = tnum_ref[0]
-    td = tden_ref[0]
-    hi = jax.lax.Precision.HIGHEST
+    if precision == "bf16x3":
+        # Mosaic lowers only DEFAULT/HIGHEST; emulate the 3-pass bf16
+        # scheme (XLA's HIGH): a@b ~ ah@bh + ah@bl + al@bh — half the
+        # MXU passes of HIGHEST at ~1e-5 relative error.  The profile
+        # bank is split once per kernel, each window once per use.
+        sp = _split_bf16
+
+        def d3(ap, bp):
+            d = lambda u, v: jax.lax.dot_general(
+                u, v, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+            return d(ap[0], bp[0]) + d(ap[0], bp[1]) + d(ap[1], bp[0])
+    else:
+        sp = lambda a: (a,)
+
+        def d3(ap, bp):
+            return jax.lax.dot_general(
+                ap[0], bp[0], (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+
+    tn_s = sp(tnum_ref[0])
+    td_s = sp(tden_ref[0])
     for b in range(nb):
         xw = x_ref[:, pl.ds(b * block, window)]
         nw = n_ref[:, pl.ds(b * block, window)]
-        num = jax.lax.dot_general(
-            xw, tn, (((1,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=jnp.float32,
-        )
-        den = jax.lax.dot_general(
-            nw, td, (((1,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=jnp.float32,
-        )
+        num = d3(sp(xw), tn_s)
+        den = d3(sp(nw), td_s)
         norm = jnp.where(den <= 0, jnp.inf, jnp.sqrt(den))
         t = num / norm
         sl = pl.ds(b * block, block)
@@ -107,10 +130,11 @@ def _plan_chunks(zout, window, block, budget=14 << 20, tile_fixed=None):
 
 @partial(
     jax.jit,
-    static_argnames=("pad_left", "nz", "tile_s", "interpret"),
+    static_argnames=("pad_left", "nz", "tile_s", "interpret", "precision"),
 )
 def toeplitz_sweep_pallas(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
-                          tile_s=None, interpret=False):
+                          tile_s=None, interpret=False,
+                          precision=jax.lax.Precision.HIGHEST):
     """Drop-in fused variant of ops.glr.toeplitz_sweep (with profiles).
 
     Inputs/outputs match :func:`origin_tpu.ops.glr.glr_spectral_mxu`:
@@ -157,7 +181,8 @@ def toeplitz_sweep_pallas(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
         xin = jax.lax.slice_in_dim(x, z0, z0 + zin_c, axis=1)
         nin = jax.lax.slice_in_dim(n, z0, z0 + zin_c, axis=1)
         grid = (sp // tile, nprof)
-        kernel = partial(_sweep_kernel, nb=nb_c, block=block, window=window)
+        kernel = partial(_sweep_kernel, nb=nb_c, block=block,
+                         window=window, precision=precision)
         res = pl.pallas_call(
             kernel,
             grid=grid,

@@ -313,6 +313,35 @@ class DeviceEngine:
         for n in names:
             self._inputs.pop(n, None)
 
+    @staticmethod
+    def _use_pallas():
+        """Fused Pallas kernels on TPU backends (ORIGIN_TPU_PALLAS=0 off)."""
+        import os
+
+        from ..ops.pallas_kernels import pallas_available
+
+        return (
+            pallas_available()
+            and os.environ.get("ORIGIN_TPU_PALLAS", "1") != "0"
+        )
+
+    @staticmethod
+    def _pallas_precision():
+        """Matmul precision for the fused Pallas kernels.
+
+        Default float32 (HIGHEST, 6 bf16 MXU passes — faithful to the
+        XLA paths to ~3e-7 relative).  ``ORIGIN_TPU_PRECISION=bf16x3``
+        selects the 3-pass scheme: ~25% faster GLR stages at ~1e-5
+        relative error (measured catalog-identical on the golden field;
+        see docs/benchmarks.md).
+        """
+        import os
+
+        mode = os.environ.get("ORIGIN_TPU_PRECISION", "highest").lower()
+        if mode == "bf16x3":
+            return "bf16x3"
+        return jax.lax.Precision.HIGHEST
+
     # headroom demanded before running unchunked: ~10 resident cube-sized
     # products plus FFT/window transients
     HEADROOM_CUBES = 24
@@ -481,32 +510,38 @@ class DeviceEngine:
             kern_r = jnp.real(kern_hats)
             kern_i = jnp.imag(kern_hats)
             del kern_hats
-            cube_fsf = glr_spatial_matmul(faint, kern_r, kern_i, wmaps,
-                                          factors)
+            prec = self._pallas_precision()
+            if self._use_pallas() and prec == "bf16x3":
+                # fused spatial chain (one VMEM-resident slab per channel
+                # block, no cube-sized HBM intermediates): wins only in
+                # the 3-pass bf16 mode — at HIGHEST the stage is
+                # MXU-pass-bound and the unfused XLA matmuls overlap
+                # better with the rest of the chained program (measured
+                # head-to-head, docs/benchmarks.md)
+                from ..ops.pallas_spatial import glr_spatial_pallas
+
+                cube_fsf = glr_spatial_pallas(faint, kern_r, kern_i,
+                                              wmaps, factors,
+                                              precision=prec)
+            else:
+                cube_fsf = glr_spatial_matmul(faint, kern_r, kern_i,
+                                              wmaps, factors)
             del kern_r, kern_i
 
         prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
         t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
             prepped, block=min(128, nz)
         )
-        import os
-
-        from ..ops.pallas_kernels import pallas_available
-
         # fused Pallas sweep on TPU-family backends (reads the two input
         # cubes once for ALL profiles: 1.4-1.7x the XLA Toeplitz path,
         # growing with the dictionary size; parity ~1e-6);
         # ORIGIN_TPU_PALLAS=0 falls back to the XLA path
-        use_pallas = (
-            pallas_available()
-            and os.environ.get("ORIGIN_TPU_PALLAS", "1") != "0"
-        )
-        if use_pallas:
+        if self._use_pallas():
             from ..ops.pallas_sweep import toeplitz_sweep_pallas
 
             correl, profile, correl_min = toeplitz_sweep_pallas(
                 cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),
-                pad_left, nz,
+                pad_left, nz, precision=self._pallas_precision(),
             )
         else:
             correl, profile, correl_min = glr_spectral_mxu(

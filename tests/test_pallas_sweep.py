@@ -57,6 +57,23 @@ def test_pallas_sweep_parity_20_profiles():
     _compare(cf, nf, t_num, t_den, pad_left, 260)
 
 
+def test_pallas_sweep_bf16x3_mode():
+    # interpret mode runs the split-operand algebra in fp32 (the real-TPU
+    # error, ~1e-5 relative, is recorded in docs/benchmarks.md)
+    cf, nf, t_num, t_den, pad_left = _problem(260, 9, 8, (2.0, 6.0), seed=7)
+    c0, p0, m0 = glr_spectral_mxu(
+        jnp.asarray(cf), jnp.asarray(nf), jnp.asarray(t_num),
+        jnp.asarray(t_den), pad_left, 260,
+    )
+    c1, p1, m1 = ps.toeplitz_sweep_pallas(
+        jnp.asarray(cf), jnp.asarray(nf), jnp.asarray(t_num),
+        jnp.asarray(t_den), pad_left, 260, interpret=True,
+        precision="bf16x3",
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-4)
+
+
 def test_pallas_sweep_chunked(monkeypatch):
     """Force the spectral-chunked path (VMEM-constrained plan) and check
     the overlap/concat reassembly against the unchunked XLA result."""
