@@ -22,6 +22,13 @@ __all__ = ("merge_sources", "split_source", "update_masks", "update_sources",
 logger = logging.getLogger(__name__)
 
 
+def _nanmax(values):
+    """np.nanmax semantics (all-NaN -> NaN) without the RuntimeWarning."""
+    arr = np.asarray(values, dtype=float)
+    finite = arr[~np.isnan(arr)]
+    return float(finite.max()) if finite.size else np.nan
+
+
 def merge_sources(source_id, source_idlist, source_table, source_lines):
     """Merge the sources of ``source_idlist`` into ``source_id``."""
     if source_id not in np.asarray(source_table["ID"]):
@@ -92,8 +99,7 @@ def split_source(source_id, num_lines_to_keep, source_table, source_lines,
         )
         sub = group[np.asarray(group["merged_in"]) == -9999]
         for col in ("flux", "T_GLR", "nsigTGLR", "STD", "nsigSTD", "purity"):
-            with np.errstate(invalid="ignore"):
-                result[col] = np.nanmax(np.asarray(sub[col], dtype=float))
+            result[col] = _nanmax(sub[col])
         order = np.argsort(np.asarray(sub["flux"]))
         lbdas = np.asarray(sub["lbda"])[order]
         result["waves"] = ",".join(str(int(l)) for l in lbdas[:-4:-1])
@@ -171,8 +177,7 @@ def update_source_table(source_id, source_table, source_lines):
     )
     sub = group[np.asarray(group["merged_in"]) == -9999]
     for col in ("flux", "T_GLR", "nsigTGLR", "STD", "nsigSTD", "purity"):
-        with np.errstate(invalid="ignore"):
-            source_table[col][ksel] = np.nanmax(np.asarray(sub[col], float))
+        source_table[col][ksel] = _nanmax(sub[col])
     order = np.argsort(np.asarray(sub["flux"]))
     lbdas = np.asarray(sub["lbda"])[order]
     source_table["waves"][ksel] = ",".join(
