@@ -302,6 +302,14 @@ def estimation_line_arrays(
     from ..utils import progressbar
 
     results = {k: [] for k in ("flux", "residual", "line", "line_var", "y", "x", "z", "ok")}
+    pending = None  # 1-deep software pipeline: fetch chunk i while i+1 runs
+
+    def collect(out, b):
+        # ONE batched transfer for the chunk's eight result arrays
+        host = jax.device_get(out)
+        for k in results:
+            results[k].append(host[k][:b])
+
     for i0 in progressbar(range(0, n, batch), desc="lines", leave=False):
         ii = slice(i0, min(n, i0 + batch))
         xs = np.asarray(x0[ii], dtype=int)
@@ -356,6 +364,9 @@ def estimation_line_arrays(
             horiz_psf=horiz_psf,
             has_weights=has_w,
         )
-        for k in results:
-            results[k].append(np.asarray(out[k])[:b])
+        if pending is not None:
+            collect(*pending)
+        pending = (out, b)
+    if pending is not None:
+        collect(*pending)
     return {k: np.concatenate(v) if n else np.empty(0) for k, v in results.items()}

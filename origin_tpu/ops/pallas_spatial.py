@@ -11,12 +11,14 @@ This kernel fuses the whole chain per spectral-channel block: a
 loaded into VMEM once, all twelve dots for those channels run
 back-to-back on the MXU, and only the (ZT, Ny, Nx) convolved slab is
 written — HBM traffic drops to one read of the cube, one of the spectra
-bank, one write of the result.
+bank, one write of the result.  Mosaic fields weight the slab in VMEM
+(``w_ref``), so the weighted cube is never materialized in HBM either.
 
 Numerics match glr_spatial_matmul exactly in structure: the same factor
 matrices (ops.glr.dft_spatial_factors — padded real 2-D DFT with the
 centred 'same' slice and real-symmetry weights folded into the inverse
-factors), the same float32 HIGHEST-precision dots.  Reference semantics:
+factors), the same float32 HIGHEST-precision dots by default; see
+ops.pallas_prec for the bf16x3 throughput mode.  Reference semantics:
 per-channel scipy fftconvolve 'same' with the flipped zero-mean FSF
 (reference lib_origin.py:1027-1043).
 """
@@ -27,53 +29,30 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["glr_spatial_pallas"]
+from .pallas_prec import make_dot
+
+__all__ = ["glr_spatial_pallas", "spatial_pallas_fits"]
 
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _split_bf16(a):
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _spatial_kernel(x_ref, kr_ref, ki_ref, axr_ref, axi_ref, ayr_ref,
-                    ayi_ref, byr_ref, byi_ref, cxr_ref, cxi_ref, out_ref,
-                    *, zt, precision):
+def _spatial_kernel(*refs, zt, precision, has_w):
     """One (ZT, Ny, Nx) channel slab: the full spatial chain in VMEM."""
-
-    if precision == "bf16x3":
-        # Mosaic lowers only DEFAULT/HIGHEST dot precision; emulate the
-        # 3-pass bf16 scheme (XLA's HIGH) by splitting each operand into
-        # bf16 high/low halves: a@b ~ ah@bh + ah@bl + al@bh.  Error vs
-        # fp32 ~1e-5 relative through the full chain; half the MXU
-        # passes of HIGHEST.  Every operand is split exactly once
-        # (factors once per kernel, per-channel operands once per use).
-        sp = _split_bf16
-
-        def d3(ap, bp):
-            d = lambda u, v: jax.lax.dot_general(
-                u, v, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32,
-            )
-            return d(ap[0], bp[0]) + d(ap[0], bp[1]) + d(ap[1], bp[0])
+    if has_w:
+        (x_ref, kr_ref, ki_ref, w_ref, axr_ref, axi_ref, ayr_ref, ayi_ref,
+         byr_ref, byi_ref, cxr_ref, cxi_ref, out_ref) = refs
+        w = w_ref[:]
     else:
-        sp = lambda a: (a,)
+        (x_ref, kr_ref, ki_ref, axr_ref, axi_ref, ayr_ref, ayi_ref,
+         byr_ref, byi_ref, cxr_ref, cxi_ref, out_ref) = refs
+        w = None
 
-        def d3(ap, bp):
-            return jax.lax.dot_general(
-                ap[0], bp[0], (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            )
-
+    sp, d3 = make_dot(precision)
     axr_s, axi_s = sp(axr_ref[:]), sp(axi_ref[:])
     ayr_s, ayi_s = sp(ayr_ref[:]), sp(ayi_ref[:])
     byr_s, byi_s = sp(byr_ref[:]), sp(byi_ref[:])
@@ -83,7 +62,10 @@ def _spatial_kernel(x_ref, kr_ref, ki_ref, axr_ref, axi_ref, ayr_ref,
     # is 12 dots — x3 passes in bf16x3 mode — and unrolling zt copies of
     # it makes Mosaic compilation time explode
     def one_channel(t, _):
-        ds = sp(x_ref[t])                    # (ny, nx)
+        d = x_ref[t]                         # (ny, nx)
+        if w is not None:
+            d = d * w                        # mosaic field weight, in VMEM
+        ds = sp(d)
         zr_s = sp(d3(ds, axr_s))             # (ny, FXr)   x-DFT
         zi_s = sp(d3(ds, axi_s))
         yr = d3(ayr_s, zr_s) - d3(ayi_s, zi_s)   # (FY, FXr)  y-DFT
@@ -99,6 +81,7 @@ def _spatial_kernel(x_ref, kr_ref, ki_ref, axr_ref, axi_ref, ayr_ref,
 
     jax.lax.fori_loop(0, zt, one_channel, None)
 
+
 def _vmem_bytes(zt, ny, nx, fy, fxr):
     """Approximate double-buffered VMEM footprint of one grid step."""
     nyp, nxp = _round_up(ny, 8), _round_up(nx, 128)
@@ -109,7 +92,20 @@ def _vmem_bytes(zt, ny, nx, fy, fxr):
     return 4 * (2 * blocks + fac + transients)
 
 
-def _plan_zt(ny, nx, fy, fxr, budget=12 << 20):
+VMEM_BUDGET = 12 << 20
+
+
+def spatial_pallas_fits(ny, nx, fy, fxr, budget=VMEM_BUDGET):
+    """Whether the fused kernel fits VMEM for this field/grid geometry.
+
+    The factor matrices scale with the field size and do not shrink with
+    the slab height, so very large spatial fields cannot run fused even
+    at zt=1 — callers must fall back to the XLA matmul path then.
+    """
+    return _vmem_bytes(1, ny, nx, fy, fxr) <= budget
+
+
+def _plan_zt(ny, nx, fy, fxr, budget=VMEM_BUDGET):
     for zt in (16, 12, 8, 4, 2, 1):
         if _vmem_bytes(zt, ny, nx, fy, fxr) <= budget:
             return zt
@@ -118,7 +114,7 @@ def _plan_zt(ny, nx, fy, fxr, budget=12 << 20):
 
 @partial(jax.jit,
          static_argnames=("zt", "interpret", "precision"))
-def _spatial_field_pallas(data, kr, ki, fa, zt, interpret, precision):
+def _spatial_field_pallas(data, kr, ki, wmap, fa, zt, interpret, precision):
     nz, ny, nx = data.shape
     fy, fxr = kr.shape[-2:]
     nzp = _round_up(nz, zt)
@@ -130,28 +126,39 @@ def _spatial_field_pallas(data, kr, ki, fa, zt, interpret, precision):
     grid = (nzp // zt,)
     slab = lambda i: (i, 0, 0)
     full = lambda i: (0, 0)
+    has_w = wmap is not None
+    in_specs = [
+        pl.BlockSpec((zt, ny, nx), slab, memory_space=pltpu.VMEM),
+        pl.BlockSpec((zt, fy, fxr), slab, memory_space=pltpu.VMEM),
+        pl.BlockSpec((zt, fy, fxr), slab, memory_space=pltpu.VMEM),
+    ]
+    args = [data, kr, ki]
+    if has_w:
+        in_specs.append(
+            pl.BlockSpec((ny, nx), full, memory_space=pltpu.VMEM)
+        )
+        args.append(wmap)
+    in_specs += [
+        pl.BlockSpec((nx, fxr), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nx, fxr), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fy, ny), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fy, ny), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ny, fy), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ny, fy), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fxr, nx), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fxr, nx), full, memory_space=pltpu.VMEM),
+    ]
+    args += [fa["axr"], fa["axi"], fa["ayr"], fa["ayi"],
+             fa["byr"], fa["byi"], fa["cxr"], fa["cxi"]]
     res = pl.pallas_call(
-        partial(_spatial_kernel, zt=zt, precision=precision),
+        partial(_spatial_kernel, zt=zt, precision=precision, has_w=has_w),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((zt, ny, nx), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((zt, fy, fxr), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((zt, fy, fxr), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nx, fxr), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nx, fxr), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((fy, ny), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((fy, ny), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ny, fy), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ny, fy), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((fxr, nx), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((fxr, nx), full, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((zt, ny, nx), slab,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nzp, ny, nx), jnp.float32),
         interpret=interpret,
-    )(data, kr, ki, fa["axr"], fa["axi"], fa["ayr"], fa["ayi"],
-      fa["byr"], fa["byi"], fa["cxr"], fa["cxi"])
+    )(*args)
     return res[:nz] if nzp != nz else res
 
 
@@ -164,19 +171,30 @@ def glr_spatial_pallas(cube, kern_r, kern_i, wmaps, factors, zt=None,
     (F, Nz, FY, FXr) real/imag FSF spectra from
     :func:`origin_tpu.ops.glr.precompute_spatial`; ``factors`` from
     :func:`origin_tpu.ops.glr.dft_spatial_factors`; optional mosaic field
-    weight maps ``wmaps`` (F, Ny, Nx).  Returns cube_fsf (Nz, Ny, Nx).
+    weight maps ``wmaps`` (F, Ny, Nx), applied to the VMEM slab inside
+    the kernel.  Returns cube_fsf (Nz, Ny, Nx).
+
+    Raises ValueError when the geometry cannot fit VMEM even at zt=1
+    (check :func:`spatial_pallas_fits` first and fall back to the XLA
+    path).
     """
     nfields = kern_r.shape[0]
     ny, nx = cube.shape[1:]
     fy, fxr = kern_r.shape[-2:]
+    if not spatial_pallas_fits(ny, nx, fy, fxr):
+        raise ValueError(
+            f"fused spatial kernel does not fit VMEM for field "
+            f"({ny}, {nx}) with DFT grid ({fy}, {fxr}); use "
+            "ops.glr.glr_spatial_matmul"
+        )
     if zt is None:
         zt = _plan_zt(ny, nx, fy, fxr)
     fa = {k: jnp.asarray(v) for k, v in factors.items()}
     out = None
     for f in range(nfields):
-        data = cube if wmaps is None else cube * wmaps[f][None]
+        wmap = None if wmaps is None else wmaps[f]
         o = _spatial_field_pallas(
-            data, kern_r[f], kern_i[f], fa, zt, interpret, precision
+            cube, kern_r[f], kern_i[f], wmap, fa, zt, interpret, precision
         )
         out = o if out is None else out + o
     return out

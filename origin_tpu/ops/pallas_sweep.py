@@ -30,17 +30,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_prec import make_dot
+
 __all__ = ["toeplitz_sweep_pallas"]
 
 
 def _round_up(x, m):
     return -(-x // m) * m
-
-
-def _split_bf16(a):
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
 
 
 def _sweep_kernel(x_ref, n_ref, tnum_ref, tden_ref,
@@ -55,29 +51,10 @@ def _sweep_kernel(x_ref, n_ref, tnum_ref, tden_ref,
         cmin_ref[:] = jnp.full_like(cmin_ref, jnp.inf)
         profile_ref[:] = jnp.zeros_like(profile_ref)
 
-    if precision == "bf16x3":
-        # Mosaic lowers only DEFAULT/HIGHEST; emulate the 3-pass bf16
-        # scheme (XLA's HIGH): a@b ~ ah@bh + ah@bl + al@bh — half the
-        # MXU passes of HIGHEST at ~1e-5 relative error.  The profile
-        # bank is split once per kernel, each window once per use.
-        sp = _split_bf16
-
-        def d3(ap, bp):
-            d = lambda u, v: jax.lax.dot_general(
-                u, v, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32,
-            )
-            return d(ap[0], bp[0]) + d(ap[0], bp[1]) + d(ap[1], bp[0])
-    else:
-        sp = lambda a: (a,)
-
-        def d3(ap, bp):
-            return jax.lax.dot_general(
-                ap[0], bp[0], (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            )
-
+    # ops.pallas_prec: plain dots at a jax Precision, or the emulated
+    # 3-pass bf16 scheme for "bf16x3" (profile bank split once per
+    # kernel, each window once per use)
+    sp, d3 = make_dot(precision)
     tn_s = sp(tnum_ref[0])
     td_s = sp(tden_ref[0])
     for b in range(nb):

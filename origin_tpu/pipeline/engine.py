@@ -335,11 +335,17 @@ class DeviceEngine:
         relative error (measured catalog-identical on the golden field;
         see docs/benchmarks.md).
         """
+        import logging
         import os
 
         mode = os.environ.get("ORIGIN_TPU_PRECISION", "highest").lower()
         if mode == "bf16x3":
             return "bf16x3"
+        if mode not in ("highest", ""):
+            logging.getLogger(__name__).warning(
+                "unknown ORIGIN_TPU_PRECISION=%r (valid: highest, bf16x3); "
+                "using highest", mode,
+            )
         return jax.lax.Precision.HIGHEST
 
     # headroom demanded before running unchunked: ~10 resident cube-sized
@@ -511,15 +517,24 @@ class DeviceEngine:
             kern_i = jnp.imag(kern_hats)
             del kern_hats
             prec = self._pallas_precision()
-            if self._use_pallas() and prec == "bf16x3":
+            from ..ops.pallas_spatial import (
+                glr_spatial_pallas,
+                spatial_pallas_fits,
+            )
+
+            fy, fxr = kern_r.shape[-2:]
+            if (
+                self._use_pallas()
+                and prec == "bf16x3"
+                and spatial_pallas_fits(ny, nx, fy, fxr)
+            ):
                 # fused spatial chain (one VMEM-resident slab per channel
                 # block, no cube-sized HBM intermediates): wins only in
                 # the 3-pass bf16 mode — at HIGHEST the stage is
                 # MXU-pass-bound and the unfused XLA matmuls overlap
                 # better with the rest of the chained program (measured
-                # head-to-head, docs/benchmarks.md)
-                from ..ops.pallas_spatial import glr_spatial_pallas
-
+                # head-to-head, docs/benchmarks.md); very large fields
+                # whose factor matrices overflow VMEM fall back to XLA
                 cube_fsf = glr_spatial_pallas(faint, kern_r, kern_i,
                                               wmaps, factors,
                                               precision=prec)
@@ -639,8 +654,12 @@ class DeviceEngine:
                 self._unpack_sparse(None, 0, a1.shape, len(g1)),
                 self._unpack_sparse(None, 0, a2.shape, len(g2)),
             )
-        cap1 = min(_bucket(max(n1, 1), 256), a1.size)
-        cap2 = min(_bucket(max(n2, 1), 256), a2.size)
+        # one shared capacity bucket: the program cache stays keyed by a
+        # single cap (not the (cap1, cap2) product), and the extra rows
+        # on the smaller side cost microseconds
+        cap = min(_bucket(max(n1, n2, 1), 256), max(a1.size, a2.size))
+        cap1 = min(cap, a1.size)
+        cap2 = min(cap, a2.size)
         r1, r2 = jax.device_get(
             _extract_above_pair(a1, e1, thr1, cap1, a2, e2, thr2, cap2)
         )

@@ -58,8 +58,9 @@ def test_pallas_sweep_parity_20_profiles():
 
 
 def test_pallas_sweep_bf16x3_mode():
-    # interpret mode runs the split-operand algebra in fp32 (the real-TPU
-    # error, ~1e-5 relative, is recorded in docs/benchmarks.md)
+    # interpret mode rounds through bf16 too (astype is real), so this
+    # exercises the actual 3-pass error (~1e-5 relative); on-chip
+    # measurements are recorded in docs/benchmarks.md
     cf, nf, t_num, t_den, pad_left = _problem(260, 9, 8, (2.0, 6.0), seed=7)
     c0, p0, m0 = glr_spectral_mxu(
         jnp.asarray(cf), jnp.asarray(nf), jnp.asarray(t_num),
