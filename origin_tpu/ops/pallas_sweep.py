@@ -107,11 +107,12 @@ def _plan_chunks(zout, window, block, budget=14 << 20, tile_fixed=None):
 
 @partial(
     jax.jit,
-    static_argnames=("pad_left", "nz", "tile_s", "interpret", "precision"),
+    static_argnames=("pad_left", "nz", "tile_s", "interpret", "precision",
+                     "vma"),
 )
 def toeplitz_sweep_pallas(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
                           tile_s=None, interpret=False,
-                          precision=jax.lax.Precision.HIGHEST):
+                          precision=jax.lax.Precision.HIGHEST, vma=None):
     """Drop-in fused variant of ops.glr.toeplitz_sweep (with profiles).
 
     Inputs/outputs match :func:`origin_tpu.ops.glr.glr_spectral_mxu`:
@@ -183,10 +184,12 @@ def toeplitz_sweep_pallas(cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
                 pl.BlockSpec((tile, zpad_c), lambda i, k: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
+            # vma: required when running inside shard_map (the caller
+            # names the mesh axes the outputs vary over)
             out_shape=[
-                jax.ShapeDtypeStruct((sp, zpad_c), jnp.float32),
-                jax.ShapeDtypeStruct((sp, zpad_c), pdtype),
-                jax.ShapeDtypeStruct((sp, zpad_c), jnp.float32),
+                jax.ShapeDtypeStruct((sp, zpad_c), jnp.float32, vma=vma),
+                jax.ShapeDtypeStruct((sp, zpad_c), pdtype, vma=vma),
+                jax.ShapeDtypeStruct((sp, zpad_c), jnp.float32, vma=vma),
             ],
             interpret=interpret,
         )(xin, nin, t_num, t_den)

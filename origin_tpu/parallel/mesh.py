@@ -187,7 +187,8 @@ def build_tile_spatial_op(psf, ny_loc, nx, halo=None):
 
 
 def glr_tile(faint, mask, spatial_op, t_num, t_den, pad_left, nz,
-             local_max_size=3, halo=0, axis_name="sp", wtiles=None):
+             local_max_size=3, halo=0, axis_name="sp", wtiles=None,
+             use_pallas=False, precision=None, sweep_interpret=False):
     """Full step-05 tile math with collectives; runs inside shard_map.
 
     Spatial FSF convolution on the halo-extended tile, banded-Toeplitz
@@ -198,6 +199,11 @@ def glr_tile(faint, mask, spatial_op, t_num, t_den, pad_left, nz,
     (F, ny_loc, nx) row shard of the field weight maps; each field
     convolves the weighted tile with its own FSF and the results sum, as
     in the single-chip stage (ops.glr.glr_spatial_matmul with wmaps).
+
+    ``use_pallas`` runs the spectral sweep as the fused Pallas kernel on
+    each device's tile (same kernel as the single-chip engine; real TPU
+    meshes only — ``sweep_interpret=True`` emulates it on CPU tests), at
+    ``precision`` ("bf16x3" or a jax Precision, default HIGHEST).
     """
     from ..ops.glr import toeplitz_sweep
 
@@ -223,9 +229,23 @@ def glr_tile(faint, mask, spatial_op, t_num, t_den, pad_left, nz,
         )
         cube_fsf = cf if cube_fsf is None else cube_fsf + cf
         norm_fsf = nf_ if norm_fsf is None else norm_fsf + nf_
-    correl, profile, correl_min = toeplitz_sweep(
-        cube_fsf, norm_fsf, t_num, t_den, pad_left, nz
-    )
+    if use_pallas:
+        from ..ops.pallas_sweep import toeplitz_sweep_pallas
+
+        # NOTE: the enclosing shard_map must pass check_vma=False — the
+        # varying-axes checker cannot see through pallas_call (its block
+        # machinery manufactures replicated scalars that trip it)
+        correl, profile, correl_min = toeplitz_sweep_pallas(
+            cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
+            interpret=sweep_interpret,
+            precision=(jax.lax.Precision.HIGHEST if precision is None
+                       else precision),
+            vma=frozenset({axis_name}),
+        )
+    else:
+        correl, profile, correl_min = toeplitz_sweep(
+            cube_fsf, norm_fsf, t_num, t_den, pad_left, nz
+        )
     correl = jnp.where(mask, 0.0, correl)
     correl_min = jnp.where(mask, 0.0, correl_min)
     profile = jnp.where(mask, jnp.zeros((), profile.dtype), profile)

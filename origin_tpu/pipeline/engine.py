@@ -831,8 +831,13 @@ class MeshEngine(DeviceEngine):
         # one compiled program per static configuration (jit caching is
         # keyed on the function object, so the closure must be reused)
         mosaic = wtiles is not None
+        # the fused Pallas sweep runs per-device inside shard_map on real
+        # TPU meshes, same kernel and precision mode as the single-chip
+        # engine (CPU meshes use the XLA Toeplitz sweep)
+        use_pallas = self._use_pallas()
+        prec = self._pallas_precision()
         key = (int(pad_left), int(nz), int(size), int(halo), len(fields),
-               mosaic)
+               mosaic, use_pallas, prec)
         if key not in self._glr_cache:
             row = P(None, "sp", None)
             img = P("sp", None)
@@ -846,22 +851,28 @@ class MeshEngine(DeviceEngine):
                     in_specs=(row, row, op_spec, rep, rep,
                               P(None, "sp", None)),
                     out_specs=out_specs,
+                    # vma checking cannot see through pallas_call
+                    check_vma=not use_pallas,
                 )
                 def prog(faint, mask, ops, t_num, t_den, wt):
                     return glr_tile(
                         faint, mask, ops, t_num, t_den, pad_left, nz,
                         local_max_size=size, halo=halo, wtiles=wt,
+                        use_pallas=use_pallas, precision=prec,
                     )
             else:
                 @partial(
                     jax.shard_map, mesh=self.mesh,
                     in_specs=(row, row, op_spec, rep, rep),
                     out_specs=out_specs,
+                    # vma checking cannot see through pallas_call
+                    check_vma=not use_pallas,
                 )
                 def prog(faint, mask, ops, t_num, t_den):
                     return glr_tile(
                         faint, mask, ops, t_num, t_den, pad_left, nz,
                         local_max_size=size, halo=halo,
+                        use_pallas=use_pallas, precision=prec,
                     )
 
             self._glr_cache[key] = jax.jit(prog)

@@ -144,6 +144,62 @@ def test_sharded_batch_dp_sp(problem):
     assert not np.array_equal(lmax[0], lmax[1])
 
 
+def test_glr_tile_pallas_sweep_matches_xla(problem):
+    """The fused Pallas sweep inside shard_map (interpret on CPU) matches
+    the XLA Toeplitz sweep per tile — the path real TPU meshes run."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from origin_tpu.ops.glr import pack_profiles_toeplitz, prepare_profiles
+    from origin_tpu.parallel.mesh import build_tile_spatial_op, glr_tile
+
+    cube, var, mask, psf, profiles = problem
+    nz, ny, nx = cube.shape
+    mesh = make_mesh(8, dp=1)
+    sp = mesh.shape["sp"]
+    prepped = prepare_profiles(profiles)
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
+        prepped, block=min(128, nz)
+    )
+    op, halo = build_tile_spatial_op(psf, ny // sp, nx)
+
+    row = P(None, "sp", None)
+    img = P("sp", None)
+    rep = P()
+    op_spec = jax.tree.map(lambda _: rep, op)
+    out_specs = (row, row, row, row, row, img, img)
+
+    def run(use_pallas):
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(row, row, op_spec, rep, rep), out_specs=out_specs,
+            # the vma checker cannot see through pallas_call
+            check_vma=not use_pallas,
+        )
+        def prog(f, m, o, tn, td):
+            return glr_tile(
+                f, m, o, tn, td, pad_left, nz, halo=halo,
+                use_pallas=use_pallas, sweep_interpret=use_pallas,
+            )
+
+        return jax.jit(prog)(
+            jnp.asarray(cube), jnp.asarray(mask),
+            jax.tree.map(jnp.asarray, op),
+            jnp.asarray(t_num), jnp.asarray(t_den),
+        )
+
+    ref = run(False)
+    out = run(True)
+    names = ("correl", "correl_min", "profile", "lmax", "lmin",
+             "maxmap", "minmap")
+    for name, a, b in zip(names, ref, out):
+        np.testing.assert_allclose(
+            np.asarray(b, dtype=np.float32), np.asarray(a, dtype=np.float32),
+            atol=1e-4, err_msg=name,
+        )
+
+
 def test_session_mesh_full_pipeline(tmp_path):
     """The FULL detection pipeline (steps 01-07, greedy PCA included) on an
     8-device (1 x sp) mesh, driven from the ORIGIN session, reproduces the
