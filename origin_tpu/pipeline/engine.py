@@ -269,6 +269,51 @@ def _extract_above_pair(a1, e1, t1, cap1, a2, e2, t2, cap2):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("fshape2", "pad_left", "nz", "size",
+                     "spatial_pallas", "sweep_pallas", "prec"),
+)
+def _tglr_fused(faint, mask, psfs, wmaps, t_num, t_den, factors,
+                fshape2, pad_left, nz, size, spatial_pallas, sweep_pallas,
+                prec):
+    """Step 05 as one compiled program (non-tight-memory path).
+
+    Instrument-model precompute (FSF spectra + norm cube), spatial FSF
+    stage, spectral matched-filter sweep, masking, 3-D local extrema and
+    the max/min maps; XLA's buffer liveness frees each stage's
+    intermediates, so peak HBM matches the separate-program sequence.
+    """
+    ny, nx = faint.shape[1:]
+    kern_hats, norm_fsf = precompute_spatial(psfs, wmaps, ny, nx, fshape2)
+    kern_r = jnp.real(kern_hats)
+    kern_i = jnp.imag(kern_hats)
+    del kern_hats
+    if spatial_pallas:
+        from ..ops.pallas_spatial import glr_spatial_pallas
+
+        cube_fsf = glr_spatial_pallas(faint, kern_r, kern_i, wmaps,
+                                      factors, precision=prec)
+    else:
+        cube_fsf = glr_spatial_matmul(faint, kern_r, kern_i, wmaps, factors)
+    if sweep_pallas:
+        from ..ops.pallas_sweep import toeplitz_sweep_pallas
+
+        correl, profile, correl_min = toeplitz_sweep_pallas(
+            cube_fsf, norm_fsf, t_num, t_den, pad_left, nz, precision=prec,
+        )
+    else:
+        correl, profile, correl_min = glr_spectral_mxu(
+            cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
+        )
+    correl = jnp.where(mask, 0.0, correl)
+    correl_min = jnp.where(mask, 0.0, correl_min)
+    profile = jnp.where(mask, jnp.zeros((), profile.dtype), profile)
+    lmax, lmin = compute_local_max(correl, correl_min, mask, size)
+    return (correl, correl_min, profile, lmax, lmin,
+            jnp.amax(correl, axis=0), jnp.amin(correl_min, axis=0))
+
+
 class DeviceEngine:
     """Per-session holder of device-resident front-end state.
 
@@ -446,8 +491,8 @@ class DeviceEngine:
         npix_tot = flat.shape[1]
         areamap = np.asarray(areamap)
         mapO2 = np.zeros(spatial_shape, dtype=np.int32)
-        nstop = 0
         nb_area = int(areamap.max())
+        pending = []  # dispatch every area first, fetch once at the end
         for area in range(1, nb_area + 1):
             sel = (areamap == area).ravel()
             (idx,) = np.nonzero(sel)
@@ -472,7 +517,13 @@ class DeviceEngine:
             )
             # out-of-bounds scatters (padding columns) are dropped
             flat = flat.at[:, didx].set(faint, mode="drop")
-            m, k = jax.device_get((m, k))  # one batched fetch per area
+            pending.append((idx, npx, m, k))
+        # ONE batched fetch for all areas' iteration maps and stop flags
+        # (fetching inside the loop would serialize the area dispatches
+        # on a high-latency host link)
+        fetched = jax.device_get([(m, k) for _, _, m, k in pending])
+        nstop = 0
+        for (idx, npx, _, _), (m, k) in zip(pending, fetched):
             mapO2.ravel()[idx] = m[:npx]
             nstop += int(k)
         return flat.reshape(cube_std.shape), mapO2, nstop
@@ -481,7 +532,13 @@ class DeviceEngine:
     def tglr(self, psf, wfields, profiles, pcut=1e-8, pmeansub=True, size=3):
         """GLR matched filter + local extrema, all device-resident.
 
-        Returns (device dict, host dict with maxmap/minmap images).
+        Returns (device dict, host dict with maxmap/minmap images).  The
+        whole step — instrument-model precompute, spatial FSF stage,
+        spectral sweep, masking, local extrema, max/min maps — runs as
+        ONE compiled program (:func:`_tglr_fused`), so a high-latency
+        host link pays a single dispatch instead of ~10 (the tight-memory
+        mode keeps its separate chunked programs, whose interleaving is
+        the point there).
         """
         faint = self.get("cube_faint")
         nz, ny, nx = faint.shape
@@ -496,87 +553,72 @@ class DeviceEngine:
                 np.stack([np.asarray(w, np.float32) for w in wfields])
             )
         fshape2 = fft2_shape((ny, nx), psfs.shape[-2:])
+        prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
+        t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
+            prepped, block=min(128, nz)
+        )
+        mask = self.input_mask()
+        # fused Pallas kernels on TPU-family backends (ORIGIN_TPU_PALLAS=0
+        # reverts to the XLA formulations); the fused spatial kernel wins
+        # only in the bf16x3 throughput mode (docs/benchmarks.md) and
+        # falls back to XLA when the field's factor matrices overflow VMEM
+        from ..ops.pallas_spatial import spatial_pallas_fits
+
+        prec = self._pallas_precision()
+        sweep_pallas = self._use_pallas()
+        fy, fxr = fshape2[0], fshape2[1] // 2 + 1
+        spatial_pallas = (
+            sweep_pallas
+            and prec == "bf16x3"
+            and spatial_pallas_fits(ny, nx, fy, fxr)
+        )
+
         if self.tight_memory:
             # HBM cannot hold the precomputed FSF spectra bank: stream the
             # spatial stage over spectral slabs instead
             cube_fsf, norm_fsf = glr_spatial_chunked(
                 faint, jnp.asarray(psfs), wmaps, fshape2
             )
+            if sweep_pallas:
+                from ..ops.pallas_sweep import toeplitz_sweep_pallas
+
+                correl, profile, correl_min = toeplitz_sweep_pallas(
+                    cube_fsf, norm_fsf, jnp.asarray(t_num),
+                    jnp.asarray(t_den), pad_left, nz, precision=prec,
+                )
+            else:
+                correl, profile, correl_min = glr_spectral_mxu(
+                    cube_fsf, norm_fsf, jnp.asarray(t_num),
+                    jnp.asarray(t_den), pad_left, nz,
+                )
+            del cube_fsf, norm_fsf
+            correl = jnp.where(mask, 0.0, correl)
+            correl_min = jnp.where(mask, 0.0, correl_min)
+            profile = jnp.where(mask, jnp.uint8(0), profile)
+            lmax, lmin = compute_local_max(correl, correl_min, mask, size)
+            maxmap_d = jnp.amax(correl, axis=0)
+            minmap_d = jnp.amin(correl_min, axis=0)
         else:
-            kern_hats, norm_fsf = precompute_spatial(
-                jnp.asarray(psfs), wmaps, ny, nx, fshape2
-            )
             factors = {
                 k: jnp.asarray(v)
                 for k, v in dft_spatial_factors(
                     ny, nx, fshape2, psfs.shape[-2:]
                 ).items()
             }
-            # split and free the complex bank before the matmul transients
-            kern_r = jnp.real(kern_hats)
-            kern_i = jnp.imag(kern_hats)
-            del kern_hats
-            prec = self._pallas_precision()
-            from ..ops.pallas_spatial import (
-                glr_spatial_pallas,
-                spatial_pallas_fits,
+            out = _tglr_fused(
+                faint, mask, jnp.asarray(psfs), wmaps,
+                jnp.asarray(t_num), jnp.asarray(t_den), factors,
+                fshape2=fshape2, pad_left=int(pad_left), nz=nz, size=size,
+                spatial_pallas=spatial_pallas, sweep_pallas=sweep_pallas,
+                prec=prec,
             )
-
-            fy, fxr = kern_r.shape[-2:]
-            if (
-                self._use_pallas()
-                and prec == "bf16x3"
-                and spatial_pallas_fits(ny, nx, fy, fxr)
-            ):
-                # fused spatial chain (one VMEM-resident slab per channel
-                # block, no cube-sized HBM intermediates): wins only in
-                # the 3-pass bf16 mode — at HIGHEST the stage is
-                # MXU-pass-bound and the unfused XLA matmuls overlap
-                # better with the rest of the chained program (measured
-                # head-to-head, docs/benchmarks.md); very large fields
-                # whose factor matrices overflow VMEM fall back to XLA
-                cube_fsf = glr_spatial_pallas(faint, kern_r, kern_i,
-                                              wmaps, factors,
-                                              precision=prec)
-            else:
-                cube_fsf = glr_spatial_matmul(faint, kern_r, kern_i,
-                                              wmaps, factors)
-            del kern_r, kern_i
-
-        prepped = prepare_profiles(profiles, pcut=pcut, pmeansub=pmeansub)
-        t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
-            prepped, block=min(128, nz)
-        )
-        # fused Pallas sweep on TPU-family backends (reads the two input
-        # cubes once for ALL profiles: 1.4-1.7x the XLA Toeplitz path,
-        # growing with the dictionary size; parity ~1e-6);
-        # ORIGIN_TPU_PALLAS=0 falls back to the XLA path
-        if self._use_pallas():
-            from ..ops.pallas_sweep import toeplitz_sweep_pallas
-
-            correl, profile, correl_min = toeplitz_sweep_pallas(
-                cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),
-                pad_left, nz, precision=self._pallas_precision(),
-            )
-        else:
-            correl, profile, correl_min = glr_spectral_mxu(
-                cube_fsf, norm_fsf, jnp.asarray(t_num), jnp.asarray(t_den),
-                pad_left, nz,
-            )
-        del cube_fsf, norm_fsf
-
-        mask = self.input_mask()
-        correl = jnp.where(mask, 0.0, correl)
-        correl_min = jnp.where(mask, 0.0, correl_min)
-        profile = jnp.where(mask, jnp.uint8(0), profile)
-        lmax, lmin = compute_local_max(correl, correl_min, mask, size)
+            (correl, correl_min, profile, lmax, lmin,
+             maxmap_d, minmap_d) = out
 
         dev = dict(cube_correl=correl, cube_correl_min=correl_min,
                    cube_profile=profile, cube_local_max=lmax,
                    cube_local_min=lmin)
-        maxmap, minmap = jax.device_get(
-            (jnp.amax(correl, axis=0), jnp.amin(correl_min, axis=0))
-        )
+        maxmap, minmap = jax.device_get((maxmap_d, minmap_d))
         host = dict(maxmap=maxmap, minmap=minmap)
         return dev, host
 
@@ -887,5 +929,6 @@ class MeshEngine(DeviceEngine):
         dev = dict(cube_correl=correl, cube_correl_min=correl_min,
                    cube_profile=profile, cube_local_max=lmax,
                    cube_local_min=lmin)
-        host = dict(maxmap=np.asarray(maxmap), minmap=np.asarray(minmap))
+        maxmap, minmap = jax.device_get((maxmap, minmap))
+        host = dict(maxmap=maxmap, minmap=minmap)
         return dev, host
