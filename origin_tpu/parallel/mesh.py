@@ -259,6 +259,7 @@ def glr_tile(faint, mask, spatial_op, t_num, t_den, pad_left, nz,
 def detect_tile_kernel(
     cube, var, mask, spatial_op, t_num, t_den, d0, thresholds,
     pad_left=0, local_max_size=3, axis_name="sp", halo=0,
+    use_pallas=False, precision=None,
 ):
     """Single-tile detection math with collectives; runs inside shard_map.
 
@@ -304,6 +305,7 @@ def detect_tile_kernel(
     _, _, _, lmax, lmin, _, _ = glr_tile(
         data, mask, spatial_op, t_num, t_den, pad_left, nz,
         local_max_size=local_max_size, halo=halo, axis_name=axis_name,
+        use_pallas=use_pallas, precision=precision,
     )
 
     # --- purity counts: global psum over the mesh -------------------------
@@ -321,8 +323,23 @@ class ShardedPipeline:
     """Host wrapper compiling the sharded detection step over a mesh."""
 
     def __init__(self, mesh, nz, ny, nx, psf, profiles, dct_order=10,
-                 local_max_size=3, thresholds=None):
+                 local_max_size=3, thresholds=None, use_pallas=None,
+                 precision=None):
         from ..ops.glr import pack_profiles_toeplitz, prepare_profiles
+
+        if use_pallas is None:
+            # fused Pallas sweep per tile on real TPU meshes, same as the
+            # session engine (ORIGIN_TPU_PALLAS=0 reverts)
+            import os
+
+            from ..ops.pallas_kernels import pallas_available
+
+            use_pallas = (
+                pallas_available()
+                and os.environ.get("ORIGIN_TPU_PALLAS", "1") != "0"
+            )
+        self.use_pallas = bool(use_pallas)
+        self.precision = precision
 
         self.mesh = mesh
         self.sp = mesh.shape["sp"]
@@ -357,6 +374,8 @@ class ShardedPipeline:
             in_specs=(cube_spec, cube_spec, cube_spec, op_spec, rep, rep,
                       rep, rep),
             out_specs=(cube_spec, cube_spec, P("dp"), P("dp")),
+            # the vma checker cannot see through pallas_call
+            check_vma=not self.use_pallas,
         )
         def step(cube, var, mask, spatial_op, t_num, t_den, d0, thresholds):
             out = jax.vmap(
@@ -365,6 +384,8 @@ class ShardedPipeline:
                     pad_left=self.pad_left,
                     local_max_size=self.local_max_size,
                     halo=self.halo,
+                    use_pallas=self.use_pallas,
+                    precision=self.precision,
                 )
             )(cube, var, mask)
             lmax, lmin, cmax, cmin = out

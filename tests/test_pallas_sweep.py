@@ -75,6 +75,34 @@ def test_pallas_sweep_bf16x3_mode():
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-4)
 
 
+def test_pallas_sweep_vmap_batch():
+    """vmap over the kernel (the ShardedPipeline dp path maps multiple
+    batch elements per device) matches per-element invocation."""
+    import jax
+
+    cf0, nf0, t_num, t_den, pad_left = _problem(260, 9, 8, (2.0, 6.0))
+    cf1, nf1, _, _, _ = _problem(260, 9, 8, (2.0, 6.0), seed=11)
+    cfs = jnp.stack([jnp.asarray(cf0), jnp.asarray(cf1)])
+    nfs = jnp.stack([jnp.asarray(nf0), jnp.asarray(nf1)])
+    tn, td = jnp.asarray(t_num), jnp.asarray(t_den)
+
+    batched = jax.vmap(
+        lambda c, n: ps.toeplitz_sweep_pallas(
+            c, n, tn, td, pad_left, 260, interpret=True
+        )
+    )(cfs, nfs)
+    for i, (cf, nf) in enumerate(((cf0, nf0), (cf1, nf1))):
+        single = ps.toeplitz_sweep_pallas(
+            jnp.asarray(cf), jnp.asarray(nf), tn, td, pad_left, 260,
+            interpret=True,
+        )
+        for b, s in zip(batched, single):
+            np.testing.assert_allclose(
+                np.asarray(b[i], np.float32), np.asarray(s, np.float32),
+                atol=1e-5,
+            )
+
+
 def test_pallas_sweep_chunked(monkeypatch):
     """Force the spectral-chunked path (VMEM-constrained plan) and check
     the overlap/concat reassembly against the unchunked XLA result."""
