@@ -15,6 +15,7 @@ info     print a saved session's log
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -48,6 +49,11 @@ def _add_run_args(p):
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="shard the detection front-end over the first N "
                    "devices (a (1 x N) spatial mesh; Ny must divide by N)")
+    p.add_argument("--precision", choices=("highest", "bf16x3"),
+                   default=None,
+                   help="matmul precision of the fused GLR kernels "
+                   "(bf16x3: ~25%% faster step 05 at ~1e-5 relative "
+                   "error; same as ORIGIN_TPU_PRECISION)")
 
 
 def _steps_from(orig, args, start_at=1):
@@ -105,6 +111,9 @@ def main(argv=None):
     p_info.add_argument("folder")
 
     args = parser.parse_args(argv)
+
+    if getattr(args, "precision", None):
+        os.environ["ORIGIN_TPU_PRECISION"] = args.precision
 
     from origin_tpu.pipeline.session import ORIGIN
     from origin_tpu.pipeline.steps import Status
