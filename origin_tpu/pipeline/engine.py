@@ -269,6 +269,17 @@ def _extract_above_pair(a1, e1, t1, cap1, a2, e2, t2, cap2):
     )
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _mask_extrema(correl, correl_min, profile, mask, size):
+    """Masking + 3-D local extrema + max/min maps as one program."""
+    correl = jnp.where(mask, 0.0, correl)
+    correl_min = jnp.where(mask, 0.0, correl_min)
+    profile = jnp.where(mask, jnp.zeros((), profile.dtype), profile)
+    lmax, lmin = compute_local_max(correl, correl_min, mask, size)
+    return (correl, correl_min, profile, lmax, lmin,
+            jnp.amax(correl, axis=0), jnp.amin(correl_min, axis=0))
+
+
 @partial(
     jax.jit,
     static_argnames=("fshape2", "pad_left", "nz", "size",
@@ -306,12 +317,7 @@ def _tglr_fused(faint, mask, psfs, wmaps, t_num, t_den, factors,
         correl, profile, correl_min = glr_spectral_mxu(
             cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
         )
-    correl = jnp.where(mask, 0.0, correl)
-    correl_min = jnp.where(mask, 0.0, correl_min)
-    profile = jnp.where(mask, jnp.zeros((), profile.dtype), profile)
-    lmax, lmin = compute_local_max(correl, correl_min, mask, size)
-    return (correl, correl_min, profile, lmax, lmin,
-            jnp.amax(correl, axis=0), jnp.amin(correl_min, axis=0))
+    return _mask_extrema(correl, correl_min, profile, mask, size)
 
 
 class DeviceEngine:
@@ -592,12 +598,10 @@ class DeviceEngine:
                     jnp.asarray(t_den), pad_left, nz,
                 )
             del cube_fsf, norm_fsf
-            correl = jnp.where(mask, 0.0, correl)
-            correl_min = jnp.where(mask, 0.0, correl_min)
-            profile = jnp.where(mask, jnp.uint8(0), profile)
-            lmax, lmin = compute_local_max(correl, correl_min, mask, size)
-            maxmap_d = jnp.amax(correl, axis=0)
-            minmap_d = jnp.amin(correl_min, axis=0)
+            (correl, correl_min, profile, lmax, lmin,
+             maxmap_d, minmap_d) = _mask_extrema(
+                correl, correl_min, profile, mask, size
+            )
         else:
             factors = {
                 k: jnp.asarray(v)
