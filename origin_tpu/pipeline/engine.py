@@ -190,6 +190,35 @@ class DeferredCube(Cube):
         return block, None, None
 
 
+_upload_cache = {}
+_UPLOAD_CACHE_MAX = 32
+
+
+def _upload_cached(arr):
+    """Device handle for a small host constant, deduplicated by content.
+
+    The instrument model (PSF bank, DFT factor matrices, profile banks)
+    is identical for every field of a survey, but each session's step 05
+    would re-upload it (~15 MB); on a slow host link that upload IS the
+    warm step time.  Keyed by a content digest so value-equal arrays from
+    different sessions share one resident copy; FIFO-bounded.
+    """
+    import hashlib
+
+    arr = np.ascontiguousarray(arr)
+    key = (
+        arr.shape, str(arr.dtype),
+        hashlib.blake2b(arr.tobytes(), digest_size=16).digest(),
+    )
+    dev = _upload_cache.get(key)
+    if dev is None or getattr(dev, "is_deleted", lambda: False)():
+        if len(_upload_cache) >= _UPLOAD_CACHE_MAX:
+            _upload_cache.pop(next(iter(_upload_cache)))
+        dev = jnp.asarray(arr)
+        _upload_cache[key] = dev
+    return dev
+
+
 @partial(jax.jit, static_argnames=("order", "approx", "size"))
 def _preprocess_fused(cube, var, mask, order, approx, size):
     """Steps 01's device math as one compiled program."""
@@ -583,19 +612,19 @@ class DeviceEngine:
             # HBM cannot hold the precomputed FSF spectra bank: stream the
             # spatial stage over spectral slabs instead
             cube_fsf, norm_fsf = glr_spatial_chunked(
-                faint, jnp.asarray(psfs), wmaps, fshape2
+                faint, _upload_cached(psfs), wmaps, fshape2
             )
             if sweep_pallas:
                 from ..ops.pallas_sweep import toeplitz_sweep_pallas
 
                 correl, profile, correl_min = toeplitz_sweep_pallas(
-                    cube_fsf, norm_fsf, jnp.asarray(t_num),
-                    jnp.asarray(t_den), pad_left, nz, precision=prec,
+                    cube_fsf, norm_fsf, _upload_cached(t_num),
+                    _upload_cached(t_den), pad_left, nz, precision=prec,
                 )
             else:
                 correl, profile, correl_min = glr_spectral_mxu(
-                    cube_fsf, norm_fsf, jnp.asarray(t_num),
-                    jnp.asarray(t_den), pad_left, nz,
+                    cube_fsf, norm_fsf, _upload_cached(t_num),
+                    _upload_cached(t_den), pad_left, nz,
                 )
             del cube_fsf, norm_fsf
             (correl, correl_min, profile, lmax, lmin,
@@ -604,14 +633,14 @@ class DeviceEngine:
             )
         else:
             factors = {
-                k: jnp.asarray(v)
+                k: _upload_cached(v)
                 for k, v in dft_spatial_factors(
                     ny, nx, fshape2, psfs.shape[-2:]
                 ).items()
             }
             out = _tglr_fused(
-                faint, mask, jnp.asarray(psfs), wmaps,
-                jnp.asarray(t_num), jnp.asarray(t_den), factors,
+                faint, mask, _upload_cached(psfs), wmaps,
+                _upload_cached(t_num), _upload_cached(t_den), factors,
                 fshape2=fshape2, pad_left=int(pad_left), nz=nz, size=size,
                 spatial_pallas=spatial_pallas, sweep_pallas=sweep_pallas,
                 prec=prec,
@@ -923,8 +952,8 @@ class MeshEngine(DeviceEngine):
 
             self._glr_cache[key] = jax.jit(prog)
 
-        args = [faint, mask, jax.tree.map(jnp.asarray, spatial_ops),
-                jnp.asarray(t_num), jnp.asarray(t_den)]
+        args = [faint, mask, jax.tree.map(_upload_cached, spatial_ops),
+                _upload_cached(t_num), _upload_cached(t_den)]
         if mosaic:
             args.append(wtiles)
         out = self._glr_cache[key](*args)
