@@ -245,6 +245,7 @@ def _read_header(fh):
     for card in cards:
         key = card[:8].strip()
         if not key:
+            last_key = None
             continue
         if key in ("COMMENT", "HISTORY"):
             text = card[8:].strip()
@@ -252,6 +253,10 @@ def _read_header(fh):
                 hdr.history.append(text)
             else:
                 hdr.comments_raw.append(text)
+            # per the FITS convention CONTINUE must immediately follow the
+            # card it extends; an intervening card ends the continuation
+            # (a later stray CONTINUE must not be glued onto last_key)
+            last_key = None
             continue
         if key == "CONTINUE":
             # continuation of the previous card's '&'-terminated string
@@ -262,6 +267,7 @@ def _read_header(fh):
                 hdr.set(last_key, prev[:-1] + str(more), comment)
             continue
         if card[8:10] != "= ":
+            last_key = None
             continue
         value, comment = _split_value_comment(card[10:])
         hdr.set(key, _parse_value(value), comment)

@@ -127,7 +127,7 @@ def compute_threshold_purity(
         )
         threshmax = min(float(maxmin), float(maxmax))
         threshmin = float(med) * 1.1
-        threshlist = np.linspace(threshmin, threshmax, 50)
+        threshlist = np.linspace(threshmin, threshmax, NTHRESH)
     else:
         threshlist = np.sort(np.asarray(threshlist, dtype=float))
 

@@ -367,10 +367,8 @@ class DeviceEngine:
         self._inputs = {}
         self._mini_cache = {}
         self._tight = None
-        # decide the memory mode NOW, while HBM is empty: the probe
-        # fallback attempts a real allocation of the full headroom, which
-        # must not race against resident pipeline state (and a failed
-        # giant allocation mid-step can destabilize async backends)
+        # decide the memory mode NOW, before pipeline state accumulates,
+        # so every step of this session sees one consistent mode
         _ = self.tight_memory
 
     # -- inputs ------------------------------------------------------------
@@ -440,12 +438,21 @@ class DeviceEngine:
         eagerly and whether the GLR spatial stage runs z-chunked.  The
         budget is measured, never guessed from the device model name:
         ``ORIGIN_TPU_HBM_BYTES`` (env) > ``memory_stats()['bytes_limit']``
-        > a one-shot probe allocation of the required headroom.
+        > assume-tight (see :func:`device_memory_fits` — probing by
+        allocation was removed as unsafe on async backends).  The
+        cross-session instrument-constant cache counts against the
+        budget, and a tight session drops it.
         """
         if self._tight is None:
             cube_bytes = 4 * int(np.prod(self.orig.shape))
             need = cube_bytes * self.HEADROOM_CUBES // self.memory_shards
+            # resident cross-session constants reduce the usable budget
+            need += sum(int(v.nbytes) for v in _upload_cache.values())
             self._tight = not device_memory_fits(need)
+            if self._tight:
+                # a tight session needs every byte: drop the shared
+                # instrument-constant cache (it re-uploads on demand)
+                _upload_cache.clear()
         return self._tight
 
     def offload(self, *names):

@@ -374,6 +374,43 @@ def test_fits_unsigned_table_columns(tmp_path):
     np.testing.assert_array_equal(np.asarray(t2["b"]), [0, 3000000000, 7])
 
 
+def test_fits_stray_continue_not_joined():
+    """A CONTINUE card that does not immediately follow the card it would
+    extend must be ignored (FITS convention): a foreign header with a
+    literal trailing '&' value followed by other cards and a stray
+    CONTINUE must keep the original value."""
+    import io
+
+    from origin_tpu import fitsio
+
+    def card(text):
+        return text.ljust(80)
+
+    cards = (
+        card("SIMPLE  =                    T")
+        + card("URLQ    = 'http://x?a=1&'     / literal ampersand value")
+        + card("COMMENT  something unrelated")
+        + card("OTHER   =                    5")
+        + card("CONTINUE  'stray continuation'")
+        + card("END")
+    )
+    raw = cards.ljust(2880).encode("ascii")
+    hdr = fitsio._read_header(io.BytesIO(raw))
+    assert hdr["URLQ"] == "http://x?a=1&"  # not stripped, not extended
+    assert hdr["OTHER"] == 5
+
+    # the legitimate multi-card chain still joins
+    cards2 = (
+        card("SIMPLE  =                    T")
+        + card("LONG    = 'abc&'")
+        + card("CONTINUE  'def&'")
+        + card("CONTINUE  'ghi'")
+        + card("END")
+    )
+    hdr2 = fitsio._read_header(io.BytesIO(cards2.ljust(2880).encode()))
+    assert hdr2["LONG"] == "abcdefghi"
+
+
 def test_fits_long_header_string_roundtrip(tmp_path):
     """Over-long string values survive a write/read cycle via CONTINUE
     cards (provenance paths in source-file headers exceed one card)."""

@@ -175,7 +175,13 @@ def run_dryrun(args):
     paths = _make_fields(workdir, nfields, args.nz, args.ny, args.nx)
     names = json.dumps([os.path.basename(p) for p in paths])
 
-    port = 12765
+    # an OS-assigned free port so concurrent dryruns on one host do not
+    # collide on the coordinator (bind, read the port, release)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = []
     env_base = {
         k: v for k, v in os.environ.items()
