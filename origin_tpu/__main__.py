@@ -94,7 +94,11 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_run = sub.add_parser("run", help="run the full pipeline on a cube")
-    p_run.add_argument("cube", help="input cube FITS (DATA + STAT)")
+    p_run.add_argument("cube", nargs="+",
+                       help="input cube FITS (DATA + STAT); several cubes "
+                       "run back-to-back in one process (survey mode: "
+                       "compiled programs and instrument-model uploads are "
+                       "shared, so only the first field pays compilation)")
     _add_session_args(p_run)
     _add_run_args(p_run)
 
@@ -126,11 +130,22 @@ def main(argv=None):
         return make_mesh(args.mesh, dp=1)
 
     if args.command == "run":
-        orig = ORIGIN.init(args.cube, name=args.name, path=args.path,
-                           loglevel=args.loglevel, profiles=args.profiles,
-                           fieldmap=args.fieldmap, PSF=args.psf,
-                           mesh=_mesh(args))
-        _steps_from(orig, args, start_at=1)
+        multi = len(args.cube) > 1
+        for cube_fn in args.cube:
+            name = args.name
+            if multi:
+                stem = os.path.splitext(os.path.basename(cube_fn))[0]
+                name = f"{args.name}-{stem}"
+            orig = ORIGIN.init(cube_fn, name=name, path=args.path,
+                               loglevel=args.loglevel,
+                               profiles=args.profiles,
+                               fieldmap=args.fieldmap, PSF=args.psf,
+                               mesh=_mesh(args))
+            _steps_from(orig, args, start_at=1)
+            if multi and orig.file_handler is not None:
+                orig.file_handler.close()
+                orig.logger.handlers.remove(orig.file_handler)
+                orig.file_handler = None
     elif args.command == "resume":
         orig = ORIGIN.load(args.folder, newname=args.newname,
                            loglevel=args.loglevel, mesh=_mesh(args))

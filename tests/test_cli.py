@@ -36,6 +36,30 @@ def test_cli_run_and_status(cube_fn, tmp_path, capsys):
     assert "09" in out or "clean" in out
 
 
+def test_cli_survey_mode(cube_fn, tmp_path):
+    """Several cubes in one invocation: per-cube sessions named by stem,
+    compiled programs and instrument uploads shared across fields."""
+    import shutil
+
+    second = str(tmp_path / "field2.fits")
+    shutil.copy(cube_fn, second)
+    rc = main([
+        "run", cube_fn, second, "--name", "svy", "--path", str(tmp_path),
+        "--purity", "0.8", "--minsize", "20", "--no-sources",
+        "--loglevel", "WARNING",
+    ])
+    assert rc == 0
+    cats = []
+    for stem in ("minicube", "field2"):
+        folder = str(tmp_path / f"svy-{stem}")
+        assert os.path.isfile(os.path.join(folder, "Cat1.fits"))
+        cat = Table.read(os.path.join(folder, "Cat1.fits"))
+        cats.append(sorted(zip(np.asarray(cat["x0"]), np.asarray(cat["y0"]),
+                               np.asarray(cat["z0"]))))
+    # identical fields -> identical catalogs
+    assert cats[0] == cats[1] and len(cats[0]) > 0
+
+
 def test_cli_resume_noop(cube_fn, tmp_path):
     rc = main([
         "run", cube_fn, "--name", "cliresume", "--path", str(tmp_path),
