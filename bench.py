@@ -95,8 +95,7 @@ def e2e_step_times():
                 t0 = time.perf_counter()
                 fn()
                 times[name] = round(time.perf_counter() - t0, 3)
-            for h in orig.logger.handlers:
-                h.close()
+            orig.close_logfile()
     except TimeoutError:
         times = None
     finally:

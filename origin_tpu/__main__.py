@@ -142,10 +142,8 @@ def main(argv=None):
                                fieldmap=args.fieldmap, PSF=args.psf,
                                mesh=_mesh(args))
             _steps_from(orig, args, start_at=1)
-            if multi and orig.file_handler is not None:
-                orig.file_handler.close()
-                orig.logger.handlers.remove(orig.file_handler)
-                orig.file_handler = None
+            if multi:
+                orig.close_logfile()
     elif args.command == "resume":
         orig = ORIGIN.load(args.folder, newname=args.newname,
                            loglevel=args.loglevel, mesh=_mesh(args))

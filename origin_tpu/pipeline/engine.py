@@ -206,12 +206,13 @@ def _upload_cached(arr):
     import hashlib
 
     arr = np.ascontiguousarray(arr)
+    # hash the buffer directly (tobytes() would copy the whole array)
     key = (
         arr.shape, str(arr.dtype),
-        hashlib.blake2b(arr.tobytes(), digest_size=16).digest(),
+        hashlib.blake2b(arr.data, digest_size=16).digest(),
     )
     dev = _upload_cache.get(key)
-    if dev is None or getattr(dev, "is_deleted", lambda: False)():
+    if dev is None or dev.is_deleted():
         if len(_upload_cache) >= _UPLOAD_CACHE_MAX:
             _upload_cache.pop(next(iter(_upload_cache)))
         dev = jnp.asarray(arr)

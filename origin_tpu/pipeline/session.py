@@ -322,6 +322,19 @@ class ORIGIN(PlotMixin):
         )
         logger.addHandler(self.file_handler)
 
+    def close_logfile(self):
+        """Close and detach this session's rotating logfile handler.
+
+        For drivers that process many sessions in one process (the CLI
+        survey mode, benchmarks, tests) — releases the file descriptor
+        without touching the shared console handler.
+        """
+        if self.file_handler is not None:
+            self.file_handler.close()
+            if self.file_handler in self.logger.handlers:
+                self.logger.handlers.remove(self.file_handler)
+            self.file_handler = None
+
     def set_loglevel(self, level):
         """Set the console logging level."""
         handler = next(
