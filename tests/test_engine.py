@@ -140,6 +140,37 @@ def test_detections_above_pair_matches_two_calls(problem):
     assert len(r1[0][0]) == 0 and len(r2[0][0]) == 0
 
 
+def test_upload_cache_dedupes_and_evicts():
+    import origin_tpu.pipeline.engine as eng
+
+    saved = dict(eng._upload_cache)
+    eng._upload_cache.clear()
+    try:
+        a = np.arange(24, dtype=np.float32).reshape(4, 6)
+        d1 = eng._upload_cached(a)
+        d2 = eng._upload_cached(a.copy())  # value-equal -> same handle
+        assert d1 is d2
+        assert len(eng._upload_cache) == 1
+        # same bytes, different shape/dtype -> distinct entries
+        eng._upload_cached(a.reshape(6, 4))
+        eng._upload_cached(a.astype(np.float64).astype(np.float32) + 1)
+        assert len(eng._upload_cache) == 3
+        # FIFO bound
+        for i in range(eng._UPLOAD_CACHE_MAX + 2):
+            eng._upload_cached(np.full((2, 2), i, np.float32))
+        assert len(eng._upload_cache) <= eng._UPLOAD_CACHE_MAX
+        # a deleted device buffer is re-uploaded, not returned stale
+        b = np.ones((3, 3), np.float32)
+        d3 = eng._upload_cached(b)
+        d3.delete()
+        d4 = eng._upload_cached(b)
+        assert not d4.is_deleted()
+        np.testing.assert_array_equal(np.asarray(d4), b)
+    finally:
+        eng._upload_cache.clear()
+        eng._upload_cache.update(saved)
+
+
 def test_minicubes_match_host_extraction(problem):
     cube, var, mask = problem
     nz, ny, nx = cube.shape
