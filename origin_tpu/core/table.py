@@ -330,8 +330,13 @@ class Table:
 
 
 def vstack(tables):
-    """Stack tables vertically; missing columns are filled with NaN/0."""
-    tables = [t for t in tables if len(t)]
+    """Stack tables vertically; missing columns are filled with NaN/0.
+
+    Zero-length inputs keep their column structure (astropy semantics):
+    stacking empty catalogs yields an empty catalog WITH columns, so
+    downstream column access works on detection-free fields.
+    """
+    tables = [t for t in tables if t.colnames]
     if not tables:
         return Table()
     allnames = []

@@ -576,9 +576,13 @@ class Detection(Step):
         cat["imatch2"] = np.asarray(cat["imatch2"]) + 1
 
         old_ids = np.unique(cat["imatch"])
-        idmap = np.zeros(old_ids.max() + 1, dtype=int)
-        idmap[old_ids] = np.arange(1, len(old_ids) + 1)
-        cat.add_column(idmap[np.asarray(cat["imatch"])], name="ID", index=0)
+        if len(old_ids):
+            idmap = np.zeros(old_ids.max() + 1, dtype=int)
+            idmap[old_ids] = np.arange(1, len(old_ids) + 1)
+            ids = idmap[np.asarray(cat["imatch"])]
+        else:  # detection-free field: keep the catalog shape
+            ids = np.zeros(0, dtype=int)
+        cat.add_column(ids, name="ID", index=0)
         cat.sort("ID")
 
         self.logger.info("per-line purity estimation")

@@ -195,6 +195,33 @@ def test_origin_full_pipeline(minicube, tmp_path, caplog):
         h.close()
 
 
+def test_detection_free_field_runs_to_completion(minicube, tmp_path):
+    """A field with zero detections (absurd thresholds) must run all 11
+    steps without crashing: empty catalogs keep their column structure
+    (core.table.vstack), the ID remap handles the empty case, and the
+    artifact steps write nothing rather than failing."""
+    cube_fn, seg_fn = minicube
+    orig = ORIGIN.init(cube_fn, name="empty", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=30, maxsize=60)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    orig.step05_compute_TGLR(ncpu=1)
+    orig.step06_compute_purity_threshold(purity=0.8)
+    orig.step07_detection(threshold=1e9, threshold_std=1e9, segmap=seg_fn)
+    assert len(orig.Cat0) == 0 and len(orig.Cat1) == 0
+    assert "x0" in orig.Cat1.colnames  # empty WITH columns
+    orig.step08_compute_spectra()
+    orig.step09_clean_results()
+    orig.step10_create_masks()
+    orig.write()
+    orig.step11_save_sources("empty", n_jobs=1)
+    assert len(orig.Cat2) == 0
+    assert len(orig.Cat3_lines) == 0 and len(orig.Cat3_sources) == 0
+    orig.close_logfile()
+
+
 def test_pipeline_20_profile_dictionary(tmp_path):
     """Detection with the 20-profile Dico_FWHM_2_12 dictionary (config 2)."""
     from make_minicube import make_minicube, FAINT_LINES, BRIGHT_LINES
