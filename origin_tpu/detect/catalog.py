@@ -78,10 +78,16 @@ def unique_sources(table):
     for group in grouped.groups:
         gid = int(group["ID"][0])
         flux = np.asarray(group["flux"], dtype=float)
-        ra = np.average(np.asarray(group["ra"]), weights=flux)
-        dec = np.average(np.asarray(group["dec"]), weights=flux)
-        x = np.average(np.asarray(group["x"]), weights=flux)
-        y = np.average(np.asarray(group["y"]), weights=flux)
+        # failed line estimations carry NaN flux; a NaN weight would
+        # poison the whole source's position, so they get weight 0 (and
+        # uniform weights when every line of the source failed)
+        w = np.where(np.isfinite(flux), flux, 0.0)
+        if not w.any():
+            w = np.ones_like(w)
+        ra = np.average(np.asarray(group["ra"]), weights=w)
+        dec = np.average(np.asarray(group["dec"]), weights=w)
+        x = np.average(np.asarray(group["x"]), weights=w)
+        y = np.average(np.asarray(group["y"]), weights=w)
         unmerged = np.asarray(group["merged_in"]) == -9999
         n_lines = int(np.sum(unmerged))
         seg_label = group["seg_label"][0]

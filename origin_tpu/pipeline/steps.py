@@ -623,14 +623,29 @@ class ComputeSpectra(Step):
             horiz=5, engine=orig.engine,
         )
         cat2 = cat1.copy()
+        # a line whose estimation failed (all-masked minicube near a cube
+        # mask, out-of-bounds refinement) keeps its raw detection position
+        # instead of propagating NaN into the catalogs and mask windows
+        ok = (np.asarray(out["ok"], bool)
+              & np.isfinite(np.asarray(out["x"], float))
+              & np.isfinite(np.asarray(out["y"], float)))
+        if (~ok).any():
+            self.logger.warning(
+                "%d line estimation(s) failed; keeping detection "
+                "positions (flux = NaN)", int((~ok).sum()),
+            )
+        out["ok"] = ok
+        xr = np.where(ok, out["x"], np.asarray(cat1["x0"], float))
+        yr = np.where(ok, out["y"], np.asarray(cat1["y0"], float))
+        zr = np.where(ok, out["z"], np.asarray(cat1["z0"]))
         sky = orig.wcs.pix2sky(
-            np.stack((out["y"].astype(float), out["x"].astype(float)), axis=1)
+            np.stack((yr.astype(float), xr.astype(float)), axis=1)
         )
         cat2["ra"] = sky[:, 1]
         cat2["dec"] = sky[:, 0]
-        cat2["lbda"] = orig.wave.coord(out["z"])
+        cat2["lbda"] = orig.wave.coord(zr)
         cat2.add_columns(
-            [out["x"], out["y"], out["z"], out["residual"], out["flux"],
+            [xr, yr, zr, out["residual"], out["flux"],
              np.arange(1, len(cat2) + 1)],
             names=["x", "y", "z", "residual", "flux", "num_line"],
             indexes=[4, 5, 6, 8, 8, 8],

@@ -222,6 +222,57 @@ def test_detection_free_field_runs_to_completion(minicube, tmp_path):
     orig.close_logfile()
 
 
+def test_masked_planes_and_blob_field(tmp_path):
+    """Masked channel planes (sky-line gaps) and a masked spatial blob —
+    realistic MUSE cube defects — must survive all 11 steps: failed line
+    estimations near the mask fall back to detection positions, and
+    NaN-flux lines cannot poison the flux-weighted source positions."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from make_minicube import make_minicube, make_segmap
+
+    from origin_tpu.core import Cube
+
+    cube_fn = str(tmp_path / "m.fits")
+    seg_fn = str(tmp_path / "s.fits")
+    make_minicube(cube_fn, nz=300, ny=40, nx=40)
+    make_segmap(seg_fn, ny=40, nx=40)
+    c = Cube(cube_fn)
+    d = np.asarray(c.data, np.float32).copy()
+    v = np.asarray(c.var, np.float32).copy()
+    d[100:108] = np.nan
+    v[100:108] = np.nan
+    d[:, 5:9, 5:9] = np.nan
+    v[:, 5:9, 5:9] = np.nan
+    c2 = Cube(data=d, var=v, wcs=c.wcs, wave=c.wave)
+    c2.primary_header = c.primary_header
+    masked_fn = str(tmp_path / "masked.fits")
+    c2.write(masked_fn)
+
+    orig = ORIGIN.init(masked_fn, name="masked", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=20, maxsize=40)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    orig.step05_compute_TGLR(ncpu=1)
+    orig.step06_compute_purity_threshold(purity=0.8)
+    orig.step07_detection(segmap=seg_fn)
+    assert len(orig.Cat1) > 0
+    orig.step08_compute_spectra()
+    # refined positions are always finite (failed fits keep x0/y0/z0)
+    assert np.isfinite(np.asarray(orig.Cat2["x"], float)).all()
+    assert np.isfinite(np.asarray(orig.Cat2["y"], float)).all()
+    orig.step09_clean_results()
+    assert np.isfinite(np.asarray(orig.Cat3_sources["x"], float)).all()
+    orig.step10_create_masks()
+    orig.write()
+    orig.step11_save_sources("masked", n_jobs=1)
+    orig.close_logfile()
+
+
 def test_pipeline_20_profile_dictionary(tmp_path):
     """Detection with the 20-profile Dico_FWHM_2_12 dictionary (config 2)."""
     from make_minicube import make_minicube, FAINT_LINES, BRIGHT_LINES
