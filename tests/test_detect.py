@@ -355,3 +355,21 @@ def test_native_fof_matches_python():
         im_py = _merge_groups_py(x, y, z, tol_spat, tol_spec)
         im_c = native.fof_merge_groups(x, y, z, tol_spat, tol_spec)
         np.testing.assert_array_equal(im_c, im_py)
+
+    # degenerate shapes the real pipeline produces: integer pixel
+    # coordinates with heavy ties, fully co-located detections, and a
+    # dense cluster where everything chains into one group
+    cases = []
+    xi = rng.integers(0, 30, 300).astype(float)
+    yi = rng.integers(0, 30, 300).astype(float)
+    zi = rng.integers(0, 100, 300).astype(float)
+    cases.append((xi, yi, zi))
+    cases.append((np.zeros(20), np.zeros(20),
+                  rng.integers(0, 50, 20).astype(float)))
+    cases.append((rng.uniform(0, 4, 200), rng.uniform(0, 4, 200),
+                  rng.integers(0, 400, 200).astype(float)))
+    for cx, cy, cz in cases:
+        for tol_spat, tol_spec in [(3, 5), (2, 2)]:
+            im_py = _merge_groups_py(cx, cy, cz, tol_spat, tol_spec)
+            im_c = native.fof_merge_groups(cx, cy, cz, tol_spat, tol_spec)
+            np.testing.assert_array_equal(im_c, im_py)
