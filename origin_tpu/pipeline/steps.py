@@ -224,6 +224,13 @@ class Preprocessing(Step):
     def run(self, orig, dct_order=10, dct_approx=False, pfasegcont=0.01,
             pfasegres=0.01, local_max_size=3, bins="fd"):
         info = self.logger.info
+        if orig.shape[0] <= dct_order + 1:
+            self.logger.warning(
+                "cube has %d channels but the DCT continuum uses %d basis "
+                "vectors: the per-spaxel fit is singular and the residual "
+                "will be meaningless — lower dct_order",
+                orig.shape[0], dct_order + 1,
+            )
         info("DCT + standardization + local extrema (fused on device)")
         dev, host = orig.engine.preprocess(dct_order, dct_approx,
                                            local_max_size)
