@@ -106,7 +106,18 @@ def main():
                     help="number of fields to process in this process; "
                     "compilation caches are warm from the 2nd run on, so "
                     "the last run measures steady-state throughput")
+    ap.add_argument("--hbm-bytes", default="16e9",
+                    help="device-memory budget for the tight-mode decision "
+                    "when the backend reports no memory_stats limit "
+                    "(default 16e9 = one v5-lite chip; '' keeps the "
+                    "engine's assume-tight fallback)")
     args = ap.parse_args()
+
+    if args.hbm_bytes:
+        # backends without memory_stats (e.g. the axon tunnel) otherwise
+        # assume tight mode, whose eager offloads dominate wall time and
+        # make the per-step numbers incomparable across rounds
+        os.environ.setdefault("ORIGIN_TPU_HBM_BYTES", args.hbm_bytes)
 
     from origin_tpu import ORIGIN
 
