@@ -15,6 +15,7 @@ info     print a saved session's log
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import sys
 
@@ -131,19 +132,37 @@ def main(argv=None):
 
     if args.command == "run":
         multi = len(args.cube) > 1
+        failures = []
         for cube_fn in args.cube:
             name = args.name
             if multi:
                 stem = os.path.splitext(os.path.basename(cube_fn))[0]
                 name = f"{args.name}-{stem}"
-            orig = ORIGIN.init(cube_fn, name=name, path=args.path,
-                               loglevel=args.loglevel,
-                               profiles=args.profiles,
-                               fieldmap=args.fieldmap, PSF=args.psf,
-                               mesh=_mesh(args))
-            _steps_from(orig, args, start_at=1)
-            if multi:
-                orig.close_logfile()
+            # survey mode: one bad cube must not abort the remaining
+            # fields, and its logfile handler must not leak
+            orig = None
+            try:
+                orig = ORIGIN.init(cube_fn, name=name, path=args.path,
+                                   loglevel=args.loglevel,
+                                   profiles=args.profiles,
+                                   fieldmap=args.fieldmap, PSF=args.psf,
+                                   mesh=_mesh(args))
+                _steps_from(orig, args, start_at=1)
+            except Exception:
+                if not multi:
+                    raise
+                failures.append(cube_fn)
+                logging.getLogger("origin_tpu").exception(
+                    "survey: %s failed; continuing with the next cube",
+                    cube_fn,
+                )
+            finally:
+                if multi and orig is not None:
+                    orig.close_logfile()
+        if failures:
+            print(f"survey: {len(failures)} cube(s) failed: "
+                  + " ".join(failures), file=sys.stderr)
+            return 1
     elif args.command == "resume":
         orig = ORIGIN.load(args.folder, newname=args.newname,
                            loglevel=args.loglevel, mesh=_mesh(args))

@@ -317,6 +317,9 @@ def create_all_sources(
     author="",
     nb_fwhm=2,
     expmap_filename=None,
+    data_cube=None,
+    cube_cor=None,
+    cube_std=None,
 ):
     """Create and save one Source file per source (joblib-parallel).
 
@@ -325,14 +328,17 @@ def create_all_sources(
     every job (the reference's layout, source_creation.py:439-534, costs
     O(n_sources) full-cube FITS reads on large fields).  Jobs then carry
     only ~MB-sized cutouts, which also keeps multiprocessing pickling
-    cheap.
+    cheap.  ``data_cube`` / ``cube_cor`` / ``cube_std`` may be passed as
+    in-memory Cube objects (the pipeline's live products), skipping the
+    FITS reads entirely; the filenames are still recorded in the sources.
     """
     source_ts = datetime.now().isoformat()
     ids = [int(s) for s in np.asarray(cat3_sources["ID"])]
     if not ids:
         return
 
-    data_cube = Cube(origin_params["cubename"])
+    if data_cube is None:
+        data_cube = Cube(origin_params["cubename"])
     segmaps = {k: Image(v) if isinstance(v, str) else v
                for k, v in segmaps.items()}
     if isinstance(expmap_filename, str):
@@ -347,8 +353,10 @@ def create_all_sources(
     for source_id in ids:
         k = int(np.where(np.asarray(cat3_sources["ID"]) == source_id)[0][0])
         comps[source_id] = int(cat3_sources[k]["comp"])
-    cube_cor = Cube(cube_cor_filename) if 0 in comps.values() else None
-    cube_std = Cube(cube_std_filename) if 1 in comps.values() else None
+    if cube_cor is None and 0 in comps.values():
+        cube_cor = Cube(cube_cor_filename)
+    if cube_std is None and 1 in comps.values():
+        cube_std = Cube(cube_std_filename)
 
     def _precut(cube, source_id, size):
         k = int(np.where(np.asarray(cat3_sources["ID"]) == source_id)[0][0])

@@ -90,15 +90,40 @@ def device_memory_fits(nbytes, device=None):
     return False
 
 
+def _copy_pool():
+    """Shared worker pool for background device-to-host copies.
+
+    A thread calling ``np.asarray`` on a device array is the one reliable
+    way to overlap transfers with later dispatches on every backend
+    (``copy_to_host_async`` is a no-op on some and actively pathological
+    on async tunnel transports).
+    """
+    global _COPY_POOL
+    if _COPY_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _COPY_POOL = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="origin-tpu-d2h"
+        )
+    return _COPY_POOL
+
+
+_COPY_POOL = None
+
+
 class DeferredCube(Cube):
     """A Cube whose data lives on device until first host access.
 
     Used as the DataObj value for cube-sized front-end products; session
     ``write()`` / plotting / host algorithms trigger the (one) download.
     ``post`` optionally transforms the downloaded array (e.g. dtype cast).
+    ``sparse`` marks cubes that are mostly zero by construction (the
+    local-extrema cubes: at most one voxel per max-filter box is nonzero),
+    whose materialization transfers only (index, value) pairs instead of
+    the dense array — on a slow host link the transfer shrinks ~25x.
     """
 
-    def __init__(self, dev, wcs=None, wave=None, post=None):
+    def __init__(self, dev, wcs=None, wave=None, post=None, sparse=False):
         self.filename = None
         self.primary_header = fitsio.Header()
         self.data_header = fitsio.Header()
@@ -109,6 +134,8 @@ class DeferredCube(Cube):
         self._dev = dev
         self._host = None
         self._post = post
+        self._sparse = sparse
+        self._future = None
         self._sync_coord_shapes()
 
     @property
@@ -116,10 +143,27 @@ class DeferredCube(Cube):
         """The device array, if still resident (None after materialize)."""
         return self._dev
 
+    def prefetch(self):
+        """Start a background device-to-host copy (idempotent).
+
+        The transfer overlaps whatever the caller does next; the first
+        ``.data`` access then just joins it.  Sparse cubes skip it (their
+        dense transfer is exactly what the sparse path avoids).
+        """
+        if (self._host is None and self._future is None
+                and self._dev is not None and not self._sparse):
+            self._future = _copy_pool().submit(np.asarray, self._dev)
+
     @property
     def data(self):
         if self._host is None:
-            arr = np.asarray(self._dev)
+            if self._future is not None:
+                arr = self._future.result()
+                self._future = None
+            elif self._sparse:
+                arr = _sparse_fetch(self._dev)
+            else:
+                arr = np.asarray(self._dev)
             if self._post is not None:
                 arr = self._post(arr)
             self._host = arr
@@ -190,8 +234,17 @@ class DeferredCube(Cube):
         return block, None, None
 
 
-_upload_cache = {}
+from collections import OrderedDict as _OrderedDict
+
+_upload_cache = _OrderedDict()
 _UPLOAD_CACHE_MAX = 32
+
+
+def _upload_cache_bytes():
+    """HBM budget for the cross-session constant cache (bytes)."""
+    import os
+
+    return int(float(os.environ.get("ORIGIN_TPU_UPLOAD_CACHE_BYTES", "256e6")))
 
 
 def _upload_cached(arr):
@@ -201,7 +254,9 @@ def _upload_cached(arr):
     is identical for every field of a survey, but each session's step 05
     would re-upload it (~15 MB); on a slow host link that upload IS the
     warm step time.  Keyed by a content digest so value-equal arrays from
-    different sessions share one resident copy; FIFO-bounded.
+    different sessions share one resident copy.  LRU-bounded by both entry
+    count and total bytes (``ORIGIN_TPU_UPLOAD_CACHE_BYTES``, default
+    256 MB), so a heterogeneous survey cannot pin unbounded HBM.
     """
     import hashlib
 
@@ -212,17 +267,31 @@ def _upload_cached(arr):
         hashlib.blake2b(arr.data, digest_size=16).digest(),
     )
     dev = _upload_cache.get(key)
-    if dev is None or dev.is_deleted():
-        if len(_upload_cache) >= _UPLOAD_CACHE_MAX:
-            _upload_cache.pop(next(iter(_upload_cache)))
-        dev = jnp.asarray(arr)
-        _upload_cache[key] = dev
+    if dev is not None and not dev.is_deleted():
+        _upload_cache.move_to_end(key)  # LRU: a hit is a use
+        return dev
+    budget = _upload_cache_bytes()
+    total = sum(int(v.nbytes) for v in _upload_cache.values())
+    while _upload_cache and (
+        len(_upload_cache) >= _UPLOAD_CACHE_MAX
+        or total + int(arr.nbytes) > budget
+    ):
+        _, old = _upload_cache.popitem(last=False)
+        total -= int(old.nbytes)
+    dev = jnp.asarray(arr)
+    _upload_cache[key] = dev
     return dev
 
 
-@partial(jax.jit, static_argnames=("order", "approx", "size"))
-def _preprocess_fused(cube, var, mask, order, approx, size):
-    """Steps 01's device math as one compiled program."""
+@partial(jax.jit, static_argnames=("order", "approx", "size", "diag_bf16"))
+def _preprocess_fused(cube, var, mask, order, approx, size, diag_bf16):
+    """Steps 01's device math as one compiled program.
+
+    ``diag_bf16`` stores the diagnostics-only continuum cube as bfloat16
+    (all derived statistics are computed in float32 first): halves its HBM
+    and its transfer at session write time; bfloat16 keeps float32's range
+    so bright continua cannot overflow like float16 would.
+    """
     cont = dct_residual(cube, order, var=var, approx=approx, mask=mask)
     data, cont_std = standardize(cube, cont, var, mask)
     lmax, lmin = compute_local_max(data, data, mask, size)
@@ -230,6 +299,8 @@ def _preprocess_fused(cube, var, mask, order, approx, size):
     ima_dct = jnp.mean(cont_std, axis=0)
     o2 = o2test(data)
     cont_sumsq = jnp.sum(cont_std * cont_std, axis=0)
+    if diag_bf16:
+        cont_std = cont_std.astype(jnp.bfloat16)
     return data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq
 
 
@@ -261,8 +332,8 @@ def _gather_minicubes(pd, pv, ys, xs, sg):
     return jax.vmap(one)(ys, xs)
 
 
-def _extract_above_body(arr, extras, threshold, cap):
-    """Flat indices + values of entries with arr > threshold (compacted).
+def _compact_body(flat, hit, extras, cap):
+    """Flat indices + values of the entries where ``hit`` is True.
 
     Stream compaction by cumsum + drop-scatter: O(N), compiles ~3x
     faster than top_k and an order of magnitude faster than a full-cube
@@ -270,14 +341,17 @@ def _extract_above_body(arr, extras, threshold, cap):
     order.  Entries beyond ``cap`` are dropped (callers size cap from an
     exact device-side count).
     """
-    flat = arr.ravel()
-    hit = flat > threshold
     pos = jnp.cumsum(hit.astype(jnp.int32))
     tgt = jnp.where(hit, pos - 1, cap)
     fidx = jnp.zeros(cap, jnp.int32).at[tgt].set(
         jnp.arange(flat.size, dtype=jnp.int32), mode="drop"
     )
     return fidx, flat[fidx], tuple(e.ravel()[fidx] for e in extras)
+
+
+def _extract_above_body(arr, extras, threshold, cap):
+    flat = arr.ravel()
+    return _compact_body(flat, flat > threshold, extras, cap)
 
 
 _extract_above = partial(jax.jit, static_argnames=("cap",))(
@@ -290,6 +364,73 @@ def _count_above_pair(a1, t1, a2, t2):
     return jnp.sum(a1 > t1), jnp.sum(a2 > t2)
 
 
+@jax.jit
+def _count_nonzero_many(arrs):
+    return tuple(jnp.sum(a != 0) for a in arrs)
+
+
+@partial(jax.jit, static_argnames=("caps",))
+def _extract_nonzero_many(arrs, caps):
+    """Compacted (index, value) pairs of every array's nonzero entries,
+    as ONE device program / one fetch."""
+    out = []
+    for a, cap in zip(arrs, caps):
+        flat = a.ravel()
+        fidx, vals, _ = _compact_body(flat, flat != 0, (), cap)
+        out.append((fidx, vals))
+    return tuple(out)
+
+
+def _scatter_sparse(shape, dtype, n, fidx, vals):
+    """Rebuild a dense host array from compacted nonzero entries."""
+    flat = np.zeros(int(np.prod(shape)), dtype=dtype)
+    if n:
+        flat[fidx[:n]] = vals[:n]
+    return flat.reshape(shape)
+
+
+def _sparse_fetch(dev):
+    """Materialize one mostly-zero device cube via sparse transfer."""
+    n = int(jax.device_get(_count_nonzero_many((dev,)))[0])
+    cap = min(_bucket(max(n, 1), 256), dev.size)
+    ((fidx, vals),) = jax.device_get(_extract_nonzero_many((dev,), (cap,)))
+    return _scatter_sparse(dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals)
+
+
+def materialize_deferred(cubes):
+    """Materialize many DeferredCubes with minimal link traffic.
+
+    Sparse cubes (local extrema) are fetched through TWO fused device
+    programs for the whole group (one count fetch, one compacted-pairs
+    fetch); dense cubes start background copies first and join at the
+    end, so the transfers overlap each other (and the sparse round-trips)
+    instead of serializing.
+    """
+    live = [c for c in cubes if c._host is None and c._dev is not None]
+    dense = [c for c in live if not c._sparse]
+    sparse = [c for c in live if c._sparse]
+    for c in dense:
+        c.prefetch()
+    if sparse:
+        devs = tuple(c._dev for c in sparse)
+        counts = [int(v) for v in jax.device_get(_count_nonzero_many(devs))]
+        caps = tuple(
+            min(_bucket(max(n, 1), 256), d.size)
+            for n, d in zip(counts, devs)
+        )
+        res = jax.device_get(_extract_nonzero_many(devs, caps))
+        for c, n, (fidx, vals) in zip(sparse, counts, res):
+            arr = _scatter_sparse(
+                c._dev.shape, np.dtype(str(c._dev.dtype)), n, fidx, vals
+            )
+            if c._post is not None:
+                arr = c._post(arr)
+            c._host = arr
+            c._dev = None
+    for c in dense:
+        _ = c.data  # join the background copies
+
+
 @partial(jax.jit, static_argnames=("cap1", "cap2"))
 def _extract_above_pair(a1, e1, t1, cap1, a2, e2, t2, cap2):
     """Both step-07 compactions as ONE device program / one fetch."""
@@ -299,25 +440,37 @@ def _extract_above_pair(a1, e1, t1, cap1, a2, e2, t2, cap2):
     )
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _mask_extrema(correl, correl_min, profile, mask, size):
-    """Masking + 3-D local extrema + max/min maps as one program."""
+@partial(jax.jit, static_argnames=("size", "diag_bf16", "prof_i16"))
+def _mask_extrema(correl, correl_min, profile, mask, size, diag_bf16=False,
+                  prof_i16=False):
+    """Masking + 3-D local extrema + max/min maps as one program.
+
+    With ``diag_bf16`` the stored copy of the diagnostics-only
+    ``correl_min`` cube is bfloat16 (extrema and minmap are derived from
+    the float32 values first); with ``prof_i16`` the profile-index cube
+    narrows to int16 (the dictionary fits) — both halve HBM + transfer.
+    """
     correl = jnp.where(mask, 0.0, correl)
     correl_min = jnp.where(mask, 0.0, correl_min)
     profile = jnp.where(mask, jnp.zeros((), profile.dtype), profile)
     lmax, lmin = compute_local_max(correl, correl_min, mask, size)
+    minmap = jnp.amin(correl_min, axis=0)
+    if diag_bf16:
+        correl_min = correl_min.astype(jnp.bfloat16)
+    if prof_i16:
+        profile = profile.astype(jnp.int16)
     return (correl, correl_min, profile, lmax, lmin,
-            jnp.amax(correl, axis=0), jnp.amin(correl_min, axis=0))
+            jnp.amax(correl, axis=0), minmap)
 
 
 @partial(
     jax.jit,
-    static_argnames=("fshape2", "pad_left", "nz", "size",
-                     "spatial_pallas", "sweep_pallas", "prec"),
+    static_argnames=("fshape2", "pad_left", "nz", "size", "spatial_pallas",
+                     "sweep_pallas", "prec", "diag_bf16", "prof_i16"),
 )
 def _tglr_fused(faint, mask, psfs, wmaps, t_num, t_den, factors,
                 fshape2, pad_left, nz, size, spatial_pallas, sweep_pallas,
-                prec):
+                prec, diag_bf16=False, prof_i16=False):
     """Step 05 as one compiled program (non-tight-memory path).
 
     Instrument-model precompute (FSF spectra + norm cube), spatial FSF
@@ -347,7 +500,8 @@ def _tglr_fused(faint, mask, psfs, wmaps, t_num, t_den, factors,
         correl, profile, correl_min = glr_spectral_mxu(
             cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
         )
-    return _mask_extrema(correl, correl_min, profile, mask, size)
+    return _mask_extrema(correl, correl_min, profile, mask, size,
+                         diag_bf16=diag_bf16, prof_i16=prof_i16)
 
 
 class DeviceEngine:
@@ -405,6 +559,18 @@ class DeviceEngine:
         )
 
     @staticmethod
+    def _diag_bf16():
+        """Store diagnostics-only cubes (cont_dct, cube_correl_min) as
+        bfloat16 on device: halves their HBM and their write-time transfer;
+        the session files stay float32.  ``ORIGIN_TPU_DIAG_DTYPE=float32``
+        opts out."""
+        import os
+
+        return os.environ.get(
+            "ORIGIN_TPU_DIAG_DTYPE", "bf16"
+        ).lower() not in ("f32", "fp32", "float32")
+
+    @staticmethod
     def _pallas_precision():
         """Matmul precision for the fused Pallas kernels.
 
@@ -456,6 +622,27 @@ class DeviceEngine:
                 _upload_cache.clear()
         return self._tight
 
+    def prefetch(self, *names):
+        """Start async device-to-host copies of finished dense products.
+
+        Called by steps the moment a product becomes final: the transfer
+        then overlaps the remaining device/host work, so the session
+        ``write()`` finds the bytes already on their way (or arrived)
+        instead of paying the full link serially.  No-op for sparse or
+        already-materialized products; device memory is NOT freed (use
+        :meth:`offload` for that).
+        """
+        owners = getattr(self.orig, "_product_owner", None)
+        if owners is None:
+            return
+        for n in names:
+            owner = owners.get(n)
+            if owner is None:
+                continue
+            val = owner.store.peek(n)
+            if isinstance(val, DeferredCube):
+                val.prefetch()
+
     def offload(self, *names):
         """Materialize products to host now, freeing their HBM."""
         for n in names:
@@ -498,7 +685,7 @@ class DeviceEngine:
         """
         out = _preprocess_fused(
             self.input_cube(), self.input_var(), self.input_mask(),
-            dct_order, dct_approx, local_max_size,
+            dct_order, dct_approx, local_max_size, self._diag_bf16(),
         )
         data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq = out
         dev = dict(cube_std=data, cont_dct=cont_std,
@@ -601,6 +788,9 @@ class DeviceEngine:
             prepped, block=min(128, nz)
         )
         mask = self.input_mask()
+        # int16 index cube once the dictionary fits (the cast guard
+        # mirrors toeplitz_sweep's uint8 -> int32 index widening)
+        prof_i16 = len(profiles) <= np.iinfo(np.int16).max
         # fused Pallas kernels on TPU-family backends (ORIGIN_TPU_PALLAS=0
         # reverts to the XLA formulations); the fused spatial kernel wins
         # only in the bf16x3 throughput mode (docs/benchmarks.md) and
@@ -637,7 +827,8 @@ class DeviceEngine:
             del cube_fsf, norm_fsf
             (correl, correl_min, profile, lmax, lmin,
              maxmap_d, minmap_d) = _mask_extrema(
-                correl, correl_min, profile, mask, size
+                correl, correl_min, profile, mask, size,
+                diag_bf16=self._diag_bf16(), prof_i16=prof_i16,
             )
         else:
             factors = {
@@ -651,7 +842,7 @@ class DeviceEngine:
                 _upload_cached(t_num), _upload_cached(t_den), factors,
                 fshape2=fshape2, pad_left=int(pad_left), nz=nz, size=size,
                 spatial_pallas=spatial_pallas, sweep_pallas=sweep_pallas,
-                prec=prec,
+                prec=prec, diag_bf16=self._diag_bf16(), prof_i16=prof_i16,
             )
             (correl, correl_min, profile, lmax, lmin,
              maxmap_d, minmap_d) = out
@@ -737,12 +928,17 @@ class DeviceEngine:
                 self._unpack_sparse(None, 0, a1.shape, len(g1)),
                 self._unpack_sparse(None, 0, a2.shape, len(g2)),
             )
-        # one shared capacity bucket: the program cache stays keyed by a
-        # single cap (not the (cap1, cap2) product), and the extra rows
-        # on the smaller side cost microseconds
-        cap = min(_bucket(max(n1, n2, 1), 256), max(a1.size, a2.size))
-        cap1 = min(cap, a1.size)
-        cap2 = min(cap, a2.size)
+        # shared capacity bucket while the counts are close (the program
+        # cache stays keyed by one cap); per-side buckets when they differ
+        # by more than one bucket step — the padded rows of the small side
+        # are fetched over the link, so with very asymmetric counts the
+        # wasted transfer would scale with the LARGE side's cap
+        b1 = _bucket(max(n1, 1), 256)
+        b2 = _bucket(max(n2, 1), 256)
+        if max(b1, b2) <= 2 * min(b1, b2):
+            b1 = b2 = max(b1, b2)
+        cap1 = min(b1, a1.size)
+        cap2 = min(b2, a2.size)
         r1, r2 = jax.device_get(
             _extract_above_pair(a1, e1, thr1, cap1, a2, e2, thr2, cap2)
         )

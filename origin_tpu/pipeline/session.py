@@ -157,6 +157,7 @@ class ORIGIN(PlotMixin):
 
         self.ima_white = imawhite if imawhite else self.cube.mean(axis=0)
         self.testO2, self.histO2, self.binO2 = None, None, None
+        self._o2_files_stale = True
         self.logger.info("Step 00 finished")
 
     def __getattr__(self, name):
@@ -295,6 +296,7 @@ class ORIGIN(PlotMixin):
                         np.loadtxt("%s/%s_%d.txt" % (folder, attr, a), ndmin=1)
                         for a in range(1, nb_areas + 1)
                     ])
+                    obj._o2_files_stale = False  # just read from those files
         return obj
 
     # -- logging / reporting -------------------------------------------------
@@ -462,33 +464,34 @@ class ORIGIN(PlotMixin):
             self._setup_logfile(self.logger)
         if erase:
             shutil.rmtree(self.outpath)
+            self._o2_files_stale = True
         os.makedirs(self.outpath, exist_ok=True)
+
+        # the instrument files never change within a session: write them
+        # only when they are not already on disk (a re-written checkpoint
+        # would otherwise re-pay the PSF cube + white image every time)
+        def _write_once(obj, fname):
+            target = os.path.join(self.outpath, fname)
+            if not os.path.isfile(target):
+                obj.write(target)
 
         if isinstance(self.PSF, list):
             for i, psf in enumerate(self.PSF):
-                Cube(data=psf, mask=False).write(
-                    os.path.join(self.outpath, "cube_psf_%02d.fits" % i)
-                )
+                _write_once(Cube(data=psf, mask=False),
+                            "cube_psf_%02d.fits" % i)
         else:
-            Cube(data=self.PSF, mask=False).write(
-                os.path.join(self.outpath, "cube_psf.fits")
-            )
+            _write_once(Cube(data=self.PSF, mask=False), "cube_psf.fits")
         if self.wfields is not None:
             for i, wfield in enumerate(self.wfields):
-                Image(data=np.asarray(wfield), mask=False).write(
-                    os.path.join(self.outpath, "wfield_%02d.fits" % i)
-                )
-
+                _write_once(Image(data=np.asarray(wfield), mask=False),
+                            "wfield_%02d.fits" % i)
         if self.ima_white is not None:
-            self.ima_white.write("%s/ima_white.fits" % self.outpath)
+            _write_once(self.ima_white, "ima_white.fits")
 
-        # materialize device-resident products concurrently before dumping:
-        # device->host copies of independent arrays overlap (and multiplex
-        # on remote-device links), unlike the sequential pulls dump() would
-        # otherwise trigger one by one
-        from concurrent.futures import ThreadPoolExecutor
-
-        from .engine import DeferredCube
+        # materialize device-resident products with minimal link traffic
+        # (fused sparse fetches for the local-extrema cubes, overlapped
+        # async copies for the dense ones) before dumping
+        from .engine import DeferredCube, materialize_deferred
 
         pending = [
             val
@@ -500,8 +503,7 @@ class ORIGIN(PlotMixin):
             if isinstance(val, DeferredCube) and val.device is not None
         ]
         if pending:
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                list(pool.map(lambda c: c.data, pending))
+            materialize_deferred(pending)
 
         for step in self.steps.values():
             step.dump(self.outpath)
@@ -509,15 +511,21 @@ class ORIGIN(PlotMixin):
         with open(f"{self.outpath}/{self.name}.yaml", "w") as stream:
             yaml.safe_dump(_sanitize(self.param), stream)
 
-        if self.nbAreas is not None:
+        # per-area O2 diagnostics: text serialization is slow at survey
+        # scale, so rewrite only when step03 recomputed them
+        if self.nbAreas is not None and self._o2_files_stale:
+            wrote = False
             for attr in ("testO2", "histO2", "binO2"):
                 values = getattr(self, attr)
                 if values is not None:
+                    wrote = True
                     for area in range(1, self.nbAreas + 1):
                         np.savetxt(
                             "%s/%s_%d.txt" % (self.outpath, attr, area),
                             values[area - 1],
                         )
+            if wrote:
+                self._o2_files_stale = False
         self.logger.info("Current session saved in %s", self.outpath)
 
     # -- summaries ------------------------------------------------------------------

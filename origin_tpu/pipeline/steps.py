@@ -66,6 +66,12 @@ __all__ = [
 ]
 
 
+def _host_f32(a):
+    """Host post-transform: reduced-precision device diagnostics are
+    widened back to float32 so the session files keep their format."""
+    return np.asarray(a, np.float32)
+
+
 class Status(Enum):
     """Lifecycle of a step within a session.
 
@@ -180,12 +186,17 @@ class Step:
                             wcs=self.orig.wcs, mask=False, copy=False,
                             **kwargs))
 
-    def store_cube_dev(self, name, dev, post=None):
-        """Publish a device-resident cube (lazy host materialization)."""
+    def store_cube_dev(self, name, dev, post=None, sparse=False):
+        """Publish a device-resident cube (lazy host materialization).
+
+        ``sparse`` marks mostly-zero cubes (local extrema) whose download
+        transfers (index, value) pairs instead of the dense array.
+        """
         from .engine import DeferredCube
 
         self.put(name, DeferredCube(dev, wcs=self.orig.wcs,
-                                    wave=self.orig.wave, post=post))
+                                    wave=self.orig.wave, post=post,
+                                    sparse=sparse))
 
     def store_image(self, name, data, **kwargs):
         self.put(name, Image(data=data, wcs=self.orig.wcs, mask=False,
@@ -240,11 +251,13 @@ class Preprocessing(Step):
         self.store_image("ima_std", host["ima_std"])
 
         info("cube_std_local_max / cube_std_local_min ready (std extrema)")
-        self.store_cube_dev("cube_std_local_max", dev["cube_std_local_max"])
-        self.store_cube_dev("cube_std_local_min", dev["cube_std_local_min"])
+        self.store_cube_dev("cube_std_local_max", dev["cube_std_local_max"],
+                            sparse=True)
+        self.store_cube_dev("cube_std_local_min", dev["cube_std_local_min"],
+                            sparse=True)
 
         info("cont_dct / ima_dct ready (DCT continuum)")
-        self.store_cube_dev("cont_dct", dev["cont_dct"])
+        self.store_cube_dev("cont_dct", dev["cont_dct"], post=_host_f32)
         self.store_image("ima_dct", host["ima_dct"])
 
         mean_fwhm = int(np.ceil(np.mean(orig.FWHM_PSF)))
@@ -267,7 +280,10 @@ class Preprocessing(Step):
         info("segmap_merged ready (union of both maps, %d regions)", nlabels)
         self.store_image("segmap_merged", segmap)
 
-        # diagnostics-only product: free its HBM on small-memory devices
+        # cont_dct is final: start its host copy in the background (write()
+        # then finds it already transferred); tight devices block to free
+        # its HBM instead
+        orig.engine.prefetch("cont_dct")
         orig.engine.maybe_offload("cont_dct")
 
 
@@ -351,6 +367,7 @@ class ComputePCAThreshold(Step):
                 area, mea, std, thres,
             )
         (orig.testO2, orig.histO2, orig.binO2, thres, mea, std) = zip(*results)
+        orig._o2_files_stale = True  # write() must re-serialize them
         self.put("thresO2", np.asarray(thres))
         self.put("meaO2", np.asarray(mea))
         self.put("stdO2", np.asarray(std))
@@ -418,15 +435,19 @@ class ComputeTGLR(Step):
             pcut=pcut, pmeansub=pmeansub, size=size,
         )
         nprof = len(orig.profiles)
-        # int32 indices only once the dictionary outgrows int16 (the cast
-        # guard mirrors toeplitz_sweep's uint8 -> int32 index widening)
+        # int32 indices only once the dictionary outgrows int16 (the
+        # single-chip engine already narrows on device; the host cast
+        # covers engines that keep the kernel's wide indices)
         if nprof > np.iinfo(np.int16).max:
             prof_post = None  # keep the kernel's int32 indices
         else:
-            prof_post = lambda a: a.astype(np.int16)  # noqa: E731
+            prof_post = (
+                lambda a: a if a.dtype == np.int16 else a.astype(np.int16)
+            )
 
         self.store_cube_dev("cube_correl", dev["cube_correl"])
-        self.store_cube_dev("cube_correl_min", dev["cube_correl_min"])
+        self.store_cube_dev("cube_correl_min", dev["cube_correl_min"],
+                            post=_host_f32)
         self.store_cube_dev("cube_profile", dev["cube_profile"],
                             post=prof_post)
         self.logger.info(
@@ -436,11 +457,16 @@ class ComputeTGLR(Step):
 
         self.store_image("maxmap", host["maxmap"])
         self.store_image("minmap", host["minmap"])
-        self.store_cube_dev("cube_local_max", dev["cube_local_max"])
-        self.store_cube_dev("cube_local_min", dev["cube_local_min"])
+        self.store_cube_dev("cube_local_max", dev["cube_local_max"],
+                            sparse=True)
+        self.store_cube_dev("cube_local_min", dev["cube_local_min"],
+                            sparse=True)
         self.logger.info(
             "maxmap / minmap images and correlation local extrema ready"
         )
+        # both are final after this step: overlap their host copies with
+        # the remaining (host-heavy) pipeline stages
+        orig.engine.prefetch("cube_faint", "cube_correl_min")
         orig.engine.maybe_offload("cube_faint", "cube_correl_min")
 
 
@@ -599,6 +625,8 @@ class Detection(Step):
         ns = len(set(np.asarray(cat["ID"])))
         ds = len(set(np.asarray(cat_comp["ID"])) - set(np.asarray(cat["ID"])))
         self.put("Cat1", cat)
+        # the profile-index cube's last device use was this step's gather
+        orig.engine.prefetch("cube_profile")
         self.logger.info(
             "Cat1 ready: %d [+%s] sources, %d [+%d] lines",
             ns, ds, len(cat), len(cat_comp),
@@ -712,6 +740,9 @@ class CleanResults(Step):
         nmerged = int(np.sum(np.asarray(lines["merged_in"]) != -9999))
         if nmerged:
             self.logger.info("%d lines were merged into nearby lines", nmerged)
+        # last device-side reductions on cube_std / cube_correl were the
+        # std scalars above; overlap their host copies with steps 10-11
+        orig.engine.prefetch("cube_std", "cube_correl")
 
 
 class CreateMasks(Step):
@@ -790,6 +821,15 @@ class SaveSources(Step):
             shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
 
+        # hold references to the live products BEFORE the checkpoint parks
+        # them: the source builder then consumes them in memory instead of
+        # re-reading the freshly written session from disk (the reference
+        # re-reads three full cubes per run, source_creation.py:439-534)
+        cube_cor = orig.cube_correl
+        cube_std = orig.cube_std
+        spectra = orig.spectra
+        segmaps = {"LABEL": orig.segmap_label, "MERGED": orig.segmap_merged}
+
         # the source files reference the dumped products
         orig.write()
 
@@ -801,11 +841,9 @@ class SaveSources(Step):
             cube_std_filename=os.path.join(outpath, "cube_std.fits"),
             mask_filename_tpl=orig.param["mask_filename_tpl"],
             skymask_filename_tpl=orig.param["skymask_filename_tpl"],
-            spectra_fits_filename=os.path.join(outpath, "spectra.fits"),
-            segmaps={
-                "LABEL": os.path.join(outpath, "segmap_label.fits"),
-                "MERGED": os.path.join(outpath, "segmap_merged.fits"),
-            },
+            spectra_fits_filename=spectra if spectra is not None
+            else os.path.join(outpath, "spectra.fits"),
+            segmaps=segmaps,
             version=version,
             profile_fwhm=orig.FWHM_profiles,
             out_tpl=os.path.join(out_dir, "source-%0.5d.fits"),
@@ -813,6 +851,9 @@ class SaveSources(Step):
             author=author,
             nb_fwhm=nb_fwhm,
             expmap_filename=expmap_filename,
+            data_cube=orig.cube,
+            cube_cor=cube_cor,
+            cube_std=cube_std,
         )
 
 

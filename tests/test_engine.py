@@ -354,3 +354,92 @@ def test_mesh_engine_memory_budget_scales_with_sp(tmp_path, monkeypatch):
     for o in (single, meshed):
         for h in o.logger.handlers:
             h.close()
+
+
+def test_sparse_deferred_cube_matches_dense(problem):
+    """Sparse materialization (index/value transfer) rebuilds the exact
+    dense array, including negative extrema and the all-zero case."""
+    from origin_tpu.pipeline.engine import materialize_deferred
+
+    rng = np.random.default_rng(7)
+    arr = np.zeros((40, 8, 9), dtype=np.float32)
+    hits = rng.random(arr.shape) < 0.03
+    arr[hits] = rng.normal(size=int(hits.sum())).astype(np.float32)
+    arr[0, 0, 0] = -3.5  # negative local extremum must survive
+
+    one = DeferredCube(jnp.asarray(arr), sparse=True)
+    np.testing.assert_array_equal(one.data, arr)
+
+    # grouped path: one count program + one extraction program for all
+    cubes = [
+        DeferredCube(jnp.asarray(arr), sparse=True),
+        DeferredCube(jnp.zeros((4, 4, 4), jnp.float32), sparse=True),
+        DeferredCube(jnp.asarray(arr * 2)),  # dense, mixed in
+    ]
+    materialize_deferred(cubes)
+    np.testing.assert_array_equal(cubes[0].data, arr)
+    np.testing.assert_array_equal(cubes[1].data, np.zeros((4, 4, 4)))
+    np.testing.assert_array_equal(cubes[2].data, arr * 2)
+    assert all(c.device is None for c in cubes)
+
+
+def test_sparse_deferred_cube_post(problem):
+    arr = np.zeros((10, 4, 4), dtype=np.float32)
+    arr[3, 2, 1] = 5.0
+    d = DeferredCube(jnp.asarray(arr), sparse=True,
+                     post=lambda a: a.astype(np.float64))
+    assert d.data.dtype == np.float64
+    np.testing.assert_array_equal(d.data, arr)
+
+
+def test_upload_cache_lru_and_byte_budget(monkeypatch):
+    import origin_tpu.pipeline.engine as eng
+
+    saved = dict(eng._upload_cache)
+    eng._upload_cache.clear()
+    try:
+        # byte budget: three 1 KB entries under a 2.5 KB cap -> evict oldest
+        monkeypatch.setenv("ORIGIN_TPU_UPLOAD_CACHE_BYTES", "2500")
+        a = np.zeros(256, np.float32)  # 1024 bytes
+        b = np.ones(256, np.float32)
+        c = np.full(256, 2.0, np.float32)
+        da = eng._upload_cached(a)
+        eng._upload_cached(b)
+        # LRU: touching `a` makes `b` the eviction candidate
+        assert eng._upload_cached(a) is da
+        eng._upload_cached(c)
+        assert len(eng._upload_cache) == 2
+        assert eng._upload_cached(a) is da  # survived (recently used)
+        # b was evicted: re-upload yields a fresh handle
+        db2 = eng._upload_cached(b)
+        np.testing.assert_array_equal(np.asarray(db2), b)
+        # an entry larger than the budget still caches (evicts the rest)
+        big = np.zeros(1024, np.float32)  # 4096 bytes > budget
+        eng._upload_cached(big)
+        assert len(eng._upload_cache) == 1
+    finally:
+        eng._upload_cache.clear()
+        eng._upload_cache.update(saved)
+
+
+def test_detections_above_pair_asymmetric_counts(problem):
+    """Very asymmetric detection counts use per-side capacities; results
+    must still match np.where exactly."""
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    a1 = np.zeros((30, 10, 10), np.float32)
+    a2 = np.zeros((30, 10, 10), np.float32)
+    a1.ravel()[::2] = 2.0          # ~1500 hits
+    a2[5, 5, 5] = 2.0              # 1 hit
+    orig._store["big"] = DeferredCube(jnp.asarray(a1))
+    orig._store["small"] = DeferredCube(jnp.asarray(a2))
+    det1, det2 = eng.detections_above_pair(
+        ("big", 1.0, ()), ("small", 1.0, ())
+    )
+    (z1, y1, x1), v1, _ = det1
+    (z2, y2, x2), v2, _ = det2
+    ez, ey, ex = np.where(a1 > 1.0)
+    np.testing.assert_array_equal(z1, ez)
+    np.testing.assert_array_equal(x1, ex)
+    assert len(z2) == 1 and (z2[0], y2[0], x2[0]) == (5, 5, 5)

@@ -332,3 +332,57 @@ def test_compute_true_purity_validation(tmp_path):
     pur = np.asarray(res["purity"], float)
     pur = pur[np.isfinite(pur)]
     assert ((pur >= 0) & (pur <= 1.0 + 1e-9)).all()
+
+
+def test_write_skips_unchanged_aux_and_keeps_format(minicube, tmp_path):
+    """A second write() must not re-pay the immutable instrument files or
+    the per-area O2 text serialization; the session file formats stay
+    float32 even with reduced-precision device diagnostics."""
+    cube_fn, _ = minicube
+    orig = ORIGIN.init(cube_fn, name="w", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=30, maxsize=60)
+    orig.step03_compute_PCA_threshold()
+    orig.write()
+    folder = str(tmp_path / "w")
+
+    # cont_dct is stored bf16 on device but written as a float32 FITS cube
+    from origin_tpu import fitsio
+
+    cont = fitsio.getdata(os.path.join(folder, "cont_dct.fits"))
+    assert cont.dtype == np.float32
+    # local extrema round-trip the sparse transfer exactly: nonzero where
+    # a strict box maximum exists, zero elsewhere
+    lmax = fitsio.getdata(os.path.join(folder, "cube_std_local_max.fits"))
+    assert lmax.dtype == np.float32
+    nnz = np.count_nonzero(lmax)
+    assert 0 < nnz < lmax.size // 4  # genuinely sparse
+    std = fitsio.getdata(os.path.join(folder, "cube_std.fits"))
+    zs, ys, xs = np.nonzero(lmax)
+    np.testing.assert_allclose(lmax[zs, ys, xs], std[zs, ys, xs], rtol=1e-6)
+
+    mtimes = {
+        f: os.path.getmtime(os.path.join(folder, f))
+        for f in ("cube_psf.fits", "ima_white.fits", "testO2_1.txt")
+    }
+    orig.write()  # nothing recomputed: aux files untouched
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(folder, f)) == t, f
+
+    # re-running step03 invalidates the O2 diagnostics only
+    orig.step03_compute_PCA_threshold()
+    orig.write()
+    assert os.path.getmtime(os.path.join(folder, "testO2_1.txt")) > mtimes[
+        "testO2_1.txt"
+    ]
+    assert os.path.getmtime(
+        os.path.join(folder, "cube_psf.fits")
+    ) == mtimes["cube_psf.fits"]
+
+    # a reloaded session still reads every product
+    orig2 = ORIGIN.load(folder)
+    assert orig2.cont_dct.data.dtype == np.float32
+    assert np.isfinite(orig2.thresO2).all()
+    orig.close_logfile()
+    orig2.close_logfile()
