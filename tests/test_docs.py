@@ -93,3 +93,65 @@ def test_docs_step_methods_resolve():
             if ref not in real:
                 missing.append(f"{name}: {ref}")
     assert not missing, "dangling step references:\n" + "\n".join(missing)
+
+
+def _usage_fences():
+    """The ```python code fences of docs/usage.md, in order."""
+    with open(os.path.join(DOCS, "usage.md")) as f:
+        text = f.read()
+    return re.findall(r"```python\n(.*?)```", text, flags=re.DOTALL)
+
+
+def test_usage_md_fences_execute(tmp_path, monkeypatch):
+    """Every python code fence in docs/usage.md runs as written.
+
+    Completes the reference's doctest discipline (reference setup.cfg
+    runs docs/usage.rst as doctests): editing a snippet to a nonexistent
+    API or a wrong call signature breaks this test.  The snippets run in
+    a tmp cwd holding a synthetic `cube.fits`, with the few free
+    variables of the fleet-API fence (cube/var/mask/psf/profiles)
+    predefined — everything else executes verbatim.
+    """
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        from make_minicube import make_minicube
+    finally:
+        sys.path.remove(os.path.dirname(__file__))
+
+    fences = _usage_fences()
+    assert len(fences) >= 3, "usage.md lost its executable examples"
+
+    monkeypatch.chdir(tmp_path)
+    # ny=40: divides over the 8-device test mesh of the multi-chip fence
+    make_minicube(str(tmp_path / "cube.fits"), nz=150, ny=40, nx=40)
+
+    import jax
+    import numpy as np
+    from origin_tpu.core import MoffatFSF, gaussian_profile
+
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 60, 16, 16
+    free = dict(
+        cubes=jax.numpy.asarray(
+            rng.normal(size=(2, nz, ny, nx)).astype(np.float32)),
+        variances=jax.numpy.ones((2, nz, ny, nx), np.float32),
+        masks=jax.numpy.zeros((2, nz, ny, nx), bool),
+        psf=MoffatFSF(fwhm_pol=[0.7], beta_pol=[2.8], pixstep=0.2)
+        .get_3darray(4750.0 + 1.25 * np.arange(nz), (7, 7))
+        .astype(np.float32),
+        profiles=[gaussian_profile(f) for f in (2.0, 6.7)],
+    )
+
+    for i, src in enumerate(fences):
+        ns = dict(free)
+        exec(compile(src, f"usage.md[fence {i}]", "exec"), ns)  # noqa: S102
+
+    # the walkthrough fence really ran: its session + catalog are on disk
+    assert (tmp_path / "session1" / "session1.yaml").exists()
+    assert (tmp_path / "session1" / "Cat3_sources.fits").exists()
+    assert (tmp_path / "session1" / "sources").exists()
+    # close any logfile handlers the snippets opened
+    import logging
+
+    for h in list(logging.getLogger("origin_tpu").handlers):
+        h.close()
