@@ -65,8 +65,9 @@ def rank1_left_vector(m, iters=200, tol=1e-7):
     return u
 
 
-@partial(jax.jit, static_argnames=("itermax",))
-def greedy_pca(cube, valid, test0, thres, noise_population=50.0, itermax=100):
+@partial(jax.jit, static_argnames=("itermax", "record_factors"))
+def greedy_pca(cube, valid, test0, thres, noise_population=50.0, itermax=100,
+               record_factors=False):
     """Greedy PCA on one (padded) area.
 
     Parameters
@@ -84,12 +85,21 @@ def greedy_pca(cube, valid, test0, thres, noise_population=50.0, itermax=100):
         forms the background signature.
     itermax : int
         Maximum number of iterations.
+    record_factors : bool
+        Also return the removed rank-1 factors ``(U, C)`` such that
+        ``faint == cube - U @ C`` (up to f32 re-summation order): every
+        iteration subtracts ``outer(u, u @ faint)``, so recording
+        ``U[:, i] = u_i`` and ``C[i] = u_i @ faint_i`` captures the whole
+        cleaning as ``itermax`` small factors.  Lets hosts rebuild the
+        cleaned cube from the standardized cube plus a few MB of factors
+        instead of transferring a full cube.
 
     Returns
     -------
     faint : (Nz, Np) cleaned spectra
     mapO2 : (Np,) int32 iteration count per spaxel
     nstop : int32 1 if the iteration cap was hit, else 0
+    U, C : (Nz, itermax) / (itermax, Np), only when ``record_factors``
     """
     nz, npix = cube.shape
     test0 = jnp.where(valid, test0, 0.0)
@@ -98,11 +108,10 @@ def greedy_pca(cube, valid, test0, thres, noise_population=50.0, itermax=100):
         return (test > thres) & valid
 
     def cond(state):
-        faint, test, mapo2, nbiter, nstop, done = state
-        return (~done) & jnp.any(pypx_of(test))
+        return (~state[5]) & jnp.any(pypx_of(state[1]))
 
     def body(state):
-        faint, test, mapo2, nbiter, nstop, done = state
+        faint, test, mapo2, nbiter, nstop, done = state[:6]
         pypx = pypx_of(test)
         npyp = jnp.sum(pypx)
         nbiter = nbiter + 1
@@ -129,15 +138,24 @@ def greedy_pca(cube, valid, test0, thres, noise_population=50.0, itermax=100):
         single = npyp == 1  # reference bails out before the SVD here
 
         u = rank1_left_vector(xr)
-        faint_new = faint - jnp.outer(u, u @ faint)
+        c = u @ faint
+        faint_new = faint - jnp.outer(u, c)
         test_new = jnp.where(valid, jnp.mean(faint_new * faint_new, axis=0), 0.0)
 
         keep = over | single
         faint = jnp.where(keep, faint, faint_new)
         test = jnp.where(keep, test, test_new)
         nstop = nstop + over.astype(jnp.int32)
-        done = keep
-        return faint, test, mapo2, nbiter, nstop, done
+        out = (faint, test, mapo2, nbiter, nstop, keep)
+        if record_factors:
+            u_mat, c_mat = state[6:]
+            u_eff = jnp.where(keep, 0.0, u)
+            c_eff = jnp.where(keep, 0.0, c)
+            it = nbiter - 1  # == itermax only when over (u_eff zero anyway)
+            u_mat = u_mat.at[:, it].set(u_eff, mode="drop")
+            c_mat = c_mat.at[it].set(c_eff, mode="drop")
+            out = out + (u_mat, c_mat)
+        return out
 
     state = (
         cube,
@@ -147,7 +165,15 @@ def greedy_pca(cube, valid, test0, thres, noise_population=50.0, itermax=100):
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
-    faint, test, mapo2, nbiter, nstop, done = jax.lax.while_loop(cond, body, state)
+    if record_factors:
+        state = state + (
+            jnp.zeros((nz, itermax), cube.dtype),
+            jnp.zeros((itermax, npix), cube.dtype),
+        )
+    state = jax.lax.while_loop(cond, body, state)
+    faint, _, mapo2, _, nstop, _ = state[:6]
+    if record_factors:
+        return faint, mapo2, nstop, state[6], state[7]
     return faint, mapo2, nstop
 
 

@@ -34,6 +34,29 @@ from ..ops.pca import _bucket, greedy_pca
 __all__ = ["greedy_pca_mesh"]
 
 
+def balance_slots(sizes, sp, slots_per_device):
+    """Assign areas to slot positions so per-device work balances.
+
+    ``shard_map`` deals slot axis blocks contiguously: device ``d`` runs
+    slots ``[d*m, (d+1)*m)``.  Dealing areas in label order piles adjacent
+    large areas onto one device; here the areas go largest-first to the
+    least-loaded device (LPT scheduling, pixel count as the cost proxy).
+
+    Returns ``slot_of_area``: area index (0-based) -> slot position.
+    """
+    order = np.argsort(sizes)[::-1]  # largest first
+    load = np.zeros(sp, dtype=np.int64)
+    used = np.zeros(sp, dtype=np.int64)
+    slot_of_area = np.zeros(len(sizes), dtype=np.int64)
+    for a in order:
+        open_devs = np.nonzero(used < slots_per_device)[0]
+        d = open_devs[np.argmin(load[open_devs])]
+        slot_of_area[a] = d * slots_per_device + used[d]
+        used[d] += 1
+        load[d] += sizes[a]
+    return slot_of_area
+
+
 @partial(jax.jit, static_argnames=("mesh", "noise_population", "itermax"))
 def _pca_mesh_program(cube_std, idx, valid, test, thres, mesh,
                       noise_population, itermax):
@@ -106,6 +129,11 @@ def greedy_pca_mesh(mesh, cube_std, areamap, thresholds, testO2,
         return cube_std, np.zeros(spatial_shape, np.int32), 0
     p_pad = _bucket(max(sizes))
     a_pad = -(-max(1, nb_area) // sp) * sp  # ceil to a multiple of sp
+    # shard_map blocks the slot axis contiguously over sp: balance the
+    # per-device pixel load instead of dealing areas in label order
+    slot_of_area = balance_slots(
+        [len(s) for s in sels], sp, a_pad // sp
+    )
 
     idx = np.full((a_pad, p_pad), npix_tot, dtype=np.int32)  # OOB = padding
     valid = np.zeros((a_pad, p_pad), dtype=bool)
@@ -115,10 +143,11 @@ def greedy_pca_mesh(mesh, cube_std, areamap, thresholds, testO2,
         n = len(sel)
         if n == 0:
             continue
-        idx[a, :n] = sel
-        valid[a, :n] = True
-        test[a, :n] = np.asarray(testO2[a], dtype=np.float32)
-        thres[a] = float(thresholds[a])
+        s = slot_of_area[a]
+        idx[s, :n] = sel
+        valid[s, :n] = True
+        test[s, :n] = np.asarray(testO2[a], dtype=np.float32)
+        thres[s] = float(thresholds[a])
 
     faint, mapo2, nstop = _pca_mesh_program(
         cube_std, jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(test),
@@ -129,5 +158,7 @@ def greedy_pca_mesh(mesh, cube_std, areamap, thresholds, testO2,
     mapO2 = np.zeros(spatial_shape, dtype=np.int32)
     flatmap = mapO2.ravel()
     for a, sel in enumerate(sels):
-        flatmap[sel] = mapo2[a, : len(sel)]
-    return faint, mapO2, int(nstop[:max(1, nb_area)].sum())
+        flatmap[sel] = mapo2[slot_of_area[a], : len(sel)]
+    # padding slots never iterate (all-False validity, +inf threshold),
+    # so summing every slot counts exactly the real areas' bail-outs
+    return faint, mapO2, int(nstop.sum())

@@ -121,9 +121,15 @@ class DeferredCube(Cube):
     local-extrema cubes: at most one voxel per max-filter box is nonzero),
     whose materialization transfers only (index, value) pairs instead of
     the dense array — on a slow host link the transfer shrinks ~25x.
+    ``fetch``, when given, replaces the download entirely: a callable that
+    REBUILDS the host array (e.g. cube_faint from the standardized cube
+    plus the recorded PCA factors), so nothing cube-sized crosses the link.
     """
 
-    def __init__(self, dev, wcs=None, wave=None, post=None, sparse=False):
+    def __init__(self, dev, wcs=None, wave=None, post=None, sparse=False,
+                 fetch=None):
+        import threading
+
         self.filename = None
         self.primary_header = fitsio.Header()
         self.data_header = fitsio.Header()
@@ -135,7 +141,9 @@ class DeferredCube(Cube):
         self._host = None
         self._post = post
         self._sparse = sparse
+        self._fetch = fetch
         self._future = None
+        self._lock = threading.Lock()
         self._sync_coord_shapes()
 
     @property
@@ -144,31 +152,39 @@ class DeferredCube(Cube):
         return self._dev
 
     def prefetch(self):
-        """Start a background device-to-host copy (idempotent).
+        """Start a background materialization (idempotent).
 
-        The transfer overlaps whatever the caller does next; the first
-        ``.data`` access then just joins it.  Sparse cubes skip it (their
-        dense transfer is exactly what the sparse path avoids).
+        The transfer (or host rebuild) overlaps whatever the caller does
+        next; the first ``.data`` access then just joins it.  Sparse cubes
+        skip it (their dense transfer is exactly what the sparse path
+        avoids).
         """
-        if (self._host is None and self._future is None
-                and self._dev is not None and not self._sparse):
-            self._future = _copy_pool().submit(np.asarray, self._dev)
+        with self._lock:
+            if (self._host is None and self._future is None
+                    and self._dev is not None and not self._sparse):
+                job = self._fetch if self._fetch is not None else (
+                    lambda: np.asarray(self._dev)
+                )
+                self._future = _copy_pool().submit(job)
 
     @property
     def data(self):
-        if self._host is None:
-            if self._future is not None:
-                arr = self._future.result()
-                self._future = None
-            elif self._sparse:
-                arr = _sparse_fetch(self._dev)
-            else:
-                arr = np.asarray(self._dev)
-            if self._post is not None:
-                arr = self._post(arr)
-            self._host = arr
-            self._dev = None  # single owner: free HBM once on host
-        return self._host
+        with self._lock:
+            if self._host is None:
+                if self._future is not None:
+                    arr = self._future.result()
+                    self._future = None
+                elif self._fetch is not None:
+                    arr = self._fetch()
+                elif self._sparse:
+                    arr = _sparse_fetch(self._dev)
+                else:
+                    arr = np.asarray(self._dev)
+                if self._post is not None:
+                    arr = self._post(arr)
+                self._host = arr
+                self._dev = None  # single owner: free HBM once on host
+            return self._host
 
     @data.setter
     def data(self, val):
@@ -409,6 +425,9 @@ def materialize_deferred(cubes):
     live = [c for c in cubes if c._host is None and c._dev is not None]
     dense = [c for c in live if not c._sparse]
     sparse = [c for c in live if c._sparse]
+    # plain downloads first: rebuild closures (custom fetch) may join them,
+    # so they must never be queued behind every pool worker
+    dense.sort(key=lambda c: c._fetch is not None)
     for c in dense:
         c.prefetch()
     if sparse:
@@ -440,15 +459,16 @@ def _extract_above_pair(a1, e1, t1, cap1, a2, e2, t2, cap2):
     )
 
 
-@partial(jax.jit, static_argnames=("size", "diag_bf16", "prof_i16"))
+@partial(jax.jit, static_argnames=("size", "diag_bf16", "prof_dtype"))
 def _mask_extrema(correl, correl_min, profile, mask, size, diag_bf16=False,
-                  prof_i16=False):
+                  prof_dtype=None):
     """Masking + 3-D local extrema + max/min maps as one program.
 
     With ``diag_bf16`` the stored copy of the diagnostics-only
     ``correl_min`` cube is bfloat16 (extrema and minmap are derived from
-    the float32 values first); with ``prof_i16`` the profile-index cube
-    narrows to int16 (the dictionary fits) — both halve HBM + transfer.
+    the float32 values first); ``prof_dtype`` narrows the profile-index
+    cube (uint8 whenever the dictionary fits — the reference's in-memory
+    dtype, lib_origin.py:1204) — both shrink HBM + transfer.
     """
     correl = jnp.where(mask, 0.0, correl)
     correl_min = jnp.where(mask, 0.0, correl_min)
@@ -457,8 +477,8 @@ def _mask_extrema(correl, correl_min, profile, mask, size, diag_bf16=False,
     minmap = jnp.amin(correl_min, axis=0)
     if diag_bf16:
         correl_min = correl_min.astype(jnp.bfloat16)
-    if prof_i16:
-        profile = profile.astype(jnp.int16)
+    if prof_dtype is not None:
+        profile = profile.astype(prof_dtype)
     return (correl, correl_min, profile, lmax, lmin,
             jnp.amax(correl, axis=0), minmap)
 
@@ -466,11 +486,11 @@ def _mask_extrema(correl, correl_min, profile, mask, size, diag_bf16=False,
 @partial(
     jax.jit,
     static_argnames=("fshape2", "pad_left", "nz", "size", "spatial_pallas",
-                     "sweep_pallas", "prec", "diag_bf16", "prof_i16"),
+                     "sweep_pallas", "prec", "diag_bf16", "prof_dtype"),
 )
 def _tglr_fused(faint, mask, psfs, wmaps, t_num, t_den, factors,
                 fshape2, pad_left, nz, size, spatial_pallas, sweep_pallas,
-                prec, diag_bf16=False, prof_i16=False):
+                prec, diag_bf16=False, prof_dtype=None):
     """Step 05 as one compiled program (non-tight-memory path).
 
     Instrument-model precompute (FSF spectra + norm cube), spatial FSF
@@ -501,7 +521,7 @@ def _tglr_fused(faint, mask, psfs, wmaps, t_num, t_den, factors,
             cube_fsf, norm_fsf, t_num, t_den, pad_left, nz,
         )
     return _mask_extrema(correl, correl_min, profile, mask, size,
-                         diag_bf16=diag_bf16, prof_i16=prof_i16)
+                         diag_bf16=diag_bf16, prof_dtype=prof_dtype)
 
 
 class DeviceEngine:
@@ -711,8 +731,14 @@ class DeviceEngine:
         Per area, the (Nz, Npix_area) column block is gathered on device
         from the flat cube via an uploaded (bucketed) index vector, run
         through the jitted greedy-PCA while-loop, and scattered back —
-        the cube itself never leaves the accelerator.  Only the per-area
-        iteration maps (small int vectors) are downloaded.
+        the cube itself never leaves the accelerator.  Downloads: the
+        per-area iteration maps plus the removed rank-1 factors (both
+        small), from which hosts REBUILD the cleaned cube
+        (``faint = std - U @ C`` per area) instead of transferring it.
+
+        Returns ``(faint_device, mapO2, nstop, faint_fetch)`` where
+        ``faint_fetch`` is the host rebuild callable (or None when the
+        engine has no factor path).
         """
         cube_std = self.get("cube_std")
         nz = cube_std.shape[0]
@@ -739,24 +765,50 @@ class DeviceEngine:
 
             didx = jnp.asarray(idx_pad)
             cols = jnp.take(flat, didx, axis=1, mode="fill", fill_value=0.0)
-            faint, m, k = greedy_pca(
+            faint, m, k, u_mat, c_mat = greedy_pca(
                 cols, jnp.asarray(valid), jnp.asarray(test_pad),
                 float(thresholds[area - 1]),
                 noise_population=float(noise_population),
-                itermax=int(itermax),
+                itermax=int(itermax), record_factors=True,
             )
             # out-of-bounds scatters (padding columns) are dropped
             flat = flat.at[:, didx].set(faint, mode="drop")
-            pending.append((idx, npx, m, k))
-        # ONE batched fetch for all areas' iteration maps and stop flags
-        # (fetching inside the loop would serialize the area dispatches
-        # on a high-latency host link)
-        fetched = jax.device_get([(m, k) for _, _, m, k in pending])
+            pending.append((idx, npx, m, k, u_mat, c_mat))
+        # ONE batched fetch for all areas' iteration maps, stop flags and
+        # rank-1 factors (fetching inside the loop would serialize the
+        # area dispatches on a high-latency host link)
+        fetched = jax.device_get([p[2:] for p in pending])
         nstop = 0
-        for (idx, npx, _, _), (m, k) in zip(pending, fetched):
+        factors = []
+        for (idx, npx, *_), (m, k, u_mat, c_mat) in zip(pending, fetched):
             mapO2.ravel()[idx] = m[:npx]
             nstop += int(k)
-        return flat.reshape(cube_std.shape), mapO2, nstop
+            used = np.flatnonzero((u_mat != 0).any(axis=0))
+            if used.size:
+                factors.append(
+                    (idx, u_mat[:, used], np.ascontiguousarray(
+                        c_mat[used][:, :npx]))
+                )
+        faint_fetch = self._make_faint_fetch(factors)
+        return flat.reshape(cube_std.shape), mapO2, nstop, faint_fetch
+
+    def _make_faint_fetch(self, factors):
+        """Host rebuild of cube_faint from cube_std + the PCA factors.
+
+        ~MBs of factors replace a full-cube transfer; the rebuild agrees
+        with the device's sequential subtractions to f32 re-summation
+        order (~1e-6 relative), and spaxels outside every area are
+        bit-equal to cube_std.
+        """
+
+        def fetch():
+            std = np.array(self.orig.cube_std.data, dtype=np.float32)
+            flat = std.reshape(std.shape[0], -1)
+            for idx, u_mat, c_mat in factors:
+                flat[:, idx] -= u_mat @ c_mat
+            return std
+
+        return fetch
 
     # -- step 05 -----------------------------------------------------------
     def tglr(self, psf, wfields, profiles, pcut=1e-8, pmeansub=True, size=3):
@@ -790,7 +842,13 @@ class DeviceEngine:
         mask = self.input_mask()
         # int16 index cube once the dictionary fits (the cast guard
         # mirrors toeplitz_sweep's uint8 -> int32 index widening)
-        prof_i16 = len(profiles) <= np.iinfo(np.int16).max
+        nprof = len(profiles)
+        if nprof <= np.iinfo(np.uint8).max:
+            prof_dtype = "uint8"  # the reference's in-memory dtype
+        elif nprof <= np.iinfo(np.int16).max:
+            prof_dtype = "int16"
+        else:
+            prof_dtype = None  # keep the kernel's int32 indices
         # fused Pallas kernels on TPU-family backends (ORIGIN_TPU_PALLAS=0
         # reverts to the XLA formulations); the fused spatial kernel wins
         # only in the bf16x3 throughput mode (docs/benchmarks.md) and
@@ -828,7 +886,7 @@ class DeviceEngine:
             (correl, correl_min, profile, lmax, lmin,
              maxmap_d, minmap_d) = _mask_extrema(
                 correl, correl_min, profile, mask, size,
-                diag_bf16=self._diag_bf16(), prof_i16=prof_i16,
+                diag_bf16=self._diag_bf16(), prof_dtype=prof_dtype,
             )
         else:
             factors = {
@@ -842,7 +900,7 @@ class DeviceEngine:
                 _upload_cached(t_num), _upload_cached(t_den), factors,
                 fshape2=fshape2, pad_left=int(pad_left), nz=nz, size=size,
                 spatial_pallas=spatial_pallas, sweep_pallas=sweep_pallas,
-                prec=prec, diag_bf16=self._diag_bf16(), prof_i16=prof_i16,
+                prec=prec, diag_bf16=self._diag_bf16(), prof_dtype=prof_dtype,
             )
             (correl, correl_min, profile, lmax, lmin,
              maxmap_d, minmap_d) = out
@@ -1063,10 +1121,11 @@ class MeshEngine(DeviceEngine):
         """Area-parallel greedy PCA over the mesh (one jitted program)."""
         from ..parallel.pca import greedy_pca_mesh
 
-        return greedy_pca_mesh(
+        faint, mapO2, nstop = greedy_pca_mesh(
             self.mesh, self.get("cube_std"), areamap, thresholds, testO2,
             noise_population=noise_population, itermax=itermax,
         )
+        return faint, mapO2, nstop, None  # mesh path keeps the dense fetch
 
     # -- step 05 -------------------------------------------------------------
     def tglr(self, psf, wfields, profiles, pcut=1e-8, pmeansub=True, size=3):

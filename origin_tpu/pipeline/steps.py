@@ -186,17 +186,18 @@ class Step:
                             wcs=self.orig.wcs, mask=False, copy=False,
                             **kwargs))
 
-    def store_cube_dev(self, name, dev, post=None, sparse=False):
+    def store_cube_dev(self, name, dev, post=None, sparse=False, fetch=None):
         """Publish a device-resident cube (lazy host materialization).
 
         ``sparse`` marks mostly-zero cubes (local extrema) whose download
-        transfers (index, value) pairs instead of the dense array.
+        transfers (index, value) pairs instead of the dense array;
+        ``fetch`` replaces the download with a host rebuild callable.
         """
         from .engine import DeferredCube
 
         self.put(name, DeferredCube(dev, wcs=self.orig.wcs,
                                     wave=self.orig.wave, post=post,
-                                    sparse=sparse))
+                                    sparse=sparse, fetch=fetch))
 
     def store_image(self, name, data, **kwargs):
         self.put(name, Image(data=data, wcs=self.orig.wcs, mask=False,
@@ -280,10 +281,10 @@ class Preprocessing(Step):
         info("segmap_merged ready (union of both maps, %d regions)", nlabels)
         self.store_image("segmap_merged", segmap)
 
-        # cont_dct is final: start its host copy in the background (write()
-        # then finds it already transferred); tight devices block to free
-        # its HBM instead
-        orig.engine.prefetch("cont_dct")
+        # diagnostics-only product: free its HBM on small-memory devices
+        # (bulk host copies are deferred to the catalog steps' host-work
+        # window — an early background transfer would contend with the
+        # remaining front-end dispatches on a shared host link)
         orig.engine.maybe_offload("cont_dct")
 
 
@@ -392,7 +393,7 @@ class ComputeGreedyPCA(Step):
             "per-area thresholds: %s", " ".join("%.2f" % t for t in thr)
         )
         self.logger.info("greedy PCA over the zones (device-resident)")
-        faint, mapo2, nstop = orig.engine.greedy_pca_by_area(
+        faint, mapo2, nstop, faint_fetch = orig.engine.greedy_pca_by_area(
             orig.areamap.data, thr, orig.testO2,
             noise_population=Noise_population, itermax=itermax,
         )
@@ -400,7 +401,7 @@ class ComputeGreedyPCA(Step):
             self.logger.warning(
                 "iteration cap (%d) hit in %d zone(s)", itermax, nstop
             )
-        self.store_cube_dev("cube_faint", faint)
+        self.store_cube_dev("cube_faint", faint, fetch=faint_fetch)
         self.store_image("mapO2", mapo2)
         self.logger.info(
             "cube_faint / mapO2 ready (nuisance-removed signal + per-spaxel "
@@ -435,15 +436,17 @@ class ComputeTGLR(Step):
             pcut=pcut, pmeansub=pmeansub, size=size,
         )
         nprof = len(orig.profiles)
-        # int32 indices only once the dictionary outgrows int16 (the
-        # single-chip engine already narrows on device; the host cast
-        # covers engines that keep the kernel's wide indices)
+        # narrow the index cube once the dictionary fits (uint8 is the
+        # reference's in-memory dtype, lib_origin.py:1204); the single-chip
+        # engine already narrows on device — the host cast only covers
+        # engines that keep the kernel's wide indices
         if nprof > np.iinfo(np.int16).max:
             prof_post = None  # keep the kernel's int32 indices
         else:
-            prof_post = (
-                lambda a: a if a.dtype == np.int16 else a.astype(np.int16)
-            )
+            narrow = np.uint8 if nprof <= np.iinfo(np.uint8).max else np.int16
+
+            def prof_post(a, narrow=narrow):
+                return a if a.dtype == narrow else a.astype(narrow)
 
         self.store_cube_dev("cube_correl", dev["cube_correl"])
         self.store_cube_dev("cube_correl_min", dev["cube_correl_min"],
@@ -464,9 +467,6 @@ class ComputeTGLR(Step):
         self.logger.info(
             "maxmap / minmap images and correlation local extrema ready"
         )
-        # both are final after this step: overlap their host copies with
-        # the remaining (host-heavy) pipeline stages
-        orig.engine.prefetch("cube_faint", "cube_correl_min")
         orig.engine.maybe_offload("cube_faint", "cube_correl_min")
 
 
@@ -625,8 +625,6 @@ class Detection(Step):
         ns = len(set(np.asarray(cat["ID"])))
         ds = len(set(np.asarray(cat_comp["ID"])) - set(np.asarray(cat["ID"])))
         self.put("Cat1", cat)
-        # the profile-index cube's last device use was this step's gather
-        orig.engine.prefetch("cube_profile")
         self.logger.info(
             "Cat1 ready: %d [+%s] sources, %d [+%d] lines",
             ns, ds, len(cat), len(cat_comp),
@@ -740,9 +738,14 @@ class CleanResults(Step):
         nmerged = int(np.sum(np.asarray(lines["merged_in"]) != -9999))
         if nmerged:
             self.logger.info("%d lines were merged into nearby lines", nmerged)
-        # last device-side reductions on cube_std / cube_correl were the
-        # std scalars above; overlap their host copies with steps 10-11
-        orig.engine.prefetch("cube_std", "cube_correl")
+        # every cube-sized product is final now and the remaining steps
+        # (masks, source files) are host-dominated: start ALL background
+        # materializations here so the checkpoint write just joins them.
+        # Plain downloads first — cube_faint's host rebuild joins cube_std.
+        orig.engine.prefetch(
+            "cube_std", "cube_correl", "cont_dct", "cube_correl_min",
+            "cube_profile", "cube_faint",
+        )
 
 
 class CreateMasks(Step):

@@ -219,9 +219,10 @@ def test_greedy_pca_engine_matches_direct(problem):
 
     cube, var, mask = problem
     nz, ny, nx = cube.shape
-    # two areas splitting the field
+    # two areas splitting the field; last column outside every area
     areamap = np.ones((ny, nx), dtype=np.int64)
     areamap[:, nx // 2 :] = 2
+    areamap[:, -1] = 0
     # inject a nuisance source in each area
     spec = np.exp(-0.5 * ((np.arange(nz) - 25) / 6.0) ** 2).astype(np.float32)
     cube = cube.copy()
@@ -239,11 +240,24 @@ def test_greedy_pca_engine_matches_direct(problem):
     orig = FakeOrig(cube, var, mask)
     eng = DeviceEngine(orig)
     orig._store["cube_std"] = DeferredCube(jnp.asarray(cube))
-    faint1, map1, n1 = eng.greedy_pca_by_area(areamap, thr, testO2)
+    faint1, map1, n1, faint_fetch = eng.greedy_pca_by_area(
+        areamap, thr, testO2
+    )
 
     assert n0 == n1
     np.testing.assert_array_equal(map0, map1)
     np.testing.assert_allclose(np.asarray(faint1), faint0, atol=2e-3)
+
+    # the host rebuild (cube_std + recorded rank-1 factors) must agree
+    # with the device result to f32 re-summation order
+    rebuilt = faint_fetch()
+    assert rebuilt.dtype == np.float32
+    np.testing.assert_allclose(rebuilt, np.asarray(faint1), atol=1e-4)
+    # spaxels outside every area are bit-equal to the input (the factors
+    # only correct area columns)
+    np.testing.assert_array_equal(
+        rebuilt[:, areamap == 0], cube[:, areamap == 0]
+    )
 
 
 def test_deferred_cube_device_subcube(problem):

@@ -258,13 +258,6 @@ def test_session_mesh_full_pipeline(tmp_path):
     same = np.mean(shd.mapO2.data == ref.mapO2.data)
     assert same > 0.99, f"mapO2 agreement {same:.4f}"
 
-    # GLR statistic: a diverged PCA path perturbs its whole area at the
-    # ~1e-2 level (the area IS the removed component's support), so the
-    # per-voxel guarantee on the organic run is boundedness; the exact
-    # sharded-GLR numerics are pinned on identical inputs further down
-    dcorrel = np.abs(shd.cube_correl.data - ref.cube_correl.data)
-    assert dcorrel.max() < 1.0
-
     # purity self-calibration: same thresholds (std is PCA-free and matches
     # tightly; correl inherits the PCA path sensitivity)
     assert shd.param["threshold"] == pytest.approx(
@@ -291,45 +284,54 @@ def test_session_mesh_full_pipeline(tmp_path):
     np.testing.assert_array_equal(
         np.sort(np.asarray(shd.Cat1["ID"])), np.sort(np.asarray(ref.Cat1["ID"]))
     )
-    tg_ref = np.asarray(ref.Cat1["T_GLR"], float)
-    tg_shd = np.asarray(shd.Cat1["T_GLR"], float)
-    order_r = np.lexsort((np.asarray(ref.Cat1["z0"]), np.asarray(ref.Cat1["y0"]),
-                          np.asarray(ref.Cat1["x0"])))
-    order_s = np.lexsort((np.asarray(shd.Cat1["z0"]), np.asarray(shd.Cat1["y0"]),
-                          np.asarray(shd.Cat1["x0"])))
-    finite = np.isfinite(tg_ref[order_r])
-    # detections in PCA-path-diverged areas can carry a shifted T_GLR; the
-    # bound mirrors the correl-cube bound above
-    np.testing.assert_allclose(
-        tg_shd[order_s][finite], tg_ref[order_r][finite], atol=0.25
-    )
 
-    # sharded-GLR numerics on IDENTICAL inputs: feed the single-chip
-    # cube_faint through the mesh engine and require float32-round-off
-    # agreement (atol 2e-3) of correl and matching best-profile indices
+    # PINNED-INPUT mesh run: a third session whose step 05 starts from the
+    # single-chip cube_faint, so steps 05-07 compare at exact-input
+    # tolerances END TO END — correl / extrema / maxmap at float32
+    # round-off (atol 2e-3, the per-tile DFT grids), purity threshold
+    # tight, and the catalog with its T_GLR values at the same 2e-3
     from origin_tpu.pipeline.engine import DeferredCube
 
-    me = shd.engine
-    shd.steps["compute_greedy_PCA"].put(
+    pin = ORIGIN.init(cube_fn, name="pinned", loglevel="WARNING",
+                      path=str(tmp_path), PSF_size=9, mesh=mesh)
+    pin.step01_preprocessing()
+    pin.step02_areas(minsize=20, maxsize=40)
+    pin.step03_compute_PCA_threshold()
+    pin.step04_compute_greedy_PCA()
+    pin.steps["compute_greedy_PCA"].put(
         "cube_faint",
-        DeferredCube(jax.device_put(ref.cube_faint.data, me._row),
-                     wcs=shd.wcs, wave=shd.wave),
+        DeferredCube(jax.device_put(ref.cube_faint.data, pin.engine._row),
+                     wcs=pin.wcs, wave=pin.wave),
     )
-    dev, host = me.tglr(shd.PSF, shd.wfields, shd.profiles)
+    pin.step05_compute_TGLR(ncpu=1)
     np.testing.assert_allclose(
-        np.asarray(dev["cube_correl"]), ref.cube_correl.data,
+        pin.cube_correl.data, ref.cube_correl.data, atol=2e-3, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        pin.cube_local_max.data, ref.cube_local_max.data,
         atol=2e-3, rtol=1e-3,
     )
-    np.testing.assert_allclose(
-        np.asarray(dev["cube_local_max"]), ref.cube_local_max.data,
-        atol=2e-3, rtol=1e-3,
-    )
-    np.testing.assert_allclose(host["maxmap"], ref.maxmap.data, atol=2e-3,
+    np.testing.assert_allclose(pin.maxmap.data, ref.maxmap.data, atol=2e-3,
                                rtol=1e-3)
-    prof_same = np.mean(
-        np.asarray(dev["cube_profile"]) == ref.cube_profile.data
-    )
+    prof_same = np.mean(pin.cube_profile.data == ref.cube_profile.data)
     assert prof_same > 0.999, f"profile agreement {prof_same:.5f}"
+
+    pin.step06_compute_purity_threshold(purity=0.8)
+    assert pin.param["threshold"] == pytest.approx(thr, abs=0.02)
+    pin.step07_detection(threshold=thr, threshold_std=thr_std,
+                         segmap=seg_fn)
+    assert keyed(pin.Cat0) == keyed(ref.Cat0)
+    assert keyed(pin.Cat1) == keyed(ref.Cat1)
+
+    def tglr_by_position(cat):
+        order = np.lexsort((np.asarray(cat["z0"]), np.asarray(cat["y0"]),
+                            np.asarray(cat["x0"])))
+        return np.asarray(cat["T_GLR"], float)[order]
+
+    tg_ref = tglr_by_position(ref.Cat1)
+    tg_pin = tglr_by_position(pin.Cat1)
+    finite = np.isfinite(tg_ref)
+    np.testing.assert_allclose(tg_pin[finite], tg_ref[finite], atol=2e-3)
 
     # sharded resume: write the meshed session, re-load with mesh=, and
     # re-detect — MeshEngine.get must re-upload host products row-sharded
@@ -356,7 +358,7 @@ def test_session_mesh_full_pipeline(tmp_path):
     assert len(glob.glob(str(tmp_path / "meshed" / "sources"
                              / "source-*.fits"))) == nsrc
 
-    for orig in (ref, shd, res):
+    for orig in (ref, shd, pin, res):
         for h in orig.logger.handlers:
             h.close()
 
@@ -433,3 +435,141 @@ def test_mesh_engine_validation(tmp_path):
     for orig_ in (orig, orig2):
         for h in orig_.logger.handlers:
             h.close()
+
+
+def test_balance_slots_spreads_skewed_areas():
+    """LPT slot assignment: adjacent large areas must land on different
+    devices, and per-device pixel loads stay within 2x of each other."""
+    from origin_tpu.parallel.pca import balance_slots
+
+    # two huge areas first (label-adjacent), then many small ones
+    sizes = [4000, 3900] + [100] * 14
+    sp, m = 8, 2
+    slots = balance_slots(sizes, sp, m)
+    assert sorted(slots) == list(range(16))  # a permutation of the slots
+    devs = np.asarray(slots) // m
+    assert devs[0] != devs[1]  # the two big areas split across devices
+    loads = np.bincount(devs, weights=np.asarray(sizes), minlength=sp)
+    # label-order dealing would serialize both big areas on device 0
+    naive = np.bincount(np.arange(16) // m, weights=np.asarray(sizes),
+                        minlength=sp)
+    assert loads.max() < naive.max() / 1.9
+    # LPT bound: makespan within 4/3 of the trivial lower bound + one slot
+    lower = max(max(sizes), sum(sizes) / sp)
+    assert loads.max() <= 4 / 3 * lower + min(sizes)
+    # capacity respected
+    assert np.bincount(devs, minlength=sp).max() <= m
+
+
+def test_greedy_pca_mesh_many_skewed_areas():
+    """16 areas with heavily skewed sizes over 8 devices: the balanced
+    dispatch must still reproduce the sequential iteration trace exactly."""
+    from origin_tpu.ops.pca import greedy_pca_by_area
+    from origin_tpu.parallel import greedy_pca_mesh
+
+    rng = np.random.default_rng(11)
+    nz, ny, nx = 60, 32, 32
+    cube = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    # area 1: the whole left half; areas 2..16: small tiles on the right
+    areamap = np.zeros((ny, nx), int)
+    areamap[:, :16] = 1
+    label = 2
+    for by in range(0, 32, 8):
+        for bx in range(16, 32, 4):
+            areamap[by:by + 8, bx:bx + 4] = label
+            label += 1
+    nb = areamap.max()
+    sel = rng.choice(ny * nx, 120, replace=False)
+    cube.reshape(nz, -1)[:, sel] *= 4.0
+
+    o2 = np.mean(cube.astype(np.float64) ** 2, axis=0)
+    testO2, thr = [], []
+    for a in range(1, nb + 1):
+        t = o2[areamap == a]
+        testO2.append(t)
+        thr.append(np.percentile(t, 80))
+
+    f0, m0, s0 = greedy_pca_by_area(cube, areamap, thr, testO2)
+    mesh = make_mesh(8, dp=1)
+    fdev, m1, s1 = greedy_pca_mesh(mesh, jnp.asarray(cube), areamap, thr,
+                                   testO2)
+    assert s0 == s1
+    np.testing.assert_array_equal(m0, m1)
+    scale = np.abs(f0).max()
+    np.testing.assert_allclose(np.asarray(fdev), f0, atol=5e-3 * scale)
+    assert m0.max() >= 2  # the case must exercise real iterations
+
+
+def test_glr_tile_mosaic_pallas_matches_xla(problem):
+    """Mosaic (multi-field weighted FSF) x fused Pallas sweep inside
+    shard_map (interpret on CPU): matches the XLA mosaic tile path.
+
+    This is the combination real TPU mosaics run; check_vma=False is
+    forced there, so this parity test is its coverage."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from origin_tpu.core import MoffatFSF
+    from origin_tpu.ops.glr import pack_profiles_toeplitz, prepare_profiles
+    from origin_tpu.parallel.mesh import build_tile_spatial_op, glr_tile
+
+    cube, var, mask, psf, profiles = problem
+    nz, ny, nx = cube.shape
+    mesh = make_mesh(8, dp=1)
+    sp = mesh.shape["sp"]
+
+    psf2 = (
+        MoffatFSF(fwhm_pol=[0.8], beta_pol=[2.5], pixstep=0.2)
+        .get_3darray(np.linspace(5000, 9000, nz), (7, 7))
+        .astype(np.float32)
+    )
+    # overlapping weight maps (ramped seam), as FieldsMap would produce
+    ramp = np.clip((np.arange(nx) - nx / 2) / 6 + 0.5, 0, 1)
+    w2 = np.broadcast_to(ramp, (ny, nx)).astype(np.float32)
+    wtiles = np.stack([1.0 - w2, w2])
+
+    prepped = prepare_profiles(profiles)
+    t_num, t_den, pad_left, _ = pack_profiles_toeplitz(
+        prepped, block=min(128, nz)
+    )
+    ops, halo = [], 0
+    for pf in (psf, psf2):
+        op, h = build_tile_spatial_op(pf, ny // sp, nx)
+        ops.append(op)
+        halo = max(halo, h)
+
+    row = P(None, "sp", None)
+    img = P("sp", None)
+    rep = P()
+    op_spec = jax.tree.map(lambda _: rep, ops)
+    out_specs = (row, row, row, row, row, img, img)
+
+    def run(use_pallas):
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(row, row, op_spec, rep, rep, P(None, "sp", None)),
+            out_specs=out_specs,
+            check_vma=not use_pallas,
+        )
+        def prog(f, m, o, tn, td, wt):
+            return glr_tile(
+                f, m, o, tn, td, pad_left, nz, halo=halo, wtiles=wt,
+                use_pallas=use_pallas, sweep_interpret=use_pallas,
+            )
+
+        return jax.jit(prog)(
+            jnp.asarray(cube), jnp.asarray(mask),
+            jax.tree.map(jnp.asarray, ops),
+            jnp.asarray(t_num), jnp.asarray(t_den), jnp.asarray(wtiles),
+        )
+
+    ref = run(False)
+    out = run(True)
+    names = ("correl", "correl_min", "profile", "lmax", "lmin",
+             "maxmap", "minmap")
+    for name, a, b in zip(names, ref, out):
+        np.testing.assert_allclose(
+            np.asarray(b, dtype=np.float32), np.asarray(a, dtype=np.float32),
+            atol=1e-4, err_msg=name,
+        )
