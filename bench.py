@@ -33,76 +33,140 @@ BASELINE_MVOX_S = (NZ * NY * NX / 1e6) / 11.57
 E2E_TIMEBOX_S = 600
 
 
+def _run_session_steps(cube_fn, seg_fn, name, path):
+    from origin_tpu import ORIGIN
+
+    orig = ORIGIN.init(cube_fn, name=name, path=path, loglevel="ERROR")
+    steps = [
+        ("step01", lambda: orig.step01_preprocessing()),
+        ("step02", lambda: orig.step02_areas(minsize=30, maxsize=60)),
+        ("step03", lambda: orig.step03_compute_PCA_threshold()),
+        ("step04", lambda: orig.step04_compute_greedy_PCA()),
+        ("step05", lambda: orig.step05_compute_TGLR(ncpu=1)),
+        ("step06",
+         lambda: orig.step06_compute_purity_threshold(purity=0.8)),
+        ("step07", lambda: orig.step07_detection(segmap=seg_fn)),
+        ("step08", lambda: orig.step08_compute_spectra()),
+        ("step09", lambda: orig.step09_clean_results()),
+        ("step10", lambda: orig.step10_create_masks()),
+        # step11 owns the checkpoint (reference layout): its internal
+        # write joins the background materializations; the explicit write
+        # after it records the steady-state (all-parked) checkpoint cost
+        ("step11", lambda: orig.step11_save_sources("bench", n_jobs=1)),
+        ("write", lambda: orig.write()),
+    ]
+    times = {}
+    for sname, fn in steps:
+        t0 = time.perf_counter()
+        fn()
+        times[sname] = round(time.perf_counter() - t0, 3)
+    orig.close_logfile()
+    return times
+
+
+def _time_boxed(fn, seconds):
+    """Run fn() under a SIGALRM time box; None when it expires."""
+    import signal
+
+    def expired(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, expired)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except TimeoutError:
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def e2e_step_times():
     """Warm per-step wall times of the full pipeline on a small field.
 
     Runs the 11 steps (+ checkpoint write) twice on a 500x60x60 synthetic
     minicube and returns the second run's timings (compilation amortized by
-    the persistent cache / first run).  Returns None when disabled or when
-    the time box expires.
+    the persistent cache / first run); the second in-process session is
+    also the survey-mode warm-field measurement (shared compiled programs
+    and instrument-constant uploads).  A third, separately time-boxed run
+    forces the tight-memory mode (chunked GLR spatial stage, eager
+    offloads) so the code paths a full-size field takes on a small-HBM
+    chip are regression-guarded too.
+
+    Returns (warm_times, tight_times); each may be None when disabled or
+    when its time box expires.
     """
     if os.environ.get("BENCH_SKIP_E2E"):
-        return None
+        return None, None
     # pin the memory mode so the per-step numbers stay comparable across
     # rounds on backends that report no memory limit (unknown limit means
     # tight mode): the minicube working set is ~200 MB, so a 2 GB budget
     # holds on any accelerator
     os.environ.setdefault("ORIGIN_TPU_HBM_BYTES", "2e9")
     import shutil
-    import signal
     import tempfile
 
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
     )
     from make_minicube import make_minicube, make_segmap
-    from origin_tpu import ORIGIN
 
-    def expired(signum, frame):
-        raise TimeoutError
-
-    old = signal.signal(signal.SIGALRM, expired)
-    signal.alarm(E2E_TIMEBOX_S)
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
-    times = None
+    times = tight = None
     try:
         cube_fn = os.path.join(tmp, "minicube.fits")
         seg_fn = os.path.join(tmp, "segmap.fits")
         make_minicube(cube_fn)
         make_segmap(seg_fn)
-        for run in range(2):
-            orig = ORIGIN.init(cube_fn, name=f"b{run}", path=tmp,
-                               loglevel="ERROR")
-            steps = [
-                ("step01", lambda: orig.step01_preprocessing()),
-                ("step02", lambda: orig.step02_areas(minsize=30,
-                                                     maxsize=60)),
-                ("step03", lambda: orig.step03_compute_PCA_threshold()),
-                ("step04", lambda: orig.step04_compute_greedy_PCA()),
-                ("step05", lambda: orig.step05_compute_TGLR(ncpu=1)),
-                ("step06",
-                 lambda: orig.step06_compute_purity_threshold(purity=0.8)),
-                ("step07", lambda: orig.step07_detection(segmap=seg_fn)),
-                ("step08", lambda: orig.step08_compute_spectra()),
-                ("step09", lambda: orig.step09_clean_results()),
-                ("step10", lambda: orig.step10_create_masks()),
-                ("write", lambda: orig.write()),
-                ("step11",
-                 lambda: orig.step11_save_sources("bench", n_jobs=1)),
-            ]
-            times = {}
-            for name, fn in steps:
-                t0 = time.perf_counter()
-                fn()
-                times[name] = round(time.perf_counter() - t0, 3)
-            orig.close_logfile()
-    except TimeoutError:
-        times = None
+
+        def normal_runs():
+            out = None
+            for run in range(2):
+                out = _run_session_steps(cube_fn, seg_fn, f"b{run}", tmp)
+            return out
+
+        times = _time_boxed(normal_runs, E2E_TIMEBOX_S)
+
+        def tight_run():
+            saved = os.environ.get("ORIGIN_TPU_HBM_BYTES")
+            # a budget below the ~24-cube headroom forces tight mode
+            os.environ["ORIGIN_TPU_HBM_BYTES"] = "2e8"
+            try:
+                return _run_session_steps(cube_fn, seg_fn, "btight", tmp)
+            finally:
+                os.environ["ORIGIN_TPU_HBM_BYTES"] = saved
+
+        if times is not None:
+            tight = _time_boxed(tight_run, E2E_TIMEBOX_S)
     finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
         shutil.rmtree(tmp, ignore_errors=True)
-    return times
+    return times, tight
+
+
+def link_bandwidth(mbytes=32):
+    """Measured host<->device link bandwidth (MB/s), both directions.
+
+    Grounds the transfer-bound rows of the per-step records: on a dev
+    tunnel this is single-digit-to-tens MB/s, on a real TPU-VM it is
+    PCIe-class — the recorded number makes the extrapolation checkable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = int(mbytes * 1e6) // 4
+    host = np.zeros(n, dtype=np.float32)
+    dev = None
+    h2d = d2h = 0.0
+    for _ in range(2):  # second pass: warm programs/allocator
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        float(dev[0])  # data-dependent fetch: the upload has completed
+        h2d = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        d2h = time.perf_counter() - t0
+    return round(mbytes / max(h2d, 1e-9), 1), round(mbytes / max(d2h, 1e-9), 1)
 
 
 def main():
@@ -136,9 +200,14 @@ def main():
     lbda = 4750.0 + 1.25 * np.arange(NZ)
     psf = fsf.get_3darray(lbda, (25, 25)).astype(np.float32)
     profiles = [gaussian_profile(f) for f in (2.0, 6.736842105263158, 12.0)]
+    # the 20-profile default dictionary (Dico_FWHM_2_12): same geometry the
+    # reference scales linearly in (docs/usage.rst:138-141)
+    profiles20 = [gaussian_profile(f) for f in np.linspace(2.0, 12.0, 20)]
 
     prepped = prepare_profiles(profiles)
     t_num, t_den, pad_left, _ = pack_profiles_toeplitz(prepped)
+    prepped20 = prepare_profiles(profiles20)
+    t_num20, t_den20, pad_left20, _ = pack_profiles_toeplitz(prepped20)
     fshape2 = fft2_shape((NY, NX), (25, 25))
 
     # instrument-model preprocessing (FSF spectra, norm cube, DFT factor
@@ -162,7 +231,7 @@ def main():
 
     use_pallas = DeviceEngine._use_pallas()
 
-    def make_step05(prec):
+    def make_step05(prec, pad_left=pad_left):
         if use_pallas:
             from origin_tpu.ops.pallas_sweep import toeplitz_sweep_pallas
 
@@ -233,10 +302,11 @@ def main():
         jnp.asarray(t_den),
         jnp.asarray(mask),
     )
+    args20 = args[:4] + (jnp.asarray(t_num20), jnp.asarray(t_den20), args[6])
 
     n_iter = int(os.environ.get("BENCH_ITERS", "4"))
 
-    def measure(step05):
+    def measure(step05, args=args):
         fn_n = chained(step05, n_iter)
         fn_0 = chained(step05, 0)
         float(fn_n(*args))  # compile + warmup
@@ -267,11 +337,29 @@ def main():
         bf = measure(make_step05("bf16x3"))
         record["value_bf16x3"] = round(bf, 2)
         record["vs_baseline_bf16x3"] = round(bf / BASELINE_MVOX_S, 2)
-    steps = e2e_step_times()
+    # the 20-profile default dictionary (the reference scales linearly in
+    # K, docs/usage.rst:138-141 — its baseline would be ~0.95 Mvox/s)
+    k20 = measure(make_step05(DeviceEngine._pallas_precision(),
+                              pad_left=pad_left20), args20)
+    record["value_k20"] = round(k20, 2)
+
+    # measured host<->device bandwidth: grounds every transfer-bound row
+    h2d, d2h = link_bandwidth()
+    record["link_h2d_MBps"] = h2d
+    record["link_d2h_MBps"] = d2h
+
+    steps, tight = e2e_step_times()
     if steps is not None:
         record["steps"] = steps
         record["steps_total"] = round(sum(steps.values()), 2)
-        record["steps_field"] = "500x60x60 synthetic minicube, warm run"
+        record["steps_field"] = (
+            "500x60x60 synthetic minicube, warm run (2nd in-process "
+            "session = survey-mode warm field; step11 includes the "
+            "session write)"
+        )
+    if tight is not None:
+        record["steps_tight"] = tight
+        record["steps_tight_total"] = round(sum(tight.values()), 2)
     print(json.dumps(record))
 
 

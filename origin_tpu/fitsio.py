@@ -545,8 +545,9 @@ def _header_bytes(hdr, primary, data, xtension=None):
 
 
 def _data_bytes(data):
+    """Return (payload, padding) buffers for one image HDU's data unit."""
     if data is None:
-        return b""
+        return b"", b""
     dt = data.dtype
     if dt.name == "int8":
         data = data.astype("int16")
@@ -563,9 +564,15 @@ def _data_bytes(data):
         data = data.astype("int64")
         dt = data.dtype
     bitpix = _DTYPE_TO_BITPIX[dt.name]
-    out = np.ascontiguousarray(data.astype(_BITPIX_TO_DTYPE[bitpix])).tobytes()
-    pad = (-len(out)) % BLOCK
-    return out + b"\0" * pad
+    target = _BITPIX_TO_DTYPE[bitpix]
+    # exactly one copy in the common case (the big-endian byteswap); the
+    # array itself is handed to the writer as a zero-copy memoryview —
+    # cube-sized products make .tobytes()/join() round-trips expensive
+    if dt != target:
+        data = data.astype(target)
+    data = np.ascontiguousarray(data)
+    pad = (-data.nbytes) % BLOCK
+    return memoryview(data).cast("B"), b"\0" * pad
 
 
 def write(filename, hdus, overwrite=True):
@@ -600,10 +607,16 @@ def write(filename, hdus, overwrite=True):
                 data = np.asarray(data)
             parts.append(_header_bytes(hdu.header, primary, data,
                                        xtension="IMAGE"))
-            parts.append(_data_bytes(data))
+            payload, padding = _data_bytes(data)
+            parts.append(payload)
+            parts.append(padding)
     tmp = filename + ".tmp"
+    # stream the parts: image payloads are zero-copy array views, and a
+    # join() would re-copy every cube-sized buffer
     with open(tmp, "wb") as fh:
-        fh.write(b"".join(parts))
+        for part in parts:
+            if len(part):
+                fh.write(part)
     os.replace(tmp, filename)
 
 

@@ -215,8 +215,13 @@ class DeferredCube(Cube):
         only the requested window instead of materializing the full cube.
         Uses ``dynamic_slice`` so every same-size window shares one
         compiled program (start offsets are traced, not baked in).
+
+        When a full-cube background materialization is already in flight
+        (or the cube is host-rebuildable), joining it beats issuing device
+        slices that would queue behind the bulk transfer on the link.
         """
-        if self._host is not None or self._dev is None:
+        if (self._host is not None or self._dev is None
+                or self._future is not None or self._fetch is not None):
             return super()._region(zsl, ysl, xsl)
         if any(
             isinstance(sl, slice) and sl.step not in (None, 1)
@@ -540,6 +545,7 @@ class DeviceEngine:
     def __init__(self, orig):
         self.orig = orig
         self._inputs = {}
+        self._inputs_future = None
         self._mini_cache = {}
         self._tight = None
         # decide the memory mode NOW, before pipeline state accumulates,
@@ -547,19 +553,54 @@ class DeviceEngine:
         _ = self.tight_memory
 
     # -- inputs ------------------------------------------------------------
+    def _put_cube(self):
+        return jnp.asarray(self.orig.cube_raw, jnp.float32)
+
+    def _put_var(self):
+        return jnp.asarray(self.orig.var, jnp.float32)
+
+    def _put_mask(self):
+        return jnp.asarray(self.orig.mask)
+
+    def prefetch_inputs(self):
+        """Start uploading the raw cube / variance / mask in the background.
+
+        Called at session construction so the (large) host-to-device
+        transfers overlap the rest of the init work (FSF build, white
+        image); step 01 then just joins them.
+        """
+        if self._inputs_future is None and "cube" not in self._inputs:
+            self._inputs_future = _copy_pool().submit(
+                lambda: (self._put_cube(), self._put_var(), self._put_mask())
+            )
+
+    def _join_inputs(self):
+        fut, self._inputs_future = self._inputs_future, None
+        if fut is not None:
+            cube, var, mask = fut.result()
+            self._inputs.setdefault("cube", cube)
+            self._inputs.setdefault("var", var)
+            self._inputs.setdefault("mask", mask)
+
     def input_cube(self):
         if "cube" not in self._inputs:
-            self._inputs["cube"] = jnp.asarray(self.orig.cube_raw, jnp.float32)
+            self._join_inputs()
+        if "cube" not in self._inputs:
+            self._inputs["cube"] = self._put_cube()
         return self._inputs["cube"]
 
     def input_var(self):
         if "var" not in self._inputs:
-            self._inputs["var"] = jnp.asarray(self.orig.var, jnp.float32)
+            self._join_inputs()
+        if "var" not in self._inputs:
+            self._inputs["var"] = self._put_var()
         return self._inputs["var"]
 
     def input_mask(self):
         if "mask" not in self._inputs:
-            self._inputs["mask"] = jnp.asarray(self.orig.mask)
+            self._join_inputs()
+        if "mask" not in self._inputs:
+            self._inputs["mask"] = self._put_mask()
         return self._inputs["mask"]
 
     def drop_inputs(self, *names):
@@ -1082,26 +1123,18 @@ class MeshEngine(DeviceEngine):
         super().__init__(orig)
 
     # -- inputs: device_put row-sharded -------------------------------------
-    def input_cube(self):
-        if "cube" not in self._inputs:
-            self._inputs["cube"] = jax.device_put(
-                np.asarray(self.orig.cube_raw, np.float32), self._row
-            )
-        return self._inputs["cube"]
+    def _put_cube(self):
+        return jax.device_put(
+            np.asarray(self.orig.cube_raw, np.float32), self._row
+        )
 
-    def input_var(self):
-        if "var" not in self._inputs:
-            self._inputs["var"] = jax.device_put(
-                np.asarray(self.orig.var, np.float32), self._row
-            )
-        return self._inputs["var"]
+    def _put_var(self):
+        return jax.device_put(
+            np.asarray(self.orig.var, np.float32), self._row
+        )
 
-    def input_mask(self):
-        if "mask" not in self._inputs:
-            self._inputs["mask"] = jax.device_put(
-                np.asarray(self.orig.mask), self._row
-            )
-        return self._inputs["mask"]
+    def _put_mask(self):
+        return jax.device_put(np.asarray(self.orig.mask), self._row)
 
     def get(self, name):
         """Device array for a session product, row-sharded on (re-)upload."""

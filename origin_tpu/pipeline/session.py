@@ -136,6 +136,8 @@ class ORIGIN(PlotMixin):
             for pname in step.store.names():
                 self._product_owner[pname] = step
 
+        fresh_session = param is None
+
         self.logger.info("Read the Data Cube %s", filename)
         self.param["cubename"] = filename
         self.cube = Cube(filename)
@@ -143,6 +145,19 @@ class ORIGIN(PlotMixin):
 
         self.wcs = self.cube.wcs
         self.wave = self.cube.wave
+
+        if fresh_session:
+            # a fresh session is about to run step 01: start the (large)
+            # input uploads now so they stream behind the remaining init
+            # work (FSF build, white image).  Restored sessions skip this
+            # — status/info inspection must not touch the device.  A bad
+            # session mesh surfaces here (fail fast), after releasing the
+            # just-opened logfile.
+            try:
+                self.engine.prefetch_inputs()
+            except Exception:
+                self.close_logfile()
+                raise
 
         if profiles is None:
             profiles = default_dictionary_path()

@@ -738,14 +738,6 @@ class CleanResults(Step):
         nmerged = int(np.sum(np.asarray(lines["merged_in"]) != -9999))
         if nmerged:
             self.logger.info("%d lines were merged into nearby lines", nmerged)
-        # every cube-sized product is final now and the remaining steps
-        # (masks, source files) are host-dominated: start ALL background
-        # materializations here so the checkpoint write just joins them.
-        # Plain downloads first — cube_faint's host rebuild joins cube_std.
-        orig.engine.prefetch(
-            "cube_std", "cube_correl", "cont_dct", "cube_correl_min",
-            "cube_profile", "cube_faint",
-        )
 
 
 class CreateMasks(Step):
@@ -824,6 +816,19 @@ class SaveSources(Step):
             shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
 
+        # every cube-sized product is final and step 10 issued its last
+        # device programs: start ALL background materializations now, so
+        # they stream behind this step's (host-dominated) source building
+        # and the checkpoint write at the end just joins them.  Plain
+        # downloads first — cube_faint's host rebuild joins cube_std.
+        # correl first (the per-source cutouts below join it), then std
+        # (cube_faint's rebuild and comp=1 cutouts join it), diagnostics
+        # last
+        orig.engine.prefetch(
+            "cube_correl", "cube_std", "cont_dct", "cube_correl_min",
+            "cube_profile", "cube_faint",
+        )
+
         # hold references to the live products BEFORE the checkpoint parks
         # them: the source builder then consumes them in memory instead of
         # re-reading the freshly written session from disk (the reference
@@ -832,9 +837,6 @@ class SaveSources(Step):
         cube_std = orig.cube_std
         spectra = orig.spectra
         segmaps = {"LABEL": orig.segmap_label, "MERGED": orig.segmap_merged}
-
-        # the source files reference the dumped products
-        orig.write()
 
         create_all_sources(
             cat3_sources=orig.Cat3_sources,
@@ -858,6 +860,12 @@ class SaveSources(Step):
             cube_cor=cube_cor,
             cube_std=cube_std,
         )
+
+        # checkpoint the session the sources reference (the reference
+        # writes first, source_creation.py:439; writing LAST is
+        # equivalent on disk and lets the transfers overlap the source
+        # building above)
+        orig.write()
 
 
 STEPS = [

@@ -420,21 +420,17 @@ def test_mesh_engine_validation(tmp_path):
     cube_fn = str(tmp_path / "m.fits")
     make_minicube(cube_fn, nz=80, ny=30, nx=24)
 
+    # a bad mesh now fails FAST, at session construction (the fresh-init
+    # input prefetch instantiates the engine)
     # Ny=30 does not divide over 8 shards
-    orig = ORIGIN.init(cube_fn, name="bad1", path=str(tmp_path),
-                       loglevel="ERROR", mesh=make_mesh(8, dp=1))
     with pytest.raises(ValueError, match="divide"):
-        orig.engine
+        ORIGIN.init(cube_fn, name="bad1", path=str(tmp_path),
+                    loglevel="ERROR", mesh=make_mesh(8, dp=1))
 
     # dp > 1 meshes are for batch fleets, not sessions
-    orig2 = ORIGIN.init(cube_fn, name="bad2", path=str(tmp_path),
-                        loglevel="ERROR", mesh=make_mesh(8, dp=2))
     with pytest.raises(ValueError, match="dp batches"):
-        orig2.engine
-
-    for orig_ in (orig, orig2):
-        for h in orig_.logger.handlers:
-            h.close()
+        ORIGIN.init(cube_fn, name="bad2", path=str(tmp_path),
+                    loglevel="ERROR", mesh=make_mesh(8, dp=2))
 
 
 def test_balance_slots_spreads_skewed_areas():

@@ -149,11 +149,14 @@ def _run_pipeline(args, cube_fn, run):
         ("step08", lambda: orig.step08_compute_spectra()),
         ("step09", lambda: orig.step09_clean_results()),
         ("step10", lambda: orig.step10_create_masks()),
-        # checkpoint write (step11 forces it; timing it separately
-        # attributes the device->host materialization honestly)
-        ("write", lambda: orig.write()),
+        # step11 owns the session checkpoint (like the reference notebook,
+        # whose 61.4 s total includes step11's internal write); the
+        # device->host materializations stream behind its source building.
         ("step11", lambda: orig.step11_save_sources(version="0.1",
                                                     n_jobs=1)),
+        # a second write after step11 shows the steady-state checkpoint
+        # cost (everything already parked)
+        ("write", lambda: orig.write()),
     ]
 
     times = {}
