@@ -331,6 +331,16 @@ def _count_above(arr, threshold):
 
 
 @jax.jit
+def _derive_inputs(raw, var_raw):
+    """Zero-filled cube, inf-filled variance and NaN mask from the raw
+    uploads (bit-equal to the host-side filled()/var_filled() views)."""
+    mask = ~jnp.isfinite(raw)
+    cube = jnp.where(mask, 0.0, raw)
+    var = jnp.where(jnp.isfinite(var_raw), var_raw, jnp.inf)
+    return cube, var, mask
+
+
+@jax.jit
 def _std_jit(arr):
     return jnp.std(arr)
 
@@ -562,45 +572,62 @@ class DeviceEngine:
     def _put_mask(self):
         return jnp.asarray(self.orig.mask)
 
+    def _put_raw(self, arr):
+        return jnp.asarray(arr)
+
+    def _upload_inputs(self):
+        """(cube, var, mask) device arrays with minimal upload traffic.
+
+        The mask is the raw data's non-finite pattern (NaN-masked voxels),
+        so uploading the UNFILLED data + variance and deriving
+        zero-filled / inf-filled / mask on device saves the mask upload
+        entirely (and the host-side filled copies).  Sessions with an
+        explicit mask extension fall back to the three-array path.
+        """
+        c = getattr(self.orig, "cube", None)
+        if c is None or c.mask is not None:
+            # no raw container (engine unit tests) or an explicit mask
+            # extension: upload the three host views directly
+            return self._put_cube(), self._put_var(), self._put_mask()
+        raw = self._put_raw(np.asarray(c.data, np.float32))
+        if c.var is not None:
+            var_raw = self._put_raw(np.asarray(c.var, np.float32))
+        else:
+            var_raw = jnp.ones(c.data.shape, jnp.float32)
+        return _derive_inputs(raw, var_raw)
+
     def prefetch_inputs(self):
-        """Start uploading the raw cube / variance / mask in the background.
+        """Start uploading the raw cube / variance in the background.
 
         Called at session construction so the (large) host-to-device
         transfers overlap the rest of the init work (FSF build, white
         image); step 01 then just joins them.
         """
         if self._inputs_future is None and "cube" not in self._inputs:
-            self._inputs_future = _copy_pool().submit(
-                lambda: (self._put_cube(), self._put_var(), self._put_mask())
-            )
+            self._inputs_future = _copy_pool().submit(self._upload_inputs)
 
-    def _join_inputs(self):
+    def _ensure_inputs(self, name):
+        if name in self._inputs:
+            return
         fut, self._inputs_future = self._inputs_future, None
-        if fut is not None:
+        if fut is None:
+            cube, var, mask = self._upload_inputs()
+        else:
             cube, var, mask = fut.result()
-            self._inputs.setdefault("cube", cube)
-            self._inputs.setdefault("var", var)
-            self._inputs.setdefault("mask", mask)
+        self._inputs.setdefault("cube", cube)
+        self._inputs.setdefault("var", var)
+        self._inputs.setdefault("mask", mask)
 
     def input_cube(self):
-        if "cube" not in self._inputs:
-            self._join_inputs()
-        if "cube" not in self._inputs:
-            self._inputs["cube"] = self._put_cube()
+        self._ensure_inputs("cube")
         return self._inputs["cube"]
 
     def input_var(self):
-        if "var" not in self._inputs:
-            self._join_inputs()
-        if "var" not in self._inputs:
-            self._inputs["var"] = self._put_var()
+        self._ensure_inputs("var")
         return self._inputs["var"]
 
     def input_mask(self):
-        if "mask" not in self._inputs:
-            self._join_inputs()
-        if "mask" not in self._inputs:
-            self._inputs["mask"] = self._put_mask()
+        self._ensure_inputs("mask")
         return self._inputs["mask"]
 
     def drop_inputs(self, *names):
@@ -1135,6 +1162,9 @@ class MeshEngine(DeviceEngine):
 
     def _put_mask(self):
         return jax.device_put(np.asarray(self.orig.mask), self._row)
+
+    def _put_raw(self, arr):
+        return jax.device_put(arr, self._row)
 
     def get(self, name):
         """Device array for a session product, row-sharded on (re-)upload."""

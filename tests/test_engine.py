@@ -457,3 +457,28 @@ def test_detections_above_pair_asymmetric_counts(problem):
     np.testing.assert_array_equal(z1, ez)
     np.testing.assert_array_equal(x1, ex)
     assert len(z2) == 1 and (z2[0], y2[0], x2[0]) == (5, 5, 5)
+
+
+def test_derived_inputs_match_host_views(tmp_path):
+    """Uploading raw (NaN-carrying) data + variance and deriving the
+    zero-filled cube / inf-filled variance / mask on device must be
+    bit-equal to the host-side filled views."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_minicube import make_minicube
+
+    from origin_tpu import ORIGIN
+
+    cube_fn = str(tmp_path / "c.fits")
+    make_minicube(cube_fn, nz=60, ny=16, nx=16)  # includes NaN voxels
+    orig = ORIGIN.init(cube_fn, name="d", path=str(tmp_path),
+                       loglevel="ERROR")
+    eng = orig.engine
+    assert orig.mask.any()  # the case must exercise masked voxels
+    np.testing.assert_array_equal(np.asarray(eng.input_cube()),
+                                  orig.cube_raw)
+    np.testing.assert_array_equal(np.asarray(eng.input_var()), orig.var)
+    np.testing.assert_array_equal(np.asarray(eng.input_mask()), orig.mask)
+    orig.close_logfile()
