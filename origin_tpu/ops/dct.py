@@ -37,8 +37,9 @@ def dctmat(nl, order, dtype=np.float32):
     return d0.astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("order", "approx"))
-def dct_residual(w_raw, order, var=None, approx=False, mask=None):
+@partial(jax.jit, static_argnames=("order", "approx", "with_coef"))
+def dct_residual(w_raw, order, var=None, approx=False, mask=None,
+                 with_coef=False):
     """Continuum cube estimated by a low-order DCT fit.
 
     Parameters
@@ -55,10 +56,15 @@ def dct_residual(w_raw, order, var=None, approx=False, mask=None):
     mask : (Nz, Ny, Nx) bool array or None
         True where voxels are invalid; spaxels with any invalid voxel use the
         unweighted projection.
+    with_coef : bool
+        Also return the (order+1, Ny, Nx) basis coefficients.  They are
+        tiny (~k/Nz of the cube) and let a host rebuild the continuum as
+        ``D @ coef`` instead of transferring the full cube.
 
     Returns
     -------
-    (Nz, Ny, Nx) array: the continuum.
+    (Nz, Ny, Nx) array: the continuum; with ``with_coef``, the tuple
+    ``(continuum, coefficients)``.
     """
     nl = w_raw.shape[0]
     d0 = jnp.asarray(dctmat(nl, order), dtype=w_raw.dtype)
@@ -66,7 +72,8 @@ def dct_residual(w_raw, order, var=None, approx=False, mask=None):
 
     if approx or var is None:
         coef = jnp.einsum("zi,zyx->iyx", d0, w_raw, precision=hi)
-        return jnp.einsum("zi,iyx->zyx", d0, coef, precision=hi)
+        cont = jnp.einsum("zi,iyx->zyx", d0, coef, precision=hi)
+        return (cont, coef) if with_coef else cont
 
     ivar = 1.0 / var
     if mask is not None:
@@ -84,4 +91,7 @@ def dct_residual(w_raw, order, var=None, approx=False, mask=None):
     coef = jax.scipy.linalg.cho_solve(
         (jnp.linalg.cholesky(a), True), b[..., None]
     )[..., 0]
-    return jnp.einsum("zi,yxi->zyx", d0, coef, precision=hi)
+    cont = jnp.einsum("zi,yxi->zyx", d0, coef, precision=hi)
+    if with_coef:
+        return cont, jnp.moveaxis(coef, -1, 0)
+    return cont

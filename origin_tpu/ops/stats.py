@@ -7,6 +7,8 @@ fit) that the reference performs with astropy (lib_origin.py:957-1024).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,8 +35,8 @@ def o2test(arr):
     return jnp.mean(arr * arr, axis=0)
 
 
-@jax.jit
-def standardize(cube_raw, cont, var, mask):
+@partial(jax.jit, static_argnames=("with_mean",))
+def standardize(cube_raw, cont, var, mask, with_mean=False):
     """Continuum-subtracted, mean-removed, noise-whitened cube.
 
     Reproduces the preprocessing math of reference steps.py:430-446:
@@ -44,7 +46,9 @@ def standardize(cube_raw, cont, var, mask):
         data /= sqrt(var);  data[mask] = 0
         cont_std = cont / sqrt(var)
 
-    Returns (cube_std, cont_std).
+    Returns (cube_std, cont_std); with ``with_mean``, also the (Nz,)
+    per-channel background levels (they let a host rebuild the
+    standardized cube from the raw data + continuum coefficients).
     """
     good = ~mask
     data = cube_raw - cont
@@ -55,6 +59,8 @@ def standardize(cube_raw, cont, var, mask):
     data = jnp.where(good & jnp.isfinite(data), data, 0.0)
     cont_std = cont / std
     cont_std = jnp.where(jnp.isfinite(cont_std), cont_std, 0.0)
+    if with_mean:
+        return data, cont_std, mean_z
     return data, cont_std
 
 

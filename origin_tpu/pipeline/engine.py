@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from .. import fitsio
 from ..core.containers import Cube
 from ..ops import compute_local_max, o2test, standardize
-from ..ops.dct import dct_residual
+from ..ops.dct import dct_residual, dctmat
 from ..ops.convolve import fft2_shape
 from ..ops.glr import (
     dft_spatial_factors,
@@ -313,8 +313,10 @@ def _preprocess_fused(cube, var, mask, order, approx, size, diag_bf16):
     and its transfer at session write time; bfloat16 keeps float32's range
     so bright continua cannot overflow like float16 would.
     """
-    cont = dct_residual(cube, order, var=var, approx=approx, mask=mask)
-    data, cont_std = standardize(cube, cont, var, mask)
+    cont, coef = dct_residual(cube, order, var=var, approx=approx, mask=mask,
+                              with_coef=True)
+    data, cont_std, mean_z = standardize(cube, cont, var, mask,
+                                         with_mean=True)
     lmax, lmin = compute_local_max(data, data, mask, size)
     ima_std = jnp.mean(data, axis=0)
     ima_dct = jnp.mean(cont_std, axis=0)
@@ -322,7 +324,8 @@ def _preprocess_fused(cube, var, mask, order, approx, size, diag_bf16):
     cont_sumsq = jnp.sum(cont_std * cont_std, axis=0)
     if diag_bf16:
         cont_std = cont_std.astype(jnp.bfloat16)
-    return data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq
+    return (data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq,
+            coef, mean_z)
 
 
 @jax.jit
@@ -768,28 +771,75 @@ class DeviceEngine:
     def preprocess(self, dct_order=10, dct_approx=False, local_max_size=3):
         """Fused DCT + standardization + std local extrema.
 
-        Returns (device dict, host dict): cube-sized products stay on
-        device; the 2-D images come back as numpy.
+        Returns (device dict, host dict, fetch dict): cube-sized products
+        stay on device; the 2-D images come back as numpy; the fetch dict
+        maps product names to host-rebuild callables (see
+        :meth:`_make_std_fetches`).
         """
         out = _preprocess_fused(
             self.input_cube(), self.input_var(), self.input_mask(),
             dct_order, dct_approx, local_max_size, self._diag_bf16(),
         )
-        data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq = out
+        (data, cont_std, lmax, lmin, ima_std, ima_dct, o2, cont_sumsq,
+         coef, mean_z) = out
         dev = dict(cube_std=data, cont_dct=cont_std,
                    cube_std_local_max=lmax, cube_std_local_min=lmin)
         # one batched transfer for the 2-D products (a high-latency host
-        # link pays per-fetch round-trips otherwise)
-        ima_std, ima_dct, o2, cont_sumsq = jax.device_get(
-            (ima_std, ima_dct, o2, cont_sumsq)
+        # link pays per-fetch round-trips otherwise); the DCT coefficients
+        # and channel means ride along (~(order+1)/Nz of a cube)
+        ima_std, ima_dct, o2, cont_sumsq, coef, mean_z = jax.device_get(
+            (ima_std, ima_dct, o2, cont_sumsq, coef, mean_z)
         )
         host = dict(ima_std=ima_std, ima_dct=ima_dct, o2=o2,
                     cont_sumsq=cont_sumsq)
+        fetches = self._make_std_fetches(coef, mean_z, dct_order)
         # the raw cube / variance are needed again by the line-estimation
         # minicube gather (step 08); keep them resident unless HBM is tight
         if self.tight_memory:
             self.drop_inputs("cube", "var")
-        return dev, host
+        return dev, host, fetches
+
+    def _make_std_fetches(self, coef, mean_z, order):
+        """Host rebuilds of cube_std / cont_dct from the DCT coefficients.
+
+        The (order+1, Ny, Nx) basis coefficients plus the (Nz,) channel
+        means are ~(order+1)/Nz of a cube; together with the raw data
+        already in host RAM they determine both products exactly (same
+        math as :func:`_preprocess_fused`), so session ``write()``
+        re-derives them with one host matmul instead of transferring ~1.5
+        cubes over the link.  Agreement with the device arrays is f32
+        matmul round-off (~1e-6 relative); the rebuilt cont_dct skips the
+        device's bfloat16 diagnostics storage, so the written file is the
+        full-precision continuum.  Sessions without host raw-data views
+        (bare-engine use) get no fetches and fall back to the download.
+        """
+        orig = self.orig
+        if getattr(orig, "cube", None) is None:
+            return {}
+        nz = orig.shape[0]
+        mean_z = np.asarray(mean_z, np.float32)
+
+        def _cont():
+            d0 = dctmat(nz, order, dtype=np.float32)
+            return np.tensordot(d0, np.asarray(coef, np.float32),
+                                axes=([1], [0]))
+
+        def fetch_cont_dct():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cont_std = _cont() / np.sqrt(orig.var)
+            np.nan_to_num(cont_std, copy=False, posinf=0.0, neginf=0.0)
+            return cont_std
+
+        def fetch_cube_std():
+            data = orig.cube_raw - _cont()
+            data -= mean_z[:, None, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                data /= np.sqrt(orig.var)
+            bad = np.asarray(orig.mask) | ~np.isfinite(data)
+            data[bad] = 0.0
+            return data
+
+        return dict(cube_std=fetch_cube_std, cont_dct=fetch_cont_dct)
 
     # -- step 04 -----------------------------------------------------------
     def greedy_pca_by_area(self, areamap, thresholds, testO2,

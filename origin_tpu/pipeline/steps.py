@@ -244,11 +244,12 @@ class Preprocessing(Step):
                 orig.shape[0], dct_order + 1,
             )
         info("DCT + standardization + local extrema (fused on device)")
-        dev, host = orig.engine.preprocess(dct_order, dct_approx,
-                                           local_max_size)
+        dev, host, fetches = orig.engine.preprocess(dct_order, dct_approx,
+                                                    local_max_size)
 
         info("cube_std / ima_std ready (standardized signal)")
-        self.store_cube_dev("cube_std", dev["cube_std"])
+        self.store_cube_dev("cube_std", dev["cube_std"],
+                            fetch=fetches.get("cube_std"))
         self.store_image("ima_std", host["ima_std"])
 
         info("cube_std_local_max / cube_std_local_min ready (std extrema)")
@@ -258,7 +259,8 @@ class Preprocessing(Step):
                             sparse=True)
 
         info("cont_dct / ima_dct ready (DCT continuum)")
-        self.store_cube_dev("cont_dct", dev["cont_dct"], post=_host_f32)
+        self.store_cube_dev("cont_dct", dev["cont_dct"], post=_host_f32,
+                            fetch=fetches.get("cont_dct"))
         self.store_image("ima_dct", host["ima_dct"])
 
         mean_fwhm = int(np.ceil(np.mean(orig.FWHM_PSF)))

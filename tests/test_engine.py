@@ -482,3 +482,38 @@ def test_derived_inputs_match_host_views(tmp_path):
     np.testing.assert_array_equal(np.asarray(eng.input_var()), orig.var)
     np.testing.assert_array_equal(np.asarray(eng.input_mask()), orig.mask)
     orig.close_logfile()
+
+
+def test_std_host_rebuild_matches_device(tmp_path):
+    """cube_std / cont_dct materialized via the host rebuild (raw data +
+    DCT coefficients + channel means) must match the device arrays to f32
+    matmul round-off, and nothing cube-sized may cross the link."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_minicube import make_minicube
+
+    from origin_tpu import ORIGIN
+
+    cube_fn = str(tmp_path / "c.fits")
+    make_minicube(cube_fn, nz=80, ny=20, nx=18)  # includes NaN voxels
+    orig = ORIGIN.init(cube_fn, name="r", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing(dct_order=6)
+    std_obj, dct_obj = orig.cube_std, orig.cont_dct
+    assert std_obj._fetch is not None and dct_obj._fetch is not None
+    # device truth, captured before materialization frees the handles
+    dev_std = np.asarray(std_obj.device)
+    dev_dct = np.asarray(dct_obj.device, dtype=np.float32)
+    host_std = std_obj.data  # triggers the rebuild
+    host_dct = dct_obj.data
+    assert host_std.dtype == np.float32
+    scale = max(1.0, float(np.abs(dev_std).max()))
+    np.testing.assert_allclose(host_std, dev_std, atol=2e-5 * scale)
+    # the rebuilt continuum is full f32; the device copy is bf16 storage
+    scale = max(1.0, float(np.abs(dev_dct).max()))
+    np.testing.assert_allclose(host_dct, dev_dct, atol=1e-2 * scale)
+    # masked voxels stay exactly zero in the rebuild, as on device
+    assert (host_std[orig.mask] == 0).all()
+    orig.close_logfile()
