@@ -90,25 +90,54 @@ def device_memory_fits(nbytes, device=None):
     return False
 
 
+def _make_pool(attr, workers, prefix):
+    global _POOLS
+    pool = _POOLS.get(attr)
+    if pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = _POOLS[attr] = ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix=prefix
+        )
+    return pool
+
+
 def _copy_pool():
-    """Shared worker pool for background device-to-host copies.
+    """ONE worker for background device-to-host transfers.
 
     A thread calling ``np.asarray`` on a device array is the one reliable
     way to overlap transfers with later dispatches on every backend
     (``copy_to_host_async`` is a no-op on some and actively pathological
-    on async tunnel transports).
+    on async tunnel transports).  A single worker makes the queue a strict
+    priority order: concurrent bulk downloads would share the link
+    round-robin, so the product every consumer blocks on (``cube_correl``
+    feeds the per-source cutouts) would arrive LAST instead of first.
     """
-    global _COPY_POOL
-    if _COPY_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _COPY_POOL = ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="origin-tpu-d2h"
-        )
-    return _COPY_POOL
+    return _make_pool("d2h", 1, "origin-tpu-d2h")
 
 
-_COPY_POOL = None
+def _upload_pool():
+    """ONE worker for background host-to-device uploads.
+
+    Separate from the download worker: the two directions of a
+    full-duplex link don't contend, so a survey-mode session can upload
+    the next field while the previous one's products stream out.
+    """
+    return _make_pool("h2d", 1, "origin-tpu-h2d")
+
+
+def _host_pool():
+    """Workers for host-side product rebuilds (no link traffic).
+
+    Separate from the transfer workers so a CPU-bound rebuild (one host
+    matmul + elementwise passes over a cube) never delays the link, and
+    vice versa.  Rebuild closures may join transfer futures — distinct
+    pools keep that dependency deadlock-free.
+    """
+    return _make_pool("host", 2, "origin-tpu-host")
+
+
+_POOLS = {}
 
 
 class DeferredCube(Cube):
@@ -127,7 +156,7 @@ class DeferredCube(Cube):
     """
 
     def __init__(self, dev, wcs=None, wave=None, post=None, sparse=False,
-                 fetch=None):
+                 fetch=None, fetch_link=False):
         import threading
 
         self.filename = None
@@ -142,6 +171,10 @@ class DeferredCube(Cube):
         self._post = post
         self._sparse = sparse
         self._fetch = fetch
+        # True when the custom fetch moves bulk data over the link (e.g.
+        # a quantized wire): it then queues on the transfer worker, not
+        # the host-rebuild workers
+        self._fetch_link = fetch_link
         self._future = None
         self._lock = threading.Lock()
         self._sync_coord_shapes()
@@ -162,10 +195,15 @@ class DeferredCube(Cube):
         with self._lock:
             if (self._host is None and self._future is None
                     and self._dev is not None and not self._sparse):
-                job = self._fetch if self._fetch is not None else (
-                    lambda: np.asarray(self._dev)
-                )
-                self._future = _copy_pool().submit(job)
+                if self._fetch is not None:
+                    pool = (_copy_pool() if self._fetch_link
+                            else _host_pool())
+                    self._future = pool.submit(self._fetch)
+                else:
+                    dev = self._dev
+                    self._future = _copy_pool().submit(
+                        lambda: np.asarray(dev)
+                    )
 
     @property
     def data(self):
@@ -431,6 +469,86 @@ def _sparse_fetch(dev):
     return _scatter_sparse(dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals)
 
 
+@jax.jit
+def _encode_i16(x):
+    """Symmetric int16 quantization of a float cube + its scale.
+
+    One device pass; the 2-byte wire halves the link traffic of a float32
+    download.  Max absolute decode error is ``max|x| / 32766`` — for the
+    noise-normalized GLR statistic (unit variance by construction,
+    values ~[-10, 30]) that is <1e-3, three orders below the statistic's
+    own noise floor.
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(x)) / 32766.0, 1e-30)
+    q = jnp.clip(jnp.round(x / scale), -32767, 32767).astype(jnp.int16)
+    return q, scale
+
+
+def _int16_wire_fetch(dev):
+    """Host materialization of a float device cube over an int16 wire.
+
+    The closure drops its device reference after the fetch so the HBM
+    can be freed once the host copy exists (the DeferredCube drops its
+    own reference at the same point).
+    """
+    box = [dev]
+
+    def fetch():
+        d, box[0] = box[0], None
+        q, scale = _encode_i16(d)
+        del d
+        s = float(scale)
+        arr = np.asarray(q).astype(np.float32)
+        arr *= s
+        return arr
+
+    return fetch
+
+
+def _prefetch_sparse_group(cubes):
+    """Start ONE background job fetching a group of sparse cubes.
+
+    The group shares the fused count/compaction programs of
+    :func:`materialize_deferred`, but runs in the copy pool so the (small)
+    round-trips land before the dense bulk transfers saturate the link.
+    Each cube gets its own Future; ``.data`` joins it as usual.
+    """
+    from concurrent.futures import Future
+
+    grabbed = []
+    for c in cubes:
+        with c._lock:
+            if (c._host is None and c._future is None
+                    and c._dev is not None and c._sparse):
+                fut = Future()
+                fut.set_running_or_notify_cancel()
+                c._future = fut
+                grabbed.append((c, fut, c._dev))
+    if not grabbed:
+        return
+
+    def _job():
+        try:
+            devs = tuple(dev for _, _, dev in grabbed)
+            counts = [int(v) for v in jax.device_get(
+                _count_nonzero_many(devs))]
+            caps = tuple(
+                min(_bucket(max(n, 1), 256), d.size)
+                for n, d in zip(counts, devs)
+            )
+            res = jax.device_get(_extract_nonzero_many(devs, caps))
+            for (c, fut, dev), n, (fidx, vals) in zip(grabbed, counts, res):
+                fut.set_result(_scatter_sparse(
+                    dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals,
+                ))
+        except BaseException as exc:  # propagate to every joiner
+            for _, fut, _ in grabbed:
+                if not fut.done():
+                    fut.set_exception(exc)
+
+    _copy_pool().submit(_job)
+
+
 def materialize_deferred(cubes):
     """Materialize many DeferredCubes with minimal link traffic.
 
@@ -438,11 +556,12 @@ def materialize_deferred(cubes):
     programs for the whole group (one count fetch, one compacted-pairs
     fetch); dense cubes start background copies first and join at the
     end, so the transfers overlap each other (and the sparse round-trips)
-    instead of serializing.
+    instead of serializing.  A sparse cube whose group fetch is already
+    in flight (:func:`_prefetch_sparse_group`) just joins it.
     """
     live = [c for c in cubes if c._host is None and c._dev is not None]
-    dense = [c for c in live if not c._sparse]
-    sparse = [c for c in live if c._sparse]
+    dense = [c for c in live if not c._sparse or c._future is not None]
+    sparse = [c for c in live if c._sparse and c._future is None]
     # plain downloads first: rebuild closures (custom fetch) may join them,
     # so they must never be queued behind every pool worker
     dense.sort(key=lambda c: c._fetch is not None)
@@ -462,8 +581,10 @@ def materialize_deferred(cubes):
             )
             if c._post is not None:
                 arr = c._post(arr)
-            c._host = arr
-            c._dev = None
+            with c._lock:
+                if c._host is None:
+                    c._host = arr
+                    c._dev = None
     for c in dense:
         _ = c.data  # join the background copies
 
@@ -607,7 +728,7 @@ class DeviceEngine:
         image); step 01 then just joins them.
         """
         if self._inputs_future is None and "cube" not in self._inputs:
-            self._inputs_future = _copy_pool().submit(self._upload_inputs)
+            self._inputs_future = _upload_pool().submit(self._upload_inputs)
 
     def _ensure_inputs(self, name):
         if name in self._inputs:
@@ -714,25 +835,34 @@ class DeviceEngine:
         return self._tight
 
     def prefetch(self, *names):
-        """Start async device-to-host copies of finished dense products.
+        """Start async device-to-host copies of finished products.
 
         Called by steps the moment a product becomes final: the transfer
         then overlaps the remaining device/host work, so the session
         ``write()`` finds the bytes already on their way (or arrived)
-        instead of paying the full link serially.  No-op for sparse or
-        already-materialized products; device memory is NOT freed (use
-        :meth:`offload` for that).
+        instead of paying the full link serially.  Sparse products named
+        here are grouped into ONE fused count/compaction job, submitted
+        before the dense copies so its small round-trips beat the bulk
+        transfers onto the link.  No-op for already-materialized
+        products; device memory is NOT freed (use :meth:`offload`).
         """
         owners = getattr(self.orig, "_product_owner", None)
         if owners is None:
             return
+        objs = []
         for n in names:
             owner = owners.get(n)
             if owner is None:
                 continue
             val = owner.store.peek(n)
             if isinstance(val, DeferredCube):
-                val.prefetch()
+                objs.append(val)
+        sparse = [o for o in objs if o._sparse]
+        if sparse:
+            _prefetch_sparse_group(sparse)
+        for o in objs:
+            if not o._sparse:
+                o.prefetch()
 
     def offload(self, *names):
         """Materialize products to host now, freeing their HBM."""
@@ -1029,6 +1159,26 @@ class DeviceEngine:
         maxmap, minmap = jax.device_get((maxmap_d, minmap_d))
         host = dict(maxmap=maxmap, minmap=minmap)
         return dev, host
+
+    @staticmethod
+    def correl_wire_fetch(dev):
+        """Host materialization of ``cube_correl`` over an int16 wire.
+
+        The device copy (and everything steps 06-10 compute from it)
+        stays float32; only the HOST copy — session checkpoint and
+        per-source cutouts — decodes from a 2-byte wire, halving the
+        single transfer every step-11 consumer blocks on.  Decode error
+        is ``max|T_GLR|/32766`` (<1e-3 absolute, three orders below the
+        unit-variance statistic's noise floor).
+        ``ORIGIN_TPU_CORREL_WIRE=f32`` opts back into the float32
+        download.
+        """
+        import os
+
+        if os.environ.get("ORIGIN_TPU_CORREL_WIRE", "int16").lower() in (
+                "f32", "fp32", "float32"):
+            return None
+        return _int16_wire_fetch(dev)
 
     # -- step 08 -----------------------------------------------------------
     def minicubes(self, xs, ys, sg):

@@ -20,6 +20,8 @@ chains).
 from __future__ import annotations
 
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, NamedTuple
 
 import numpy as np
@@ -69,6 +71,28 @@ FORMATS = {
 }
 
 
+_WRITE_POOL = None
+_WRITE_POOL_LOCK = threading.Lock()
+
+
+def _write_pool():
+    """One shared writer thread for background product parking.
+
+    A single worker keeps the disk writes sequential (no seek thrash)
+    while they overlap whatever the caller does next — device-to-host
+    transfers, host rebuilds, source building.  Write jobs may block on a
+    product's in-flight materialization; those joins run in the separate
+    engine copy pool, so the two never deadlock.
+    """
+    global _WRITE_POOL
+    with _WRITE_POOL_LOCK:
+        if _WRITE_POOL is None:
+            _WRITE_POOL = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="origin-tpu-park"
+            )
+    return _WRITE_POOL
+
+
 class Parked:
     """Marker standing in for a product that lives in a session file."""
 
@@ -90,6 +114,7 @@ class ProductStore:
     def __init__(self, spec):
         self.spec = dict(spec)
         self._slots = {}
+        self._pending = {}  # name -> (Future, path) of an async park
 
     def __contains__(self, name):
         return name in self.spec
@@ -120,8 +145,44 @@ class ProductStore:
             self._slots[name] = value
         return value
 
+    def park_async(self, directory):
+        """Start writing every live product to ``directory`` in the
+        background (idempotent).
+
+        The product stays live (readers keep using the in-memory object;
+        concurrent reads of the same arrays are safe) until
+        :meth:`park_all` joins the write and swaps in the
+        :class:`Parked` marker.  Only call this once the products are
+        final — the checkpoint is whatever the object holds when the
+        writer thread gets to it.
+        """
+        pool = _write_pool()
+        for name, kind in self.spec.items():
+            value = self._slots.get(name)
+            if (value is None or isinstance(value, Parked)
+                    or name in self._pending):
+                continue
+            path = self.file_for(name, directory)
+            self._pending[name] = (
+                pool.submit(FORMATS[kind].save, value, path), path, value,
+            )
+
+    def _join_pending(self):
+        """Wait for async parks and swap in their markers.
+
+        A slot restashed since the write started (a re-run step) keeps
+        its new live value: the stale file is joined but not marked, so
+        :meth:`park_all`'s sweep rewrites it.
+        """
+        for name, (fut, path, value) in list(self._pending.items()):
+            fut.result()
+            if self._slots.get(name) is value:
+                self._slots[name] = Parked(path)
+            del self._pending[name]
+
     def park_all(self, directory):
         """Write every live product to ``directory`` and free its memory."""
+        self._join_pending()
         for name, kind in self.spec.items():
             value = self._slots.get(name)
             if value is None or isinstance(value, Parked):

@@ -513,7 +513,10 @@ class ORIGIN(PlotMixin):
             for step in self.steps.values()
             for name in step.store.names()
             # peek: fetching would trigger disk loads of already-parked
-            # products just to inspect them
+            # products just to inspect them; a product with an async park
+            # in flight is that writer job's responsibility (it joins the
+            # product's own transfer), not this pass's
+            if name not in step.store._pending
             for val in (step.store.peek(name),)
             if isinstance(val, DeferredCube) and val.device is not None
         ]

@@ -186,18 +186,22 @@ class Step:
                             wcs=self.orig.wcs, mask=False, copy=False,
                             **kwargs))
 
-    def store_cube_dev(self, name, dev, post=None, sparse=False, fetch=None):
+    def store_cube_dev(self, name, dev, post=None, sparse=False, fetch=None,
+                       fetch_link=False):
         """Publish a device-resident cube (lazy host materialization).
 
         ``sparse`` marks mostly-zero cubes (local extrema) whose download
         transfers (index, value) pairs instead of the dense array;
-        ``fetch`` replaces the download with a host rebuild callable.
+        ``fetch`` replaces the download with a host rebuild callable
+        (``fetch_link=True`` when that callable still moves bulk data
+        over the link, e.g. a quantized wire).
         """
         from .engine import DeferredCube
 
         self.put(name, DeferredCube(dev, wcs=self.orig.wcs,
                                     wave=self.orig.wave, post=post,
-                                    sparse=sparse, fetch=fetch))
+                                    sparse=sparse, fetch=fetch,
+                                    fetch_link=fetch_link))
 
     def store_image(self, name, data, **kwargs):
         self.put(name, Image(data=data, wcs=self.orig.wcs, mask=False,
@@ -209,6 +213,15 @@ class Step:
             self.logger.debug("parking %s products", self.method_name)
             self.store.park_all(outpath)
             self.status = Status.DUMPED
+
+    def park_background(self, outpath):
+        """Start writing this step's live products in the background.
+
+        Only valid once the products are final; ``dump`` later joins the
+        writes (status flips to DUMPED there, not here).
+        """
+        if self.status is Status.RUN:
+            self.store.park_async(outpath)
 
     def load(self, outpath):
         """Point the products at their session files (read on access)."""
@@ -450,7 +463,11 @@ class ComputeTGLR(Step):
             def prof_post(a, narrow=narrow):
                 return a if a.dtype == narrow else a.astype(narrow)
 
-        self.store_cube_dev("cube_correl", dev["cube_correl"])
+        self.store_cube_dev(
+            "cube_correl", dev["cube_correl"],
+            fetch=orig.engine.correl_wire_fetch(dev["cube_correl"]),
+            fetch_link=True,
+        )
         self.store_cube_dev("cube_correl_min", dev["cube_correl_min"],
                             post=_host_f32)
         self.store_cube_dev("cube_profile", dev["cube_profile"],
@@ -827,9 +844,23 @@ class SaveSources(Step):
         # (cube_faint's rebuild and comp=1 cutouts join it), diagnostics
         # last
         orig.engine.prefetch(
+            # the sparse extrema group goes first (small fused round-trips
+            # on a still-quiet link), then the bulk copies
+            "cube_local_max", "cube_local_min",
+            "cube_std_local_max", "cube_std_local_min",
             "cube_correl", "cube_std", "cont_dct", "cube_correl_min",
             "cube_profile", "cube_faint",
         )
+
+        # ... and start the checkpoint's disk writes right behind them:
+        # every earlier step's products are final, so a writer thread can
+        # park them (each write joins its product's transfer/rebuild, then
+        # streams to disk) while this step builds sources.  The write()
+        # below then only joins the tail instead of paying ~10 cube-sized
+        # FITS writes serially after the source loop.
+        for step in orig.steps.values():
+            if step is not self:
+                step.park_background(orig.outpath)
 
         # hold references to the live products BEFORE the checkpoint parks
         # them: the source builder then consumes them in memory instead of

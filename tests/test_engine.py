@@ -517,3 +517,50 @@ def test_std_host_rebuild_matches_device(tmp_path):
     # masked voxels stay exactly zero in the rebuild, as on device
     assert (host_std[orig.mask] == 0).all()
     orig.close_logfile()
+
+
+def test_correl_int16_wire_bound():
+    """The int16 wire decode must match the device float32 values within
+    the documented max|x|/32766 half-step bound."""
+    from origin_tpu.pipeline.engine import _int16_wire_fetch
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(scale=4.0, size=(40, 9, 11)).astype(np.float32))
+    arr = _int16_wire_fetch(x)()
+    step = float(jnp.max(jnp.abs(x))) / 32766.0
+    assert arr.dtype == np.float32
+    # half a quantization step, plus the float32 rounding of the
+    # divide/multiply on either side of the wire
+    assert np.abs(arr - np.asarray(x)).max() <= 0.51 * step
+    # all-zero cube decodes to exactly zero (scale floor guards /0)
+    z = _int16_wire_fetch(jnp.zeros((4, 3, 2), jnp.float32))()
+    assert (z == 0).all()
+
+
+def test_correl_wire_opt_out(monkeypatch):
+    from origin_tpu.pipeline.engine import DeviceEngine
+
+    monkeypatch.setenv("ORIGIN_TPU_CORREL_WIRE", "f32")
+    assert DeviceEngine.correl_wire_fetch(jnp.zeros((2, 2, 2))) is None
+    monkeypatch.delenv("ORIGIN_TPU_CORREL_WIRE")
+    assert DeviceEngine.correl_wire_fetch(jnp.zeros((2, 2, 2))) is not None
+
+
+def test_park_async_overlapped_write(tmp_path):
+    """park_async writes in the background; park_all joins and marks
+    Parked; a slot restashed mid-flight keeps its new value and the
+    sweep rewrites the file."""
+    from origin_tpu.pipeline.products import Parked, ProductStore
+
+    store = ProductStore({"a": "array", "b": "array"})
+    store.stash("a", np.arange(3.0))
+    store.stash("b", np.ones(2))
+    store.park_async(str(tmp_path))
+    store.stash("b", np.zeros(2))  # re-run stashes a new value mid-flight
+    store.park_all(str(tmp_path))
+    assert isinstance(store.peek("a"), Parked)
+    assert isinstance(store.peek("b"), Parked)
+    np.testing.assert_array_equal(
+        np.loadtxt(tmp_path / "b.txt", ndmin=1), np.zeros(2)
+    )
+    np.testing.assert_array_equal(store.fetch("a"), np.arange(3.0))
