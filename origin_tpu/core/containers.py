@@ -345,13 +345,39 @@ class Cube(_Base):
             k2 = int(self.wave.pixel(lbda[1], nearest=True))
             zsl = slice(k1, k2 + 1)
         nzz = zsl.stop - zsl.start
+        sy0, sy1 = max(0, y0), min(ny, y0 + size)
+        sx0, sx1 = max(0, x0), min(nx, x0 + size)
+        if sy1 - sy0 == size and sx1 - sx0 == size:
+            # fully in-field window (the common case): one contiguous copy
+            # per array, no fill pass — at 51 sources x 4 cutouts of a
+            # notebook-scale cube the memsets alone are seconds of step 11
+            dblock, vblock, mblock = self._region(
+                zsl, slice(y0, y0 + size), slice(x0, x0 + size)
+            )
+            # one strided memcpy per array (never a view: _region may hand
+            # back slices of the parent's buffers)
+            data = np.array(dblock, order="C", copy=True)
+            if vblock is not None:
+                var = np.array(vblock, order="C", copy=True)
+            elif self.var is not None:
+                var = np.full((nzz, size, size), np.inf,
+                              dtype=self.var.dtype)
+            else:
+                var = None
+            mask = (np.array(mblock, order="C", copy=True)
+                    if mblock is not None
+                    else np.zeros((nzz, size, size), dtype=bool))
+            wcs = cutout_wcs(self.wcs, y0, x0, size)
+            wave = self._copy_wave()
+            if lbda is not None and wave is not None:
+                wave = self.wave[zsl]
+            return Cube(data=data, var=var, mask=mask, wcs=wcs, wave=wave,
+                        copy=False)
         data = np.zeros((nzz, size, size), dtype=self.dtype)
         mask = np.ones((nzz, size, size), dtype=bool)
         var = None
         if self.var is not None:
             var = np.full((nzz, size, size), np.inf, dtype=self.var.dtype)
-        sy0, sy1 = max(0, y0), min(ny, y0 + size)
-        sx0, sx1 = max(0, x0), min(nx, x0 + size)
         if sy0 < sy1 and sx0 < sx1:
             dy0, dx0 = sy0 - y0, sx0 - x0
             dblock, vblock, mblock = self._region(

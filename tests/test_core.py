@@ -192,6 +192,34 @@ def test_cube_subcube_padding():
     np.testing.assert_allclose(p1, p2)
 
 
+def test_cube_subcube_infield_fast_path():
+    """Fully in-field cutouts take the no-fill fast path: same values as a
+    border cutout's in-field region, unmasked, lbda slicing intact, and the
+    returned buffers never alias the parent cube."""
+    cube = _make_cube()
+    sub = cube.subcube(center=(8, 7), size=5, lbda=(4760.0, 4790.0))
+    k1 = int(cube.wave.pixel(4760.0, nearest=True))
+    k2 = int(cube.wave.pixel(4790.0, nearest=True))
+    assert sub.shape == (k2 - k1 + 1, 5, 5)
+    np.testing.assert_allclose(sub.data, cube.data[k1:k2 + 1, 6:11, 5:10])
+    np.testing.assert_allclose(sub.var, cube.var[k1:k2 + 1, 6:11, 5:10])
+    assert not sub.mask.any()
+    np.testing.assert_allclose(sub.wave.coord(), cube.wave.coord()[k1:k2 + 1])
+    # same sky position as the slow (padded) path computes
+    p1 = cube.wcs.pix2sky([[8.0, 7.0]])
+    p2 = sub.wcs.pix2sky([[2.0, 2.0]])
+    np.testing.assert_allclose(p1, p2)
+    # independence: writing into the cutout must not touch the parent
+    before = cube.data[k1, 6, 5]
+    sub.data[0, 0, 0] = 1e9
+    sub.mask[0, 0, 0] = True
+    assert cube.data[k1, 6, 5] == before
+    # full-width window (the contiguous-slice corner case) is also a copy
+    full = cube.subcube(center=(7, 7), size=min(cube.shape[1:]))
+    assert not np.shares_memory(full.data, cube.data)
+    assert not np.shares_memory(full.var, cube.var)
+
+
 def test_cube_get_image():
     cube = _make_cube(with_var=False)
     img = cube.get_image(wave=(5, 10), unit_wave=None, method="max")
