@@ -342,6 +342,11 @@ def main():
     k20 = measure(make_step05(DeviceEngine._pallas_precision(),
                               pad_left=pad_left20), args20)
     record["value_k20"] = round(k20, 2)
+    if use_pallas and DeviceEngine._pallas_precision() != "bf16x3":
+        # at K=20 the sweep dominates the program, so the bf16x3 mode's
+        # gain is largest exactly here
+        k20bf = measure(make_step05("bf16x3", pad_left=pad_left20), args20)
+        record["value_k20_bf16x3"] = round(k20bf, 2)
 
     # measured host<->device bandwidth: grounds every transfer-bound row
     h2d, d2h = link_bandwidth()
