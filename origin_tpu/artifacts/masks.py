@@ -89,12 +89,21 @@ def _fetch_line_images(detection_cube, jobs, size):
         zlos = np.asarray(zlos, np.int32)
         zhis = np.asarray(zhis, np.int32)
         slab = _bucket(int(np.max(zhis - zlos + 1)), 8)
+        # bucket the batch dim too: every distinct job count would
+        # otherwise compile a fresh program (~10 s through a remote
+        # tunnel), and the count varies with every field and retry round
+        nb = len(keys)
+        cap = _bucket(nb, 8)
+        pad = cap - nb
         imgs, _ = line_max_images_kernel(
             dev,
-            np.asarray(y0s, np.int32), np.asarray(x0s, np.int32),
-            zlos, zhis, int(size), int(slab),
+            np.asarray(y0s + [0] * pad, np.int32),
+            np.asarray(x0s + [0] * pad, np.int32),
+            np.concatenate([zlos, np.zeros(pad, np.int32)]),
+            np.concatenate([zhis, np.zeros(pad, np.int32)]),
+            int(size), int(slab),
         )
-        imgs = np.asarray(imgs)
+        imgs = np.asarray(imgs[:nb])
         for key, img in zip(keys, imgs):
             mask = ~np.isfinite(img)
             data = np.where(mask, 0.0, img)

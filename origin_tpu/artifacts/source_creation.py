@@ -157,8 +157,15 @@ def create_source(
     h["OR_TH"] = float("%0.2f" % origin_params[thr_key]), "OR input, threshold"
     h["OR_PURI"] = float("%0.2f" % origin_params[pur_key]), "OR input, purity"
 
-    # mini-cubes
-    source.add_cube(data_cube, "MUSE_CUBE", size=mask_size, add_white=True)
+    # mini-cubes; cutouts pre-cut at mask_size by create_all_sources are
+    # attached as-is (re-cutting a centred cutout to its own size is the
+    # identity, and the copy costs ~20 MB per source)
+    if data_cube.shape[1:] == (mask_size, mask_size):
+        source.cubes["MUSE_CUBE"] = data_cube
+        source.images["MUSE_WHITE"] = data_cube.mean(axis=0)
+    else:
+        source.add_cube(data_cube, "MUSE_CUBE", size=mask_size,
+                        add_white=True)
     has_fsf = True
     try:
         source.add_FSF(data_cube)
@@ -170,7 +177,10 @@ def create_source(
     if cube_ori is None:
         cube_ori = Cube(cube_std_filename if comp else cube_cor_filename)
     ori_tag = "ORI_SNCUBE" if comp else "ORI_CORREL"
-    source.add_cube(cube_ori, ori_tag, size=mask_size)
+    if cube_ori.shape[1:] == (mask_size, mask_size):
+        source.cubes[ori_tag] = cube_ori
+    else:
+        source.add_cube(cube_ori, ori_tag, size=mask_size)
     cube_ori = source.cubes[ori_tag]
 
     # nearby sources table
@@ -200,9 +210,6 @@ def create_source(
         )
         source.add_image(expmap, "EXPMAP")
 
-    # full source spectra
-    source.extract_spectra(data_cube, skysub=True)
-    source.extract_spectra(data_cube, skysub=False)
     objmask = np.asarray(source.images["ORI_MASK_OBJ"].data) > 0
     ori_masked = np.where(
         objmask[None], cube_ori.filled(np.nan), np.nan
@@ -214,15 +221,12 @@ def create_source(
         data=corr_spec, wave=cube_ori.wave, copy=False
     )
 
+    fwhm_fsf = beta_fsf = None
     if has_fsf:
         fsfmodel = source.get_FSF()
         lbda = data_cube.wave.coord()
         fwhm_fsf = fsfmodel.get_fwhm(lbda)
         beta_fsf = fsfmodel.get_beta(lbda)
-        source.extract_spectra(data_cube, skysub=True, psf=fwhm_fsf,
-                               beta=beta_fsf)
-        source.extract_spectra(data_cube, skysub=False, psf=fwhm_fsf,
-                               beta=beta_fsf)
 
     # per line content
     line_columns = [
@@ -245,6 +249,7 @@ def create_source(
         spectra_hdus = {}
 
     nb_par_rows = []
+    corr_tags = []
     unmerged = source_lines[np.asarray(source_lines["merged_in"]) == -9999]
     for row in unmerged:
         num_line = int(row["num_line"])
@@ -279,9 +284,17 @@ def create_source(
             cube_ori, f"ORI_CORR_{num_line}", lbda=lbda_ori,
             width=nb_fwhm * fwhm_ori, method="max", subtract_off=False,
         )
-        tags = [f"ORI_CORR_{num_line}"]
-        source.extract_spectra(data_cube, skysub=True, tags_to_try=tags)
-        source.extract_spectra(data_cube, skysub=False, tags_to_try=tags)
+        corr_tags.append(f"ORI_CORR_{num_line}")
+
+    # all spectra in TWO passes: one extract_spectra call per skysub value
+    # covers the total / white / PSF-weighted spectra AND every line's
+    # correlation-weighted spectrum — the per-call sky spectrum, sky
+    # subtraction and 1/var products are shared instead of being recomputed
+    # 4 + 2*nlines times per source
+    source.extract_spectra(data_cube, skysub=True, psf=fwhm_fsf,
+                           beta=beta_fsf, tags_to_try=corr_tags)
+    source.extract_spectra(data_cube, skysub=False, psf=fwhm_fsf,
+                           beta=beta_fsf, tags_to_try=corr_tags)
 
     # reference spectrum: correlation-weighted spectrum of the brightest line
     fluxes = np.asarray(source.lines["FLUX"])

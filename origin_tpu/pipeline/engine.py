@@ -949,22 +949,38 @@ class DeviceEngine:
         nz = orig.shape[0]
         mean_z = np.asarray(mean_z, np.float32)
 
-        def _cont():
-            d0 = dctmat(nz, order, dtype=np.float32)
-            return np.tensordot(d0, np.asarray(coef, np.float32),
-                                axes=([1], [0]))
+        # the two fetches run concurrently on the host pool and share the
+        # expensive intermediates (the DCT continuum matmul and the
+        # inverse-sigma cube): memoize them behind one lock so each is
+        # computed once per step01, not once per product
+        import threading
+
+        shared = {}
+        shared_lock = threading.Lock()
+
+        def _cont_sigma():
+            with shared_lock:
+                if "cont" not in shared:
+                    d0 = dctmat(nz, order, dtype=np.float32)
+                    shared["cont"] = np.tensordot(
+                        d0, np.asarray(coef, np.float32), axes=([1], [0])
+                    )
+                    shared["sigma"] = np.sqrt(orig.var)
+                return shared["cont"], shared["sigma"]
 
         def fetch_cont_dct():
+            cont, sigma = _cont_sigma()
             with np.errstate(divide="ignore", invalid="ignore"):
-                cont_std = _cont() / np.sqrt(orig.var)
+                cont_std = cont / sigma
             np.nan_to_num(cont_std, copy=False, posinf=0.0, neginf=0.0)
             return cont_std
 
         def fetch_cube_std():
-            data = orig.cube_raw - _cont()
+            cont, sigma = _cont_sigma()
+            data = orig.cube_raw - cont
             data -= mean_z[:, None, None]
             with np.errstate(divide="ignore", invalid="ignore"):
-                data /= np.sqrt(orig.var)
+                data /= sigma
             bad = np.asarray(orig.mask) | ~np.isfinite(data)
             data[bad] = 0.0
             return data
