@@ -220,9 +220,10 @@ class Source:
             data0 = np.where(valid, raw, np.float32(0.0))
             if cube.var is not None:
                 v = np.asarray(cube.var, dtype=np.float32)
-                inv = np.where(
-                    valid & np.isfinite(v) & (v > 0), 1.0 / v, 0.0
-                ).astype(np.float32)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    inv = np.where(
+                        valid & np.isfinite(v) & (v > 0), 1.0 / v, 0.0
+                    ).astype(np.float32)
             else:
                 inv = valid.astype(np.float32)
             cache = (data0, valid, inv)

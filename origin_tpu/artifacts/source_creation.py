@@ -47,6 +47,8 @@ def create_source(
     save_to=None,
     data_cube=None,
     cube_ori=None,
+    spectra_pre=None,
+    line_images_pre=None,
 ):
     """Create one Source file (reference source_creation.py:26-436).
 
@@ -280,21 +282,41 @@ def create_source(
         nb_par_rows.append(
             [f"NB_LINE_{num_line}", lbda_ori, nb_fwhm * fwhm_ori, 10.0, 3.0]
         )
-        source.add_narrow_band_image_lbdaobs(
-            cube_ori, f"ORI_CORR_{num_line}", lbda=lbda_ori,
-            width=nb_fwhm * fwhm_ori, method="max", subtract_off=False,
-        )
+        pre_img = (line_images_pre or {}).get(num_line)
+        if pre_img is not None:
+            # device-computed narrow-band max image (same values as the
+            # host nanmax over the cutout slab)
+            source.images[f"ORI_CORR_{num_line}"] = Image(
+                data=pre_img, wcs=cube_ori.wcs, copy=False
+            )
+        else:
+            source.add_narrow_band_image_lbdaobs(
+                cube_ori, f"ORI_CORR_{num_line}", lbda=lbda_ori,
+                width=nb_fwhm * fwhm_ori, method="max", subtract_off=False,
+            )
         corr_tags.append(f"ORI_CORR_{num_line}")
 
-    # all spectra in TWO passes: one extract_spectra call per skysub value
-    # covers the total / white / PSF-weighted spectra AND every line's
-    # correlation-weighted spectrum — the per-call sky spectrum, sky
-    # subtraction and 1/var products are shared instead of being recomputed
-    # 4 + 2*nlines times per source
-    source.extract_spectra(data_cube, skysub=True, psf=fwhm_fsf,
-                           beta=beta_fsf, tags_to_try=corr_tags)
-    source.extract_spectra(data_cube, skysub=False, psf=fwhm_fsf,
-                           beta=beta_fsf, tags_to_try=corr_tags)
+    if spectra_pre is not None:
+        # spectra were reduced on device in one batched program
+        # (pipeline.engine.DeviceEngine.source_spectra); attach them
+        wave = data_cube.wave
+        for tag, val in spectra_pre.items():
+            if isinstance(val, tuple):
+                sp = Spectrum(data=val[0], var=val[1], wave=wave,
+                              copy=False)
+            else:
+                sp = Spectrum(data=val, wave=wave, copy=False)
+            source.spectra[tag] = sp
+    else:
+        # all spectra in TWO passes: one extract_spectra call per skysub
+        # value covers the total / white / PSF-weighted spectra AND every
+        # line's correlation-weighted spectrum — the per-call sky
+        # spectrum, sky subtraction and 1/var products are shared instead
+        # of being recomputed 4 + 2*nlines times per source
+        source.extract_spectra(data_cube, skysub=True, psf=fwhm_fsf,
+                               beta=beta_fsf, tags_to_try=corr_tags)
+        source.extract_spectra(data_cube, skysub=False, psf=fwhm_fsf,
+                               beta=beta_fsf, tags_to_try=corr_tags)
 
     # reference spectrum: correlation-weighted spectrum of the brightest line
     fluxes = np.asarray(source.lines["FLUX"])
@@ -333,6 +355,8 @@ def create_all_sources(
     data_cube=None,
     cube_cor=None,
     cube_std=None,
+    spectra_pre=None,
+    line_images_pre=None,
 ):
     """Create and save one Source file per source (joblib-parallel).
 
@@ -388,6 +412,12 @@ def create_all_sources(
         source_lines = cat3_lines[np.asarray(cat3_lines["ID"]) == source_id]
         mask_size = Image(mask_filename_tpl % source_id).shape[0]
         ori = cube_std if comps[source_id] else cube_cor
+        line_imgs = None
+        if line_images_pre is not None:
+            line_imgs = {
+                num: img for (sid, num), img in line_images_pre.items()
+                if sid == source_id
+            } or None
         jobs.append(
             delayed(create_source)(
                 source_id=source_id,
@@ -409,6 +439,8 @@ def create_all_sources(
                 save_to=out_tpl % source_id,
                 data_cube=_precut(data_cube, source_id, mask_size),
                 cube_ori=_precut(ori, source_id, mask_size),
+                spectra_pre=(spectra_pre or {}).get(source_id),
+                line_images_pre=line_imgs,
             )
         )
     Parallel(n_jobs=n_jobs)(jobs)

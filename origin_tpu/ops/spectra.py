@@ -1,0 +1,194 @@
+"""Batched device extraction of per-source spectra (step 11).
+
+The reference builds every source file on the host, extracting each
+spectrum with per-source full-cube arithmetic (reference
+source_creation.py:201-editions via mpdaf ``Source.extract_spectra``); the
+host port of that method lives in ``artifacts.source.Source.extract_spectra``
+and costs ~10 einsum-sized passes over a (Nz, m, m) cutout per source — on
+a single-core host that is the dominant CPU cost of step 11.
+
+Here ALL spectra of ALL sources are reduced on device by one jitted
+program per cutout size: the zero-filled cube / inf-filled variance /
+mask already resident on the device are padded once, each source's window
+is sliced under ``vmap`` and collapsed to (Nz,) vectors in-register, and
+only the ~10 kB-per-source spectra cross the host link.  The arithmetic
+mirrors ``Source.extract_spectra`` exactly (zero-filled sums, weight
+normalisation by the peak, matched-filter PSF estimator); parity is
+pinned by tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["source_spectra_kernel", "batched_source_spectra"]
+
+
+def _window(pd, pv, pm, yy, xx, m):
+    nz = pd.shape[0]
+    d = lax.dynamic_slice(pd, (0, yy, xx), (nz, m, m))
+    v = lax.dynamic_slice(pv, (0, yy, xx), (nz, m, m))
+    mk = lax.dynamic_slice(pm, (0, yy, xx), (nz, m, m))
+    valid = ~mk
+    inv = jnp.where(valid & (v > 0) & jnp.isfinite(v), 1.0 / v, 0.0)
+    return d, valid, inv.astype(jnp.float32)
+
+
+def _weighted(dv_s, dv_p, inv, w):
+    """(spec_skysub, var, spec_plain, var) for one normalised weight map."""
+    peak = jnp.max(w)
+    w = jnp.where(peak > 0, w / peak, w)
+    den = jnp.einsum("zyx,yx->z", inv, w * w)
+    den = jnp.where(den == 0, jnp.inf, den)
+    num_s = jnp.einsum("zyx,yx->z", dv_s, w)
+    num_p = jnp.einsum("zyx,yx->z", dv_p, w)
+    return num_s / den, 1.0 / den, num_p / den, 1.0 / den
+
+
+@partial(jax.jit, static_argnames=("m", "has_psf"))
+def source_spectra_kernel(pd, pv, pm, y0, x0, objm, skym, wcube,
+                          lsrc, lw, m, has_psf):
+    """All per-source and per-line spectra for one cutout size.
+
+    Parameters
+    ----------
+    pd, pv, pm : (Nz, Nyp, Nxp) padded device cubes — zero-filled data,
+        inf-filled variance, True-masked validity (pad: 0 / inf / True)
+    y0, x0 : (B,) int32 window starts INTO THE PADDED cubes
+    objm, skym : (B, m, m) float32 object / sky masks (0/1)
+    wcube : (Nz, m, m) float32 PSF weight cube (ignored if not has_psf)
+    lsrc : (L,) int32 source index of each line job
+    lw : (L, m, m) float32 narrow-band weight image of each line job
+    m : static cutout edge
+    has_psf : static, whether to produce the PSF-weighted spectra
+
+    Returns a dict of (B, Nz) / (L, Nz) float32 arrays.
+    """
+
+    def one_source(yy, xx, ob, sk):
+        d, valid, inv = _window(pd, pv, pm, yy, xx, m)
+        nsky = jnp.maximum(1.0, jnp.sum(sk))
+        sky = jnp.einsum("zyx,yx->z", d, sk) / nsky
+        dsub = jnp.where(valid, d - sky[:, None, None], 0.0)
+        tot_s = jnp.einsum("zyx,yx->z", dsub, ob)
+        tot_p = jnp.einsum("zyx,yx->z", d, ob)
+        dv_s = dsub * inv
+        dv_p = d * inv
+        # white-light weight: masked mean over z (NaN where never valid,
+        # matching the host Cube.mean)
+        cnt = jnp.sum(valid, axis=0).astype(jnp.float32)
+        white = jnp.where(cnt > 0, jnp.sum(d, axis=0) / cnt, jnp.nan)
+        ws, wv, wps, wpv = _weighted(dv_s, dv_p, inv,
+                                     jnp.where(ob > 0, white, 0.0))
+        out = dict(sky=sky, tot_s=tot_s, tot_p=tot_p,
+                   white_s=ws, white_s_var=wv,
+                   white_p=wps, white_p_var=wpv)
+        if has_psf:
+            w = wcube * ob[None]
+            den = jnp.einsum("zyx,zyx->z", w * w, inv)
+            den = jnp.where(den == 0, jnp.inf, den)
+            out.update(
+                psf_s=jnp.einsum("zyx,zyx->z", w, dv_s) / den,
+                psf_s_var=1.0 / den,
+                psf_p=jnp.einsum("zyx,zyx->z", w, dv_p) / den,
+                psf_p_var=1.0 / den,
+            )
+        return out
+
+    res = jax.vmap(one_source)(y0, x0, objm, skym)
+
+    def one_line(si, w):
+        d, valid, inv = _window(pd, pv, pm, y0[si], x0[si], m)
+        ob = objm[si]
+        sk = skym[si]
+        nsky = jnp.maximum(1.0, jnp.sum(sk))
+        sky = jnp.einsum("zyx,yx->z", d, sk) / nsky
+        dsub = jnp.where(valid, d - sky[:, None, None], 0.0)
+        ls, lv, lp, lpv = _weighted(dsub * inv, d * inv, inv,
+                                    jnp.where(ob > 0, w, 0.0))
+        return dict(line_s=ls, line_s_var=lv, line_p=lp, line_p_var=lpv)
+
+    if lsrc.shape[0]:
+        res.update(jax.vmap(one_line)(lsrc, lw))
+    return res
+
+
+def _bucket8(n):
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
+    """Run :func:`source_spectra_kernel` for a list of source jobs.
+
+    ``jobs`` is a list of dicts with keys ``key`` (source id), ``y0``/``x0``
+    (window start into the PADDED cubes), ``objm``/``skym`` ((m, m) bool),
+    and ``lines``: a list of ``(num_line, (m, m) float32 weight image)``.
+    All jobs must share one cutout size ``m`` (callers group by size).
+
+    Returns ``{source_id: {tag: (Nz,) np.float32 or (spec, var)}}`` with
+    tags MUSE_SKY / MUSE_TOT[_SKYSUB] / MUSE_WHITE[_SKYSUB] /
+    MUSE_PSF[_SKYSUB] / ORI_CORR_<num>[_SKYSUB].
+    """
+    if not jobs:
+        return {}
+    m = jobs[0]["objm"].shape[0]
+    nb = len(jobs)
+    cap = _bucket8(nb)
+    y0 = np.zeros(cap, np.int32)
+    x0 = np.zeros(cap, np.int32)
+    objm = np.zeros((cap, m, m), np.float32)
+    skym = np.zeros((cap, m, m), np.float32)
+    for i, j in enumerate(jobs):
+        y0[i], x0[i] = j["y0"], j["x0"]
+        objm[i] = j["objm"]
+        skym[i] = j["skym"]
+    ljobs = [(i, num, w) for i, j in enumerate(jobs)
+             for num, w in j["lines"]]
+    lcap = _bucket8(len(ljobs)) if ljobs else 0
+    lsrc = np.zeros(lcap, np.int32)
+    lw = np.zeros((lcap, m, m), np.float32)
+    for k, (i, _num, w) in enumerate(ljobs):
+        lsrc[k] = i
+        lw[k] = w
+    has_psf = wcube is not None
+    if not has_psf:
+        wcube = np.zeros((pd.shape[0], m, m), np.float32)
+    res = source_spectra_kernel(
+        pd, pv, pm, jnp.asarray(y0), jnp.asarray(x0),
+        jnp.asarray(objm), jnp.asarray(skym),
+        jnp.asarray(np.asarray(wcube, np.float32)),
+        jnp.asarray(lsrc), jnp.asarray(lw), m, has_psf,
+    )
+    host = jax.device_get(res)
+
+    out = {}
+    for i, j in enumerate(jobs):
+        d = {
+            "MUSE_SKY": host["sky"][i],
+            "MUSE_TOT_SKYSUB": host["tot_s"][i],
+            "MUSE_TOT": host["tot_p"][i],
+            "MUSE_WHITE_SKYSUB": (host["white_s"][i],
+                                  host["white_s_var"][i]),
+            "MUSE_WHITE": (host["white_p"][i], host["white_p_var"][i]),
+        }
+        if has_psf:
+            d["MUSE_PSF_SKYSUB"] = (host["psf_s"][i], host["psf_s_var"][i])
+            d["MUSE_PSF"] = (host["psf_p"][i], host["psf_p_var"][i])
+        out[j["key"]] = d
+    for k, (i, num, _w) in enumerate(ljobs):
+        key = jobs[i]["key"]
+        out[key][f"ORI_CORR_{num}_SKYSUB"] = (
+            host["line_s"][k], host["line_s_var"][k]
+        )
+        out[key][f"ORI_CORR_{num}"] = (
+            host["line_p"][k], host["line_p_var"][k]
+        )
+    return out

@@ -1223,6 +1223,41 @@ class DeviceEngine:
             jnp.asarray(np.asarray(xs, np.int32)), sg
         )
 
+    # -- step 11 -----------------------------------------------------------
+    def source_spectra(self, jobs_by_size, wcube_fn=None):
+        """Batched device extraction of every source's spectra.
+
+        ``jobs_by_size`` maps a cutout edge ``m`` to a list of job dicts
+        (see :func:`origin_tpu.ops.spectra.batched_source_spectra`) whose
+        ``y0``/``x0`` are window starts in FIELD coordinates (possibly
+        negative near the border).  ``wcube_fn(m)`` returns the
+        (Nz, m, m) PSF weight cube for that size, or None.
+
+        Returns ``{source_id: {tag: spectrum}}``, or ``{}`` when the
+        device inputs are unavailable (tight-memory sessions drop them
+        after step 08) — callers then fall back to the host path.
+        """
+        if self.tight_memory:
+            return {}
+        from ..ops.spectra import batched_source_spectra
+
+        cube = self.input_cube()
+        var = self.input_var()
+        mask = self.input_mask()
+        out = {}
+        for m, jobs in sorted(jobs_by_size.items()):
+            h = int(m)
+            pd = jnp.pad(cube, ((0, 0), (h, h), (h, h)))
+            pv = jnp.pad(var, ((0, 0), (h, h), (h, h)),
+                         constant_values=np.inf)
+            pm = jnp.pad(mask, ((0, 0), (h, h), (h, h)),
+                         constant_values=True)
+            jobs = [dict(j, y0=int(j["y0"]) + h, x0=int(j["x0"]) + h)
+                    for j in jobs]
+            wcube = wcube_fn(m) if wcube_fn is not None else None
+            out.update(batched_source_spectra(pd, pv, pm, jobs, wcube))
+        return out
+
     # -- step 07 -----------------------------------------------------------
     def detections_above(self, name, threshold, gather=()):
         """Sparse (z, y, x) coordinates where ``name`` exceeds threshold.

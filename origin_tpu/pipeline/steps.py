@@ -835,6 +835,15 @@ class SaveSources(Step):
             shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
 
+        # while the detection cubes are still device-resident (before the
+        # bulk downloads queue), reduce every source's spectra and every
+        # line's narrow-band weight image on device: the host then skips
+        # ~10 cutout-sized passes per source (the dominant single-core
+        # CPU cost of this step)
+        spectra_pre, line_images_pre = self._device_source_artifacts(
+            orig, nb_fwhm
+        )
+
         # every cube-sized product is final and step 10 issued its last
         # device programs: start ALL background materializations now, so
         # they stream behind this step's (host-dominated) source building
@@ -892,6 +901,8 @@ class SaveSources(Step):
             data_cube=orig.cube,
             cube_cor=cube_cor,
             cube_std=cube_std,
+            spectra_pre=spectra_pre,
+            line_images_pre=line_images_pre,
         )
 
         # checkpoint the session the sources reference (the reference
@@ -899,6 +910,112 @@ class SaveSources(Step):
         # equivalent on disk and lets the transfers overlap the source
         # building above)
         orig.write()
+
+    @staticmethod
+    def _device_source_artifacts(orig, nb_fwhm):
+        """Device-batched spectra + line weight images for every source.
+
+        Returns ``(spectra_pre, line_images_pre)`` for
+        :func:`create_all_sources` — or ``(None, None)`` whenever the
+        batched path cannot run (no engine, mesh/tight sessions, empty
+        catalog, detection cubes already off-device), in which case the
+        host per-source path computes everything as before.
+        """
+        from ..artifacts.masks import _fetch_line_images
+        from ..artifacts.source import _moffat_weight_cube
+        from ..core.containers import cutout_window
+        from ..core.fsf import read_fsf_from_header
+
+        eng = getattr(orig, "engine", None)
+        cat = getattr(orig, "Cat3_sources", None)
+        lines = getattr(orig, "Cat3_lines", None)
+        if (eng is None or orig.mesh is not None or eng.tight_memory
+                or cat is None or len(cat) == 0 or lines is None):
+            return None, None
+        dev_by_comp = {}
+        for comp, name in ((0, "cube_correl"), (1, "cube_std")):
+            obj = getattr(orig, name, None)
+            dev_by_comp[comp] = obj if getattr(obj, "device", None) \
+                is not None else None
+
+        mask_tpl = orig.param["mask_filename_tpl"]
+        sky_tpl = orig.param["skymask_filename_tpl"]
+        wave = orig.wave
+        nz = orig.shape[0]
+        zstep = wave.get_step()
+        profile_fwhm = np.asarray(orig.FWHM_profiles, float)
+        unmerged = lines[np.asarray(lines["merged_in"]) == -9999]
+        lids = np.asarray(unmerged["ID"])
+
+        jobs_by_size = {}
+        img_jobs = {}  # (comp, m) -> [(sid, x, y, [(num, zlo, zhi)])]
+        meta = {}
+        for row in cat:
+            sid = int(row["ID"])
+            comp = int(row["comp"])
+            if dev_by_comp[comp] is None:
+                continue
+            try:
+                objm = Image(mask_tpl % sid).data > 0
+                skym = Image(sky_tpl % sid).data > 0
+            except OSError:
+                continue
+            m = objm.shape[0]
+            (y, x), = orig.wcs.sky2pix(
+                [[float(row["dec"]), float(row["ra"])]]
+            )
+            y0, x0 = cutout_window(y, x, m)
+            zjobs = []
+            for lrow in unmerged[lids == sid]:
+                num = int(lrow["num_line"])
+                fwhm_ori = profile_fwhm[int(lrow["profile"])] * zstep
+                width = nb_fwhm * fwhm_ori
+                lbda = float(lrow["lbda"])
+                z1 = int(max(0, wave.pixel(lbda - width / 2, nearest=True)))
+                z2 = int(min(nz - 1,
+                             wave.pixel(lbda + width / 2, nearest=True)))
+                zjobs.append((num, z1, z2))
+            if not zjobs:
+                continue  # host path for line-less sources (defensive)
+            img_jobs.setdefault((comp, m), []).append((sid, x, y, zjobs))
+            meta[sid] = (m, y0, x0, objm, skym, zjobs)
+
+        if not meta:
+            return None, None
+
+        # round 1 on device: every line's narrow-band max image from the
+        # still-resident detection cube (identical values to the host
+        # nanmax over the cutout slab; out-of-field pixels zeroed)
+        line_images_pre = {}
+        for (comp, m), jobs in img_jobs.items():
+            got = _fetch_line_images(dev_by_comp[comp], jobs, m)
+            for (sid, num), (data, _msk) in got.items():
+                line_images_pre[(sid, num)] = np.ascontiguousarray(data)
+
+        # round 2 on device: all spectra, with the line images as weights
+        hdr = orig.cube.primary_header
+        wcube_fn = None
+        if "FSFMODE" in hdr:
+            step_arc = orig.wcs.get_step(unit="arcsec")[0]
+            fsfmodel = read_fsf_from_header(hdr, pixstep=float(step_arc))
+            lbda = wave.coord()
+            fwhm_fsf = np.asarray(fsfmodel.get_fwhm(lbda), np.float32)
+            beta_fsf = fsfmodel.get_beta(lbda)
+
+            def wcube_fn(m):
+                return _moffat_weight_cube(
+                    m, m, float(step_arc), fwhm_fsf, beta_fsf
+                )
+
+        for sid, (m, y0, x0, objm, skym, zjobs) in meta.items():
+            jobs_by_size.setdefault(m, []).append(dict(
+                key=sid, y0=y0, x0=x0, objm=objm, skym=skym,
+                lines=[(num, line_images_pre[(sid, num)])
+                       for num, _z1, _z2 in zjobs
+                       if (sid, num) in line_images_pre],
+            ))
+        spectra_pre = eng.source_spectra(jobs_by_size, wcube_fn)
+        return (spectra_pre or None), (line_images_pre or None)
 
 
 STEPS = [

@@ -716,3 +716,78 @@ def test_pallas_banded_matmul_interpret_matches_mxu():
         atol=1e-5, rtol=1e-5,
     )
     assert np.mean(np.asarray(p1).T.reshape(nz, ny, nx) == np.asarray(p0)) > 0.999
+
+
+def test_batched_source_spectra_matches_host_extract():
+    """Device-batched step-11 spectra == host Source.extract_spectra on
+    every tag (sky, total, white-, PSF- and line-weighted, both skysub
+    variants), including NaN voxels, masked borders and var<=0 pixels."""
+    from origin_tpu.artifacts.source import Source, _moffat_weight_cube
+    from origin_tpu.core.containers import Cube, Image, cutout_window
+    from origin_tpu.core.coords import WCS, WaveCoord
+    from origin_tpu.ops.spectra import batched_source_spectra
+
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 40, 30, 28
+    data = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    var = rng.uniform(0.5, 1.5, size=(nz, ny, nx)).astype(np.float32)
+    data[5, 4, 6] = np.nan
+    data[:, 2, 3] = np.nan
+    var[7, 10, 11] = 0.0
+    var[8, 12, 13] = np.nan
+    wcs = WCS(crpix=(ny / 2, nx / 2), crval=(-30.0, 53.0), shape=(ny, nx))
+    wave = WaveCoord(crval=4750.0, cdelt=1.25, shape=nz)
+    cube = Cube(data=data, var=var, wcs=wcs, wave=wave)
+
+    m = 9
+    step = wcs.get_step(unit="arcsec")[0]
+    fwhm = rng.uniform(0.5, 0.8, size=nz).astype(np.float32)
+    beta = np.full(nz, 2.8, np.float32)
+    wcube = _moffat_weight_cube(m, m, float(step), fwhm, beta)
+
+    host_specs = {}
+    jobs = []
+    centers = [(12.0, 13.0), (2.0, 25.0)]  # one interior, one on the border
+    for key, (y, x) in enumerate(centers):
+        (dec, ra), = wcs.pix2sky([[y, x]])
+        sub = cube.subcube(center=(dec, ra), size=m, unit_center="deg")
+        objm = np.zeros((m, m), bool)
+        objm[3:6, 3:7] = True
+        skym = np.ones((m, m), bool)
+        skym[2:7, 2:8] = False
+        src = Source.from_data(key, ra, dec, ("t", "v", "c", ""))
+        src.images["ORI_MASK_OBJ"] = Image(data=objm.astype(int))
+        src.images["ORI_MASK_SKY"] = Image(data=skym.astype(int))
+        src.images["MUSE_WHITE"] = sub.mean(axis=0)
+        lw = rng.uniform(0.0, 2.0, size=(m, m)).astype(np.float32)
+        src.images["ORI_CORR_7"] = Image(data=lw)
+        src.extract_spectra(sub, skysub=True, psf=fwhm, beta=beta,
+                            tags_to_try=["ORI_CORR_7"])
+        src.extract_spectra(sub, skysub=False, psf=fwhm, beta=beta,
+                            tags_to_try=["ORI_CORR_7"])
+        host_specs[key] = {t: (np.asarray(s.data), None if s.var is None
+                               else np.asarray(s.var))
+                           for t, s in src.spectra.items()}
+        y0, x0 = cutout_window(y, x, m)
+        jobs.append(dict(key=key, y0=y0 + m, x0=x0 + m,
+                         objm=objm, skym=skym, lines=[(7, lw)]))
+
+    pd = jnp.pad(jnp.asarray(cube.filled(0)), ((0, 0), (m, m), (m, m)))
+    pv = jnp.pad(jnp.asarray(cube.var_filled(np.inf)),
+                 ((0, 0), (m, m), (m, m)), constant_values=np.inf)
+    pm = jnp.pad(jnp.asarray(cube.masked_invalid()),
+                 ((0, 0), (m, m), (m, m)), constant_values=True)
+    dev = batched_source_spectra(pd, pv, pm, jobs, wcube=wcube)
+
+    for key in host_specs:
+        for tag, (hdata, hvar) in host_specs[key].items():
+            got = dev[key][tag]
+            gdata, gvar = got if isinstance(got, tuple) else (got, None)
+            np.testing.assert_allclose(
+                gdata, hdata, rtol=2e-4, atol=2e-5,
+                err_msg=f"src {key} tag {tag}")
+            if hvar is not None:
+                np.testing.assert_allclose(
+                    gvar, hvar, rtol=2e-4, atol=2e-5,
+                    err_msg=f"src {key} tag {tag} var")
+        assert set(dev[key]) == set(host_specs[key])

@@ -386,3 +386,75 @@ def test_write_skips_unchanged_aux_and_keeps_format(minicube, tmp_path):
     assert np.isfinite(orig2.thresO2).all()
     orig.close_logfile()
     orig2.close_logfile()
+
+
+def test_step11_device_batched_matches_host(minicube, tmp_path):
+    """On a live session the batched device spectra path must (a) actually
+    run and (b) write source files whose spectra/images match the host
+    per-source extraction (wire-decode + f32 reduction tolerances)."""
+    from origin_tpu.pipeline.steps import SaveSources
+
+    cube_fn, seg_fn = minicube
+    orig = ORIGIN.init(cube_fn, name="bat", loglevel="WARNING",
+                       path=str(tmp_path))
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=30, maxsize=60)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    orig.step05_compute_TGLR(ncpu=1)
+    orig.step06_compute_purity_threshold(purity=0.8)
+    orig.step07_detection(segmap=seg_fn)
+    orig.step08_compute_spectra()
+    orig.step09_clean_results()
+    orig.step10_create_masks()
+
+    seen = {}
+    real = SaveSources._device_source_artifacts
+
+    def spy(o, nb_fwhm):
+        res = real(o, nb_fwhm)
+        seen["spectra"], seen["line_imgs"] = res
+        return res
+
+    try:
+        SaveSources._device_source_artifacts = staticmethod(spy)
+        orig.step11_save_sources("0.1")
+    finally:
+        SaveSources._device_source_artifacts = staticmethod(real)
+    assert seen["spectra"], "batched device spectra path did not run"
+    assert seen["line_imgs"], "device line images did not run"
+
+    # host-path rerun of the same step into a second source tree
+    host_dir = tmp_path / "hostpath"
+    host_dir.mkdir()
+    try:
+        SaveSources._device_source_artifacts = staticmethod(
+            lambda o, nb: (None, None)
+        )
+        orig.step11_save_sources("0.1", path=str(host_dir), overwrite=True)
+    finally:
+        SaveSources._device_source_artifacts = staticmethod(real)
+
+    ids = sorted(np.unique(np.asarray(orig.Cat3_sources["ID"])))
+    checked_specs = 0
+    for sid in ids[:4]:
+        fn = "sources/source-%0.5d.fits" % sid
+        a = Source.from_file(str(tmp_path / "bat" / fn))
+        b = Source.from_file(str(host_dir / "bat" / fn))
+        assert set(a.spectra) == set(b.spectra)
+        for tag in a.spectra:
+            sa, sb = a.spectra[tag], b.spectra[tag]
+            scale = max(1.0, float(np.nanmax(np.abs(sb.data))))
+            np.testing.assert_allclose(
+                np.asarray(sa.data), np.asarray(sb.data),
+                atol=2e-3 * scale, err_msg=f"src {sid} {tag}")
+            checked_specs += 1
+        for tag in a.images:
+            if tag.startswith("ORI_CORR_"):
+                ia = np.asarray(a.images[tag].data)
+                ib = np.asarray(b.images[tag].data)
+                scale = max(1.0, float(np.abs(ib).max()))
+                np.testing.assert_allclose(ia, ib, atol=2e-3 * scale,
+                                           err_msg=f"src {sid} {tag}")
+    assert checked_specs > 10
+    orig.close_logfile()
