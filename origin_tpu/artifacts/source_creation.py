@@ -159,12 +159,29 @@ def create_source(
     h["OR_TH"] = float("%0.2f" % origin_params[thr_key]), "OR input, threshold"
     h["OR_PURI"] = float("%0.2f" % origin_params[pur_key]), "OR input, purity"
 
+    # device-precomputed per-source arrays (see
+    # pipeline.steps.SaveSources._device_source_artifacts): the *_IMG
+    # entries are images riding the spectra dict, split off here
+    spectra_pre = dict(spectra_pre) if spectra_pre else None
+    white_pre = maxmap_pre = corr_spec_pre = None
+    if spectra_pre is not None:
+        white_pre = spectra_pre.pop("MUSE_WHITE_IMG", None)
+        maxmap_pre = spectra_pre.pop("ORI_MAXMAP_IMG", None)
+        corr_spec_pre = spectra_pre.pop("ORI_CORR", None)
+
     # mini-cubes; cutouts pre-cut at mask_size by create_all_sources are
     # attached as-is (re-cutting a centred cutout to its own size is the
     # identity, and the copy costs ~20 MB per source)
     if data_cube.shape[1:] == (mask_size, mask_size):
         source.cubes["MUSE_CUBE"] = data_cube
-        source.images["MUSE_WHITE"] = data_cube.mean(axis=0)
+        if white_pre is not None:
+            wm = ~np.isfinite(white_pre)
+            source.images["MUSE_WHITE"] = Image(
+                data=white_pre, mask=wm if wm.any() else None,
+                wcs=data_cube.wcs, copy=False,
+            )
+        else:
+            source.images["MUSE_WHITE"] = data_cube.mean(axis=0)
     else:
         source.add_cube(data_cube, "MUSE_CUBE", size=mask_size,
                         add_white=True)
@@ -198,7 +215,14 @@ def create_source(
 
     # maps (segmaps/expmap may be pre-loaded Image objects, shared across
     # sources by create_all_sources)
-    source.images["ORI_MAXMAP"] = cube_ori.max(axis=0)
+    if maxmap_pre is not None:
+        mm = ~np.isfinite(maxmap_pre)
+        source.images["ORI_MAXMAP"] = Image(
+            data=np.where(mm, np.nan, maxmap_pre),
+            mask=mm if mm.any() else None, wcs=cube_ori.wcs, copy=False,
+        )
+    else:
+        source.images["ORI_MAXMAP"] = cube_ori.max(axis=0)
     source.add_image(mask, "ORI_MASK_OBJ")
     source.add_image(Image(skymask_filename), "ORI_MASK_SKY")
     for segmap_type, segmap in segmaps.items():
@@ -213,12 +237,17 @@ def create_source(
         source.add_image(expmap, "EXPMAP")
 
     objmask = np.asarray(source.images["ORI_MASK_OBJ"].data) > 0
-    ori_masked = np.where(
-        objmask[None], cube_ori.filled(np.nan), np.nan
-    )
-    with np.errstate(invalid="ignore"):
-        corr_spec = np.nanmean(ori_masked, axis=(1, 2))
-    corr_spec = np.where(np.isfinite(corr_spec), corr_spec, 0.0)
+    if corr_spec_pre is not None:
+        corr_spec = np.where(
+            np.isfinite(corr_spec_pre), corr_spec_pre, 0.0
+        )
+    else:
+        ori_masked = np.where(
+            objmask[None], cube_ori.filled(np.nan), np.nan
+        )
+        with np.errstate(invalid="ignore"):
+            corr_spec = np.nanmean(ori_masked, axis=(1, 2))
+        corr_spec = np.where(np.isfinite(corr_spec), corr_spec, 0.0)
     source.spectra["ORI_CORR"] = Spectrum(
         data=corr_spec, wave=cube_ori.wave, copy=False
     )

@@ -18,7 +18,38 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["line_max_images_kernel"]
+__all__ = ["line_max_images_kernel", "window_ori_stats_kernel"]
+
+
+@partial(jax.jit, static_argnames=("size",))
+def window_ori_stats_kernel(cube, y0, x0, objm, size):
+    """Per-source detection-cube stats: object-mean spectrum + max map.
+
+    For each (size x size) window at (y0, x0) (possibly out of field),
+    returns the mean spectrum over the object-mask pixels (NaN when the
+    mask covers no in-field pixel — the host nanmean convention) and the
+    spectral max map (-inf outside the field).  Replaces step 11's
+    per-source host passes over the correlation cutout (the ORI_CORR
+    spectrum and ORI_MAXMAP image of every source file).
+    """
+    nz, ny, nx = cube.shape
+    ar = jnp.arange(size)
+
+    def one(yy, xx, ob):
+        ys = yy + ar
+        xs = xx + ar
+        vy = (ys >= 0) & (ys < ny)
+        vx = (xs >= 0) & (xs < nx)
+        valid = vy[:, None] & vx[None, :]
+        win = cube[:, jnp.clip(ys, 0, ny - 1)[:, None],
+                   jnp.clip(xs, 0, nx - 1)[None, :]]
+        w = (ob > 0) & valid
+        cnt = jnp.sum(w)
+        spec = jnp.einsum("zyx,yx->z", win, w.astype(cube.dtype)) / cnt
+        maxmap = jnp.max(jnp.where(valid[None], win, -jnp.inf), axis=0)
+        return spec, maxmap
+
+    return jax.vmap(one)(y0, x0, objm)
 
 
 @partial(jax.jit, static_argnames=("size", "slab"))

@@ -87,7 +87,7 @@ def source_spectra_kernel(pd, pv, pm, y0, x0, objm, skym, wcube,
                                      jnp.where(ob > 0, white, 0.0))
         out = dict(sky=sky, tot_s=tot_s, tot_p=tot_p,
                    white_s=ws, white_s_var=wv,
-                   white_p=wps, white_p_var=wpv)
+                   white_p=wps, white_p_var=wpv, white_img=white)
         if has_psf:
             w = wcube * ob[None]
             den = jnp.einsum("zyx,zyx->z", w * w, inv)
@@ -182,6 +182,9 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
         if has_psf:
             d["MUSE_PSF_SKYSUB"] = (host["psf_s"][i], host["psf_s_var"][i])
             d["MUSE_PSF"] = (host["psf_p"][i], host["psf_p_var"][i])
+        # not a spectrum: the (m, m) white-light image, computed as the
+        # kernel's weight anyway — callers pop it for the MUSE_WHITE HDU
+        d["MUSE_WHITE_IMG"] = host["white_img"][i]
         out[j["key"]] = d
     for k, (i, num, _w) in enumerate(ljobs):
         key = jobs[i]["key"]

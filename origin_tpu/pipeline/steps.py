@@ -1015,6 +1015,41 @@ class SaveSources(Step):
                        if (sid, num) in line_images_pre],
             ))
         spectra_pre = eng.source_spectra(jobs_by_size, wcube_fn)
+
+        # detection-cube stats (ORI_CORR object-mean spectrum, ORI_MAXMAP)
+        # from the same still-resident device cubes, one program per
+        # (cube, size) group
+        if spectra_pre:
+            from ..ops.cutouts import window_ori_stats_kernel
+            from ..ops.pca import _bucket
+
+            groups = {}
+            for sid, (m, y0, x0, objm, _skym, _zjobs) in meta.items():
+                comp = int(cat[np.asarray(cat["ID"]) == sid]["comp"][0])
+                groups.setdefault((comp, m), []).append(
+                    (sid, y0, x0, objm)
+                )
+            for (comp, m), rows in groups.items():
+                nb = len(rows)
+                cap = _bucket(nb, 8)
+                y0s = np.zeros(cap, np.int32)
+                x0s = np.zeros(cap, np.int32)
+                obs = np.zeros((cap, m, m), np.float32)
+                for i, (sid, y0, x0, objm) in enumerate(rows):
+                    y0s[i], x0s[i] = y0, x0
+                    obs[i] = objm
+                dev = dev_by_comp[comp].device
+                if dev is None:
+                    continue
+                specs, maxmaps = window_ori_stats_kernel(
+                    dev, y0s, x0s, obs, int(m)
+                )
+                specs = np.asarray(specs[:nb])
+                maxmaps = np.asarray(maxmaps[:nb])
+                for i, (sid, _y0, _x0, _o) in enumerate(rows):
+                    if sid in spectra_pre:
+                        spectra_pre[sid]["ORI_CORR"] = specs[i]
+                        spectra_pre[sid]["ORI_MAXMAP_IMG"] = maxmaps[i]
         return (spectra_pre or None), (line_images_pre or None)
 
 

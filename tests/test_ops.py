@@ -779,7 +779,16 @@ def test_batched_source_spectra_matches_host_extract():
                  ((0, 0), (m, m), (m, m)), constant_values=True)
     dev = batched_source_spectra(pd, pv, pm, jobs, wcube=wcube)
 
-    for key in host_specs:
+    for key, (y, x) in enumerate(centers):
+        # the white-light image rides along (it is the kernel's weight);
+        # it must equal the host masked z-mean of the cutout
+        (dec, ra), = wcs.pix2sky([[y, x]])
+        sub = cube.subcube(center=(dec, ra), size=m, unit_center="deg")
+        white_host = sub.mean(axis=0)
+        got_white = dev[key].pop("MUSE_WHITE_IMG")
+        hw = np.where(white_host.mask, np.nan, white_host.data) \
+            if white_host.mask is not None else np.asarray(white_host.data)
+        np.testing.assert_allclose(got_white, hw, rtol=2e-4, atol=2e-5)
         for tag, (hdata, hvar) in host_specs[key].items():
             got = dev[key][tag]
             gdata, gvar = got if isinstance(got, tuple) else (got, None)
@@ -791,3 +800,53 @@ def test_batched_source_spectra_matches_host_extract():
                     gvar, hvar, rtol=2e-4, atol=2e-5,
                     err_msg=f"src {key} tag {tag} var")
         assert set(dev[key]) == set(host_specs[key])
+
+
+def test_window_ori_stats_kernel_matches_host():
+    """Device object-mean spectrum + max map == the host ORI_CORR /
+    ORI_MAXMAP computations, including border windows."""
+    from origin_tpu.core.containers import Cube, cutout_window
+    from origin_tpu.core.coords import WCS, WaveCoord
+    from origin_tpu.ops.cutouts import window_ori_stats_kernel
+
+    rng = np.random.default_rng(11)
+    nz, ny, nx = 30, 20, 22
+    data = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    wcs = WCS(crpix=(ny / 2, nx / 2), crval=(-30.0, 53.0), shape=(ny, nx))
+    wave = WaveCoord(crval=4750.0, cdelt=1.25, shape=nz)
+    cube = Cube(data=data, wcs=wcs, wave=wave)
+
+    m = 7
+    centers = [(10.0, 11.0), (1.0, 20.0)]
+    y0s, x0s, obs = [], [], []
+    for (y, x) in centers:
+        y0, x0 = cutout_window(y, x, m)
+        y0s.append(y0)
+        x0s.append(x0)
+        ob = np.zeros((m, m), np.float32)
+        ob[2:5, 2:6] = 1.0
+        obs.append(ob)
+    specs, maxmaps = window_ori_stats_kernel(
+        jnp.asarray(data), np.asarray(y0s, np.int32),
+        np.asarray(x0s, np.int32), np.stack(obs), m)
+
+    for i, (y, x) in enumerate(centers):
+        (dec, ra), = wcs.pix2sky([[y, x]])
+        sub = cube.subcube(center=(dec, ra), size=m, unit_center="deg")
+        objmask = obs[i] > 0
+        ori_masked = np.where(objmask[None], sub.filled(np.nan), np.nan)
+        with np.errstate(invalid="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                hspec = np.nanmean(ori_masked, axis=(1, 2))
+        got = np.asarray(specs[i])
+        fin = np.isfinite(hspec)
+        np.testing.assert_allclose(got[fin], hspec[fin], rtol=2e-5,
+                                   atol=1e-6)
+        assert np.array_equal(np.isfinite(got), fin)
+        hmax = sub.max(axis=0)
+        hdata = np.where(hmax.mask, -np.inf, hmax.data) \
+            if hmax.mask is not None else np.asarray(hmax.data)
+        np.testing.assert_allclose(np.asarray(maxmaps[i]), hdata,
+                                   rtol=2e-5, atol=1e-6)

@@ -450,11 +450,15 @@ def test_step11_device_batched_matches_host(minicube, tmp_path):
                 atol=2e-3 * scale, err_msg=f"src {sid} {tag}")
             checked_specs += 1
         for tag in a.images:
-            if tag.startswith("ORI_CORR_"):
-                ia = np.asarray(a.images[tag].data)
-                ib = np.asarray(b.images[tag].data)
-                scale = max(1.0, float(np.abs(ib).max()))
-                np.testing.assert_allclose(ia, ib, atol=2e-3 * scale,
+            if tag.startswith("ORI_CORR_") or tag in ("MUSE_WHITE",
+                                                      "ORI_MAXMAP"):
+                ia = np.asarray(a.images[tag].data, float)
+                ib = np.asarray(b.images[tag].data, float)
+                fin = np.isfinite(ia) & np.isfinite(ib)
+                assert fin.any()
+                scale = max(1.0, float(np.abs(ib[fin]).max()))
+                np.testing.assert_allclose(ia[fin], ib[fin],
+                                           atol=2e-3 * scale,
                                            err_msg=f"src {sid} {tag}")
     assert checked_specs > 10
     orig.close_logfile()
