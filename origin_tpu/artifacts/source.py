@@ -169,7 +169,15 @@ class Source:
         z2 = int(min(cube.shape[0] - 1, cube.wave.pixel(l2, nearest=True)))
         import warnings
 
-        data = cube.filled(np.nan)
+        # one NaN-filled copy per cutout, shared by every line's on/off
+        # bands (filled() re-copies the cube per call otherwise)
+        data = getattr(cube, "_filled_nan", None)
+        if data is None:
+            data = cube.filled(np.nan)
+            try:
+                cube._filled_nan = data
+            except Exception:
+                pass
         on = data[z1 : z2 + 1]
         with warnings.catch_warnings():
             # all-NaN spaxels (field edges) reduce to NaN -> zeroed below
