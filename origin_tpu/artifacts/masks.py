@@ -91,9 +91,14 @@ def _fetch_line_images(detection_cube, jobs, size):
         slab = _bucket(int(np.max(zhis - zlos + 1)), 8)
         # bucket the batch dim too: every distinct job count would
         # otherwise compile a fresh program (~10 s through a remote
-        # tunnel), and the count varies with every field and retry round
+        # tunnel), and the count varies with every field and retry round.
+        # x4 tiers (8, 32, 128, 512, ...) so one compiled program covers
+        # counts within a 4x band — survey fields routinely straddle
+        # power-of-two counts
+        from ..ops.spectra import _bucket4
+
         nb = len(keys)
-        cap = _bucket(nb, 8)
+        cap = _bucket4(nb, 8)
         pad = cap - nb
         imgs, _ = line_max_images_kernel(
             dev,
@@ -103,7 +108,12 @@ def _fetch_line_images(detection_cube, jobs, size):
             np.concatenate([zhis, np.zeros(pad, np.int32)]),
             int(size), int(slab),
         )
-        imgs = np.asarray(imgs[:nb])
+        # bucketed device trim (x2) before the fetch: an exact-count
+        # slice is a fresh tiny program per count
+        tb = 8
+        while tb < nb:
+            tb *= 2
+        imgs = np.asarray(imgs[:min(cap, tb)])[:nb]
         for key, img in zip(keys, imgs):
             mask = ~np.isfinite(img)
             data = np.where(mask, 0.0, img)

@@ -118,10 +118,19 @@ def source_spectra_kernel(pd, pv, pm, y0, x0, objm, skym, wcube,
     return res
 
 
-def _bucket8(n):
-    b = 8
+def _bucket4(n, minimum=8):
+    """Round up to minimum * 4^k.
+
+    Coarser than power-of-two bucketing on purpose: each distinct padded
+    batch shape is a fresh XLA program (~10 s through a remote-compile
+    tunnel), and survey fields routinely straddle power-of-two counts.
+    With x4 tiers one compiled program covers counts within a 4x band;
+    the padding overhead is device-cheap and the padded rows are sliced
+    off ON DEVICE before the fetch, so the link never carries them.
+    """
+    b = minimum
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 
@@ -141,7 +150,7 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
         return {}
     m = jobs[0]["objm"].shape[0]
     nb = len(jobs)
-    cap = _bucket8(nb)
+    cap = _bucket4(nb)
     y0 = np.zeros(cap, np.int32)
     x0 = np.zeros(cap, np.int32)
     objm = np.zeros((cap, m, m), np.float32)
@@ -152,7 +161,8 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
         skym[i] = j["skym"]
     ljobs = [(i, num, w) for i, j in enumerate(jobs)
              for num, w in j["lines"]]
-    lcap = _bucket8(len(ljobs)) if ljobs else 0
+    nl = len(ljobs)
+    lcap = _bucket4(nl) if ljobs else 0
     lsrc = np.zeros(lcap, np.int32)
     lw = np.zeros((lcap, m, m), np.float32)
     for k, (i, _num, w) in enumerate(ljobs):
@@ -167,6 +177,20 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
         jnp.asarray(np.asarray(wcube, np.float32)),
         jnp.asarray(lsrc), jnp.asarray(lw), m, has_psf,
     )
+    # slice most of the padding off on device before the fetch (the
+    # padded (cap, Nz) rows are real link bytes).  Trim sizes are x2
+    # buckets, not the exact counts: each distinct slice size is a tiny
+    # compiled program, so exact-count slicing would recompile per field
+    def _b2(n):
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    tb = min(cap, _b2(nb))
+    tl = min(lcap, _b2(nl)) if nl else 0
+    res = {k: (v[:tl] if k.startswith("line") else v[:tb])
+           for k, v in res.items()}
     host = jax.device_get(res)
 
     out = {}

@@ -44,6 +44,7 @@ from ..ops.glr import (
     prepare_profiles,
 )
 from ..ops.pca import _bucket, greedy_pca
+from ..ops.spectra import _bucket4
 
 __all__ = ["DeferredCube", "DeviceEngine", "MeshEngine", "device_memory_fits"]
 
@@ -461,11 +462,27 @@ def _scatter_sparse(shape, dtype, n, fidx, vals):
     return flat.reshape(shape)
 
 
+def _trim2(x, n):
+    """Device-slice a cap-padded vector down to the x2 bucket of ``n``.
+
+    Bounds the fetched padding to <2x the real rows while keeping the
+    number of distinct slice programs logarithmic (an exact-count slice
+    would compile per field).  Used with the x4 capacity tiers below:
+    coarse tiers keep the big compaction programs' compile count low,
+    the trim keeps their padding off the link.
+    """
+    b = 8
+    while b < n:
+        b *= 2
+    return x[: min(x.shape[0], b)]
+
+
 def _sparse_fetch(dev):
     """Materialize one mostly-zero device cube via sparse transfer."""
     n = int(jax.device_get(_count_nonzero_many((dev,)))[0])
-    cap = min(_bucket(max(n, 1), 256), dev.size)
-    ((fidx, vals),) = jax.device_get(_extract_nonzero_many((dev,), (cap,)))
+    cap = min(_bucket4(max(n, 1), 256), dev.size)
+    ((fidx, vals),) = _extract_nonzero_many((dev,), (cap,))
+    fidx, vals = jax.device_get((_trim2(fidx, n), _trim2(vals, n)))
     return _scatter_sparse(dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals)
 
 
@@ -533,10 +550,14 @@ def _prefetch_sparse_group(cubes):
             counts = [int(v) for v in jax.device_get(
                 _count_nonzero_many(devs))]
             caps = tuple(
-                min(_bucket(max(n, 1), 256), d.size)
+                min(_bucket4(max(n, 1), 256), d.size)
                 for n, d in zip(counts, devs)
             )
-            res = jax.device_get(_extract_nonzero_many(devs, caps))
+            res = jax.device_get(tuple(
+                (_trim2(f, n), _trim2(v, n))
+                for n, (f, v) in zip(counts,
+                                     _extract_nonzero_many(devs, caps))
+            ))
             for (c, fut, dev), n, (fidx, vals) in zip(grabbed, counts, res):
                 fut.set_result(_scatter_sparse(
                     dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals,
@@ -571,10 +592,14 @@ def materialize_deferred(cubes):
         devs = tuple(c._dev for c in sparse)
         counts = [int(v) for v in jax.device_get(_count_nonzero_many(devs))]
         caps = tuple(
-            min(_bucket(max(n, 1), 256), d.size)
+            min(_bucket4(max(n, 1), 256), d.size)
             for n, d in zip(counts, devs)
         )
-        res = jax.device_get(_extract_nonzero_many(devs, caps))
+        res = jax.device_get(tuple(
+            (_trim2(f, n), _trim2(v, n))
+            for n, (f, v) in zip(counts,
+                                 _extract_nonzero_many(devs, caps))
+        ))
         for c, n, (fidx, vals) in zip(sparse, counts, res):
             arr = _scatter_sparse(
                 c._dev.shape, np.dtype(str(c._dev.dtype)), n, fidx, vals
@@ -1265,15 +1290,17 @@ class DeviceEngine:
         The cube stays on device: one scalar count comes back, then one
         fused stream-compaction program returns the flat indices and the
         gathered value vectors in the row-major (z, y, x) ordering of
-        ``np.where``.  The capacity is bucketed to a power of two so the
-        program compiles once per bucket, not once per detection count.
+        ``np.where``.  The capacity is bucketed to x4 tiers (256, 1024,
+        4096, ...) so the program compiles once per tier, not once per
+        detection count — survey fields routinely straddle power-of-two
+        counts, and the padded rows are ~16 bytes each.
         """
         arr = self.get(name)
         extras = tuple(self.get(g) for g in gather)
         n = int(_count_above(arr, threshold))
         if n == 0:
             return self._unpack_sparse(None, 0, arr.shape, len(gather))
-        cap = min(_bucket(n, 256), arr.size)
+        cap = min(_bucket4(n, 256), arr.size)
         res = jax.device_get(_extract_above(arr, extras, threshold, cap))
         return self._unpack_sparse(res, n, arr.shape, len(gather))
 
@@ -1309,10 +1336,11 @@ class DeviceEngine:
         # cache stays keyed by one cap); per-side buckets when they differ
         # by more than one bucket step — the padded rows of the small side
         # are fetched over the link, so with very asymmetric counts the
-        # wasted transfer would scale with the LARGE side's cap
-        b1 = _bucket(max(n1, 1), 256)
-        b2 = _bucket(max(n2, 1), 256)
-        if max(b1, b2) <= 2 * min(b1, b2):
+        # wasted transfer would scale with the LARGE side's cap.  x4
+        # tiers, as in detections_above
+        b1 = _bucket4(max(n1, 1), 256)
+        b2 = _bucket4(max(n2, 1), 256)
+        if max(b1, b2) <= 4 * min(b1, b2):
             b1 = b2 = max(b1, b2)
         cap1 = min(b1, a1.size)
         cap2 = min(b2, a2.size)

@@ -1021,7 +1021,7 @@ class SaveSources(Step):
         # (cube, size) group
         if spectra_pre:
             from ..ops.cutouts import window_ori_stats_kernel
-            from ..ops.pca import _bucket
+            from ..ops.spectra import _bucket4
 
             groups = {}
             for sid, (m, y0, x0, objm, _skym, _zjobs) in meta.items():
@@ -1031,7 +1031,7 @@ class SaveSources(Step):
                 )
             for (comp, m), rows in groups.items():
                 nb = len(rows)
-                cap = _bucket(nb, 8)
+                cap = _bucket4(nb, 8)
                 y0s = np.zeros(cap, np.int32)
                 x0s = np.zeros(cap, np.int32)
                 obs = np.zeros((cap, m, m), np.float32)
@@ -1044,8 +1044,14 @@ class SaveSources(Step):
                 specs, maxmaps = window_ori_stats_kernel(
                     dev, y0s, x0s, obs, int(m)
                 )
-                specs = np.asarray(specs[:nb])
-                maxmaps = np.asarray(maxmaps[:nb])
+                # bucketed device trim (x2) before the fetch: exact-count
+                # slices would compile per field
+                tb = 8
+                while tb < nb:
+                    tb *= 2
+                tb = min(cap, tb)
+                specs = np.asarray(specs[:tb])[:nb]
+                maxmaps = np.asarray(maxmaps[:tb])[:nb]
                 for i, (sid, _y0, _x0, _o) in enumerate(rows):
                     if sid in spectra_pre:
                         spectra_pre[sid]["ORI_CORR"] = specs[i]
