@@ -354,7 +354,11 @@ class Source:
             hdr["EXTNAME"] = f"CUB_{name}_DATA"
             data = cube.data
             if data.dtype.kind == "f" and cube.mask is not None:
-                data = np.where(cube.mask, np.nan, data)
+                # raw-cube cutouts carry NaN at masked voxels already —
+                # skip the full-cutout fill copy then
+                masked = data[cube.mask]
+                if not np.isnan(masked).all():
+                    data = np.where(cube.mask, np.nan, data)
             hdus.append(fitsio.HDU(data=data.astype(np.float32), header=hdr))
             if cube.var is not None:
                 vhdr = coord_header(cube, True)

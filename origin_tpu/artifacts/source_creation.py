@@ -467,7 +467,13 @@ def create_all_sources(
                 expmap_filename=expmap_filename,
                 save_to=out_tpl % source_id,
                 data_cube=_precut(data_cube, source_id, mask_size),
-                cube_ori=_precut(ori, source_id, mask_size),
+                # sequential runs get the PARENT detection cube and cut
+                # lazily inside the job: every host-only precut above then
+                # overlaps the cube's in-flight device-to-host transfer
+                # instead of queuing behind it.  Parallel (process) runs
+                # precut here so jobs never pickle a full cube.
+                cube_ori=(ori if n_jobs == 1
+                          else _precut(ori, source_id, mask_size)),
                 spectra_pre=(spectra_pre or {}).get(source_id),
                 line_images_pre=line_imgs,
             )
