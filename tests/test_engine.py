@@ -339,6 +339,33 @@ def test_tight_memory_pipeline(tmp_path, monkeypatch):
     orig.step07_detection()
     assert len(orig.Cat1) > 0
 
+    # the back end runs through too — tight sessions must take the HOST
+    # source-building path (device inputs are dropped after step 08)
+    from origin_tpu.pipeline.steps import SaveSources
+
+    seen = {}
+    real = SaveSources._device_source_artifacts
+
+    def spy(o, nb_fwhm):
+        seen["res"] = real(o, nb_fwhm)
+        return seen["res"]
+
+    orig.step08_compute_spectra()
+    orig.step09_clean_results()
+    orig.step10_create_masks()
+    try:
+        SaveSources._device_source_artifacts = staticmethod(spy)
+        orig.step11_save_sources("0.1")
+    finally:
+        SaveSources._device_source_artifacts = staticmethod(real)
+    assert seen["res"] == (None, None)  # batched path declined
+    import glob
+
+    nsrc = len(np.unique(np.asarray(orig.Cat3_lines["ID"])))
+    assert len(glob.glob(str(tmp_path / "tight" / "sources"
+                             / "source-*.fits"))) == nsrc
+    orig.close_logfile()
+
 
 def test_mesh_engine_memory_budget_scales_with_sp(tmp_path, monkeypatch):
     """The tight-memory decision must use the PER-DEVICE share of a
