@@ -15,7 +15,43 @@ import numpy as np
 from .. import fitsio
 from .coords import WCS, WaveCoord
 
-__all__ = ["Cube", "Image", "Spectrum"]
+__all__ = ["Cube", "Image", "Spectrum", "Quant16"]
+
+
+class Quant16:
+    """Scaled-int16 representation of a float32 array: ``q * scale``.
+
+    Detection-statistic cubes (the GLR correlation, its profile-min
+    variant, the local-extrema cubes) are noise-normalized by
+    construction: their useful precision is far above the int16
+    quantization floor ``max|x| / 32766``.  Carrying them host-side in
+    this form (a) halves the device->host transfer, (b) halves the FITS
+    bytes — they are stored as BITPIX 16 images with a ``BSCALE`` card,
+    which any FITS reader decodes transparently — and (c) skips the
+    float32 big-endian conversion pass at write time.  ``decode()``
+    materializes the float32 view for numeric consumers.
+    """
+
+    __slots__ = ("q", "scale")
+
+    def __init__(self, q, scale):
+        self.q = np.asarray(q)
+        self.scale = float(scale)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def nbytes(self):
+        return self.q.nbytes
+
+    def decode(self, key=None):
+        """float32 values (optionally of just the ``key`` window)."""
+        arr = self.q[key] if key is not None else self.q
+        arr = arr.astype(np.float32)
+        arr *= np.float32(self.scale)
+        return arr
 
 
 class _Base:
@@ -197,7 +233,31 @@ class _Base:
         return self._reduce(np.nanmin, axis)
 
     # -- I/O ----------------------------------------------------------------------
+    def wire16(self):
+        """The product's :class:`Quant16` wire, when it carries one.
+
+        Plain containers never do; :class:`DeferredCube` returns the
+        quantized transfer so :meth:`write` can store it as a scaled
+        BITPIX-16 image without ever decoding the full float32 array.
+        """
+        return None
+
     def write(self, filename, savemask="nan", convert_float32=False, **kwargs):
+        wire = self.wire16()
+        if wire is not None and self.var is None and self.mask is None:
+            dhdr = fitsio.Header()
+            if self.wcs is not None:
+                self.wcs.to_header(dhdr)
+            if self.wave is not None:
+                self.wave.to_header(dhdr, axis=3 if self.ndim == 3 else 1)
+            dhdr["EXTNAME"] = "DATA"
+            dhdr["BSCALE"] = wire.scale, "physical = BSCALE * stored"
+            dhdr["BZERO"] = 0.0
+            fitsio.write(filename, [
+                fitsio.HDU(header=self.primary_header.copy()),
+                fitsio.HDU(data=wire.q, header=dhdr),
+            ])
+            return
         data = self.data
         if savemask == "nan" and self.mask is not None and data.dtype.kind == "f":
             data = np.array(data, copy=True)

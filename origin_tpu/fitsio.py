@@ -484,7 +484,16 @@ def read(filename):
                             np.uint32
                         )
                     else:
-                        data = data * float(bscale) + float(bzero)
+                        # <=2-byte integers scale exactly in float32 —
+                        # decoding a scaled int16 cube in float64 would
+                        # double its memory for no precision
+                        if data.dtype.itemsize <= 2:
+                            data = data.astype(np.float32)
+                            data *= np.float32(bscale)
+                            if bzero:
+                                data += np.float32(bzero)
+                        else:
+                            data = data * float(bscale) + float(bzero)
                     # scaling is applied: strip the cards so a re-write does
                     # not double-scale
                     for card in ("BSCALE", "BZERO"):

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import fitsio
-from ..core.containers import Cube
+from ..core.containers import Cube, Quant16
 from ..ops import compute_local_max, o2test, standardize
 from ..ops.dct import dct_residual, dctmat
 from ..ops.convolve import fft2_shape
@@ -169,6 +169,7 @@ class DeferredCube(Cube):
         self.mask = None
         self._dev = dev
         self._host = None
+        self._wire = None  # Quant16 transfer kept for write-time reuse
         self._post = post
         self._sparse = sparse
         self._fetch = fetch
@@ -194,7 +195,8 @@ class DeferredCube(Cube):
         avoids).
         """
         with self._lock:
-            if (self._host is None and self._future is None
+            if (self._host is None and self._wire is None
+                    and self._future is None
                     and self._dev is not None and not self._sparse):
                 if self._fetch is not None:
                     pool = (_copy_pool() if self._fetch_link
@@ -206,33 +208,58 @@ class DeferredCube(Cube):
                         lambda: np.asarray(dev)
                     )
 
-    @property
-    def data(self):
-        with self._lock:
-            if self._host is None:
-                if self._future is not None:
-                    arr = self._future.result()
-                    self._future = None
-                elif self._fetch is not None:
-                    arr = self._fetch()
-                elif self._sparse:
-                    arr = _sparse_fetch(self._dev)
-                else:
-                    arr = np.asarray(self._dev)
+    def _materialize_locked(self):
+        """Pull the host copy (or its Quant16 wire) off device; lock held."""
+        if self._host is None and self._wire is None:
+            if self._future is not None:
+                arr = self._future.result()
+                self._future = None
+            elif self._fetch is not None:
+                arr = self._fetch()
+            elif self._sparse:
+                arr = _sparse_fetch(self._dev, quant=self._post is None)
+            else:
+                arr = np.asarray(self._dev)
+            if isinstance(arr, Quant16):
+                self._wire = arr
+            else:
                 if self._post is not None:
                     arr = self._post(arr)
                 self._host = arr
-                self._dev = None  # single owner: free HBM once on host
+            self._dev = None  # single owner: free HBM once on host
+
+    def materialize(self):
+        """Ensure the content left the device, without forcing a decode."""
+        with self._lock:
+            self._materialize_locked()
+
+    def wire16(self):
+        with self._lock:
+            self._materialize_locked()
+            return self._wire
+
+    @property
+    def data(self):
+        with self._lock:
+            self._materialize_locked()
+            if self._host is None:
+                # decode the wire once; the wire stays for write fidelity
+                self._host = self._wire.decode()
             return self._host
 
     @data.setter
     def data(self, val):
         self._host = np.asarray(val)
+        self._wire = None  # replaced content: the old wire is stale
         self._dev = None
 
     @property
     def shape(self):
-        return self._host.shape if self._host is not None else self._dev.shape
+        if self._host is not None:
+            return self._host.shape
+        if self._wire is not None:
+            return self._wire.shape
+        return self._dev.shape
 
     @property
     def ndim(self):
@@ -242,6 +269,8 @@ class DeferredCube(Cube):
     def dtype(self):
         if self._host is not None:
             return self._host.dtype
+        if self._wire is not None:
+            return np.dtype(np.float32)
         if self._post is not None:
             # dtype after the post-transform (e.g. int16 profile cube)
             return self._post(np.zeros(1, np.dtype(str(self._dev.dtype)))).dtype
@@ -454,9 +483,42 @@ def _extract_nonzero_many(arrs, caps):
     return tuple(out)
 
 
-def _scatter_sparse(shape, dtype, n, fidx, vals):
-    """Rebuild a dense host array from compacted nonzero entries."""
-    flat = np.zeros(int(np.prod(shape)), dtype=dtype)
+def _store_int16():
+    """Whether float detection-statistic cubes keep their scaled-int16
+    form host-side (written as BITPIX-16 + BSCALE session files).
+
+    ``ORIGIN_TPU_STORE_INT16=0`` opts every product back into float32
+    files; the statistic cubes are noise-normalized, so the quantization
+    floor ``max|x|/32766`` (<1e-3 absolute) sits ~3 orders below their
+    own noise."""
+    import os
+
+    return os.environ.get("ORIGIN_TPU_STORE_INT16", "1").lower() not in (
+        "0", "false", "f32", "float32")
+
+
+def _scatter_sparse(shape, dtype, n, fidx, vals, quant=False):
+    """Rebuild a host array from compacted nonzero entries.
+
+    With ``quant``, float cubes come back as :class:`Quant16` (int16
+    zeros + the quantized values scattered in): the dense buffer is half
+    the size, the session file is written without a float32 conversion
+    pass, and the quantization itself touches only the ``n`` nonzero
+    entries.  Callers pass ``quant`` only for post-transform-free cubes.
+    """
+    dtype = np.dtype(dtype)
+    size = int(np.prod(shape))
+    if quant and dtype.kind == "f" and _store_int16():
+        vals = np.asarray(vals[:n], np.float32)
+        scale = max(float(np.max(np.abs(vals))) if n else 0.0, 1e-30) \
+            / 32766.0
+        flat = np.zeros(size, np.int16)
+        if n:
+            flat[fidx[:n]] = np.clip(
+                np.round(vals / np.float32(scale)), -32767, 32767
+            ).astype(np.int16)
+        return Quant16(flat.reshape(shape), scale)
+    flat = np.zeros(size, dtype=dtype)
     if n:
         flat[fidx[:n]] = vals[:n]
     return flat.reshape(shape)
@@ -477,13 +539,14 @@ def _trim2(x, n):
     return x[: min(x.shape[0], b)]
 
 
-def _sparse_fetch(dev):
+def _sparse_fetch(dev, quant=False):
     """Materialize one mostly-zero device cube via sparse transfer."""
     n = int(jax.device_get(_count_nonzero_many((dev,)))[0])
     cap = min(_bucket4(max(n, 1), 256), dev.size)
     ((fidx, vals),) = _extract_nonzero_many((dev,), (cap,))
     fidx, vals = jax.device_get((_trim2(fidx, n), _trim2(vals, n)))
-    return _scatter_sparse(dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals)
+    return _scatter_sparse(dev.shape, np.dtype(str(dev.dtype)), n, fidx,
+                           vals, quant=quant)
 
 
 @jax.jit
@@ -496,6 +559,7 @@ def _encode_i16(x):
     values ~[-10, 30]) that is <1e-3, three orders below the statistic's
     own noise floor.
     """
+    x = x.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(x)) / 32766.0, 1e-30)
     q = jnp.clip(jnp.round(x / scale), -32767, 32767).astype(jnp.int16)
     return q, scale
@@ -506,7 +570,10 @@ def _int16_wire_fetch(dev):
 
     The closure drops its device reference after the fetch so the HBM
     can be freed once the host copy exists (the DeferredCube drops its
-    own reference at the same point).
+    own reference at the same point).  When scaled-int16 storage is on
+    (the default), the wire is returned as a :class:`Quant16` — the
+    session file is then written straight from the int16 buffer and the
+    float32 decode happens only if a numeric consumer asks for it.
     """
     box = [dev]
 
@@ -515,8 +582,11 @@ def _int16_wire_fetch(dev):
         q, scale = _encode_i16(d)
         del d
         s = float(scale)
-        arr = np.asarray(q).astype(np.float32)
-        arr *= s
+        q = np.asarray(q)
+        if _store_int16():
+            return Quant16(q, s)
+        arr = q.astype(np.float32)
+        arr *= np.float32(s)
         return arr
 
     return fetch
@@ -535,7 +605,7 @@ def _prefetch_sparse_group(cubes):
     grabbed = []
     for c in cubes:
         with c._lock:
-            if (c._host is None and c._future is None
+            if (c._host is None and c._wire is None and c._future is None
                     and c._dev is not None and c._sparse):
                 fut = Future()
                 fut.set_running_or_notify_cancel()
@@ -561,6 +631,7 @@ def _prefetch_sparse_group(cubes):
             for (c, fut, dev), n, (fidx, vals) in zip(grabbed, counts, res):
                 fut.set_result(_scatter_sparse(
                     dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals,
+                    quant=c._post is None,
                 ))
         except BaseException as exc:  # propagate to every joiner
             for _, fut, _ in grabbed:
@@ -580,7 +651,8 @@ def materialize_deferred(cubes):
     instead of serializing.  A sparse cube whose group fetch is already
     in flight (:func:`_prefetch_sparse_group`) just joins it.
     """
-    live = [c for c in cubes if c._host is None and c._dev is not None]
+    live = [c for c in cubes
+            if c._host is None and c._wire is None and c._dev is not None]
     dense = [c for c in live if not c._sparse or c._future is not None]
     sparse = [c for c in live if c._sparse and c._future is None]
     # plain downloads first: rebuild closures (custom fetch) may join them,
@@ -602,8 +674,15 @@ def materialize_deferred(cubes):
         ))
         for c, n, (fidx, vals) in zip(sparse, counts, res):
             arr = _scatter_sparse(
-                c._dev.shape, np.dtype(str(c._dev.dtype)), n, fidx, vals
+                c._dev.shape, np.dtype(str(c._dev.dtype)), n, fidx, vals,
+                quant=c._post is None,
             )
+            if isinstance(arr, Quant16):
+                with c._lock:
+                    if c._host is None and c._wire is None:
+                        c._wire = arr
+                        c._dev = None
+                continue
             if c._post is not None:
                 arr = c._post(arr)
             with c._lock:
@@ -611,7 +690,7 @@ def materialize_deferred(cubes):
                     c._host = arr
                     c._dev = None
     for c in dense:
-        _ = c.data  # join the background copies
+        c.materialize()  # join the background copies (no decode)
 
 
 @partial(jax.jit, static_argnames=("cap1", "cap2"))
@@ -890,11 +969,14 @@ class DeviceEngine:
                 o.prefetch()
 
     def offload(self, *names):
-        """Materialize products to host now, freeing their HBM."""
+        """Materialize products to host now, freeing their HBM.
+
+        Quantized transfers stay in wire form (no float32 decode) —
+        exactly what a tight session wants from an eager offload."""
         for n in names:
             obj = getattr(self.orig, n, None)
             if isinstance(obj, DeferredCube) and obj.device is not None:
-                _ = obj.data
+                obj.materialize()
 
     def maybe_offload(self, *names):
         if self.tight_memory:
@@ -1213,6 +1295,22 @@ class DeviceEngine:
         unit-variance statistic's noise floor).
         ``ORIGIN_TPU_CORREL_WIRE=f32`` opts back into the float32
         download.
+        """
+        import os
+
+        if os.environ.get("ORIGIN_TPU_CORREL_WIRE", "int16").lower() in (
+                "f32", "fp32", "float32"):
+            return None
+        return _int16_wire_fetch(dev)
+
+    @staticmethod
+    def diag_wire_fetch(dev):
+        """Int16 wire for a diagnostics-only statistic cube.
+
+        ``cube_correl_min`` is stored bfloat16 on device (its 8-bit
+        mantissa is coarser than the int16 quantization floor, so the
+        wire loses nothing) and only ever feeds the session file and
+        diagnostic plots; same opt-outs as the correl wire.
         """
         import os
 

@@ -468,8 +468,11 @@ class ComputeTGLR(Step):
             fetch=orig.engine.correl_wire_fetch(dev["cube_correl"]),
             fetch_link=True,
         )
-        self.store_cube_dev("cube_correl_min", dev["cube_correl_min"],
-                            post=_host_f32)
+        self.store_cube_dev(
+            "cube_correl_min", dev["cube_correl_min"], post=_host_f32,
+            fetch=orig.engine.diag_wire_fetch(dev["cube_correl_min"]),
+            fetch_link=True,
+        )
         self.store_cube_dev("cube_profile", dev["cube_profile"],
                             post=prof_post)
         self.logger.info(

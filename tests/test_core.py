@@ -510,3 +510,56 @@ def test_cube_cross_sections_and_masked_sum():
     # sum over z must mask the dead spaxel, not report 0 flux
     img = cube.sum(axis=0)
     assert img.mask is not None and bool(img.mask[1, 1])
+
+
+def test_quant16_cube_write_roundtrip(tmp_path):
+    """A DeferredCube carrying a Quant16 wire writes a BITPIX-16 +
+    BSCALE session file that any FITS reader decodes to the wire's
+    float32 values — without the writer ever building the float cube."""
+    import jax.numpy as jnp
+
+    from origin_tpu import fitsio
+    from origin_tpu.core.containers import Quant16
+    from origin_tpu.pipeline.engine import DeferredCube, _int16_wire_fetch
+
+    rng = np.random.default_rng(11)
+    arr = rng.normal(scale=5.0, size=(20, 8, 7)).astype(np.float32)
+    wcs = WCS(crpix=(4, 3.5), crval=(-30.0, 53.0), shape=(8, 7))
+    wave = WaveCoord(crval=4750.0, cdelt=1.25, shape=20)
+    cube = DeferredCube(jnp.asarray(arr), wcs=wcs, wave=wave,
+                        fetch=_int16_wire_fetch(jnp.asarray(arr)))
+
+    fn = str(tmp_path / "correl.fits")
+    cube.write(fn)
+    wire = cube.wire16()
+    assert isinstance(wire, Quant16)
+
+    # the on-disk HDU is a scaled int16 image (the reader strips the
+    # scaling cards after applying them, so check the raw bytes)
+    hdr = fitsio.getheader(fn, ext=1)
+    assert int(hdr["BITPIX"]) == 16
+    with open(fn, "rb") as fh:
+        raw = fh.read(20 * 2880).decode("ascii", "replace")
+    assert "BSCALE" in raw
+
+    back = Cube(fn)
+    assert back.data.dtype == np.float32
+    np.testing.assert_array_equal(back.data, wire.decode())
+    step = float(np.abs(arr).max()) / 32766.0
+    assert np.abs(back.data - arr).max() <= 0.51 * step
+    assert back.wcs == wcs and back.wave == wave
+
+    # re-writing the decoded cube must not double-scale
+    fn2 = str(tmp_path / "correl2.fits")
+    back.write(fn2)
+    np.testing.assert_array_equal(Cube(fn2).data, back.data)
+
+    # replaced content invalidates the wire: the file gets the new data
+    cube2 = DeferredCube(jnp.asarray(arr),
+                         fetch=_int16_wire_fetch(jnp.asarray(arr)))
+    _ = cube2.wire16()
+    cube2.data = arr * 3.0
+    assert cube2.wire16() is None
+    fn3 = str(tmp_path / "correl3.fits")
+    cube2.write(fn3)
+    np.testing.assert_allclose(Cube(fn3).data, arr * 3.0, rtol=1e-6)

@@ -397,9 +397,11 @@ def test_mesh_engine_memory_budget_scales_with_sp(tmp_path, monkeypatch):
             h.close()
 
 
-def test_sparse_deferred_cube_matches_dense(problem):
-    """Sparse materialization (index/value transfer) rebuilds the exact
-    dense array, including negative extrema and the all-zero case."""
+def test_sparse_deferred_cube_matches_dense(problem, monkeypatch):
+    """Sparse materialization (index/value transfer) rebuilds the dense
+    array: exactly with int16 storage off, to the quantization floor
+    (max|x|/32766, zeros exact) with it on (the default)."""
+    from origin_tpu.core.containers import Quant16
     from origin_tpu.pipeline.engine import materialize_deferred
 
     rng = np.random.default_rng(7)
@@ -407,9 +409,13 @@ def test_sparse_deferred_cube_matches_dense(problem):
     hits = rng.random(arr.shape) < 0.03
     arr[hits] = rng.normal(size=int(hits.sum())).astype(np.float32)
     arr[0, 0, 0] = -3.5  # negative local extremum must survive
+    tol = float(np.abs(arr).max()) / 32766.0
 
     one = DeferredCube(jnp.asarray(arr), sparse=True)
-    np.testing.assert_array_equal(one.data, arr)
+    assert isinstance(one.wire16(), Quant16)
+    assert one.wire16().q.dtype == np.int16
+    np.testing.assert_allclose(one.data, arr, atol=tol)
+    np.testing.assert_array_equal(one.data == 0, arr == 0)  # zeros exact
 
     # grouped path: one count program + one extraction program for all
     cubes = [
@@ -418,10 +424,16 @@ def test_sparse_deferred_cube_matches_dense(problem):
         DeferredCube(jnp.asarray(arr * 2)),  # dense, mixed in
     ]
     materialize_deferred(cubes)
-    np.testing.assert_array_equal(cubes[0].data, arr)
+    np.testing.assert_allclose(cubes[0].data, arr, atol=tol)
     np.testing.assert_array_equal(cubes[1].data, np.zeros((4, 4, 4)))
     np.testing.assert_array_equal(cubes[2].data, arr * 2)
     assert all(c.device is None for c in cubes)
+
+    # the opt-out restores bit-exact float32 materialization
+    monkeypatch.setenv("ORIGIN_TPU_STORE_INT16", "0")
+    exact = DeferredCube(jnp.asarray(arr), sparse=True)
+    assert exact.wire16() is None
+    np.testing.assert_array_equal(exact.data, arr)
 
 
 def test_sparse_deferred_cube_post(problem):
@@ -551,17 +563,26 @@ def test_correl_int16_wire_bound():
     the documented max|x|/32766 half-step bound."""
     from origin_tpu.pipeline.engine import _int16_wire_fetch
 
+    from origin_tpu.core.containers import Quant16
+
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(scale=4.0, size=(40, 9, 11)).astype(np.float32))
-    arr = _int16_wire_fetch(x)()
+    wire = _int16_wire_fetch(x)()
     step = float(jnp.max(jnp.abs(x))) / 32766.0
+    # int16 storage on (default): the fetch returns the wire itself
+    assert isinstance(wire, Quant16)
+    assert wire.q.dtype == np.int16
+    arr = wire.decode()
     assert arr.dtype == np.float32
     # half a quantization step, plus the float32 rounding of the
     # divide/multiply on either side of the wire
     assert np.abs(arr - np.asarray(x)).max() <= 0.51 * step
+    # a window decode matches the full decode
+    np.testing.assert_array_equal(
+        wire.decode(np.s_[3:9, 1:5, 2:7]), arr[3:9, 1:5, 2:7])
     # all-zero cube decodes to exactly zero (scale floor guards /0)
     z = _int16_wire_fetch(jnp.zeros((4, 3, 2), jnp.float32))()
-    assert (z == 0).all()
+    assert (z.decode() == 0).all()
 
 
 def test_correl_wire_opt_out(monkeypatch):

@@ -360,7 +360,11 @@ def test_write_skips_unchanged_aux_and_keeps_format(minicube, tmp_path):
     assert 0 < nnz < lmax.size // 4  # genuinely sparse
     std = fitsio.getdata(os.path.join(folder, "cube_std.fits"))
     zs, ys, xs = np.nonzero(lmax)
-    np.testing.assert_allclose(lmax[zs, ys, xs], std[zs, ys, xs], rtol=1e-6)
+    # the extrema cube is stored scaled-int16: values match the float32
+    # statistic to the quantization step, the zero pattern is exact
+    qstep = np.abs(std[zs, ys, xs]).max() / 32766.0
+    np.testing.assert_allclose(lmax[zs, ys, xs], std[zs, ys, xs],
+                               atol=0.51 * qstep)
 
     mtimes = {
         f: os.path.getmtime(os.path.join(folder, f))
