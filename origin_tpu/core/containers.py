@@ -15,7 +15,7 @@ import numpy as np
 from .. import fitsio
 from .coords import WCS, WaveCoord
 
-__all__ = ["Cube", "Image", "Spectrum", "Quant16"]
+__all__ = ["Cube", "Image", "Spectrum", "Quant16", "QuantCube"]
 
 
 class Quant16:
@@ -408,6 +408,21 @@ class Cube(_Base):
         sy0, sy1 = max(0, y0), min(ny, y0 + size)
         sx0, sx1 = max(0, x0), min(nx, x0 + size)
         if sy1 - sy0 == size and sx1 - sx0 == size:
+            wire = self._subcube_wire() if self.var is None else None
+            if wire is not None:
+                # the parent is a quantized statistic cube: the cutout is
+                # an int16 window copy carried as-is — per-source FITS
+                # files then store it scaled-int16 too, and neither side
+                # of the cut pays a float32 decode unless a numeric
+                # consumer asks for one
+                q = np.array(wire.q[zsl, y0:y0 + size, x0:x0 + size],
+                             order="C", copy=True)
+                wave = self._copy_wave()
+                if lbda is not None and wave is not None:
+                    wave = self.wave[zsl]
+                return QuantCube(Quant16(q, wire.scale),
+                                 wcs=cutout_wcs(self.wcs, y0, x0, size),
+                                 wave=wave)
             # fully in-field window (the common case): one contiguous copy
             # per array, no fill pass — at 51 sources x 4 cutouts of a
             # notebook-scale cube the memsets alone are seconds of step 11
@@ -455,6 +470,13 @@ class Cube(_Base):
             wave = self.wave[zsl]
         return Cube(data=data, var=var, mask=mask, wcs=wcs, wave=wave, copy=False)
 
+    def _subcube_wire(self):
+        """The parent's Quant16 wire when slicing it beats decoding.
+
+        Plain cubes never carry one; :class:`DeferredCube` overrides
+        (device-resident cubes keep using the device window slice)."""
+        return None
+
     def get_image(self, wave, unit_wave=None, method="sum"):
         """Image reduced over an (inclusive) spectral range.
 
@@ -482,6 +504,59 @@ class Cube(_Base):
         img = np.where(mask, 0.0, img)
         return Image(data=img, mask=mask if mask.any() else None, wcs=self.wcs,
                      copy=False)
+
+
+class QuantCube(Cube):
+    """A Cube over a :class:`Quant16` window.
+
+    Produced by :meth:`Cube.subcube` when the parent carries a wire
+    (quantized detection-statistic cubes): :meth:`write` and the Source
+    writer store the int16 buffer directly (BITPIX 16 + BSCALE), while
+    ``.data`` decodes to float32 lazily for numeric consumers.
+    """
+
+    def __init__(self, wire, wcs=None, wave=None, primary_header=None):
+        self.filename = None
+        self.primary_header = primary_header or fitsio.Header()
+        self.data_header = fitsio.Header()
+        self.wcs = wcs
+        self.wave = wave
+        self.var = None
+        self.mask = None
+        self._wire = wire
+        self._decoded = None
+        self._sync_coord_shapes()
+
+    @property
+    def data(self):
+        if self._decoded is None:
+            self._decoded = self._wire.decode()
+        return self._decoded
+
+    @data.setter
+    def data(self, val):
+        self._decoded = np.asarray(val)
+        self._wire = None  # replaced content: the wire is stale
+
+    @property
+    def shape(self):
+        return (self._wire.shape if self._wire is not None
+                else self._decoded.shape)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float32)
+
+    def wire16(self):
+        return self._wire
+
+    def copy(self):
+        return Cube(data=self.data, wcs=self._copy_wcs(),
+                    wave=self._copy_wave(), copy=True)
 
 
 class Image(_Base):

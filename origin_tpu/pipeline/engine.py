@@ -276,6 +276,24 @@ class DeferredCube(Cube):
             return self._post(np.zeros(1, np.dtype(str(self._dev.dtype)))).dtype
         return np.dtype(str(self._dev.dtype))
 
+    def _subcube_wire(self):
+        """Quant16 wire for subcube cutting, when that beats decoding.
+
+        Mirrors :meth:`_region`'s guard: a still-device-resident cube
+        keeps using the device window slice; once a wire transfer is
+        in flight (or arrived), cutting int16 windows from it avoids the
+        full float32 decode."""
+        with self._lock:
+            if self._host is not None:
+                return None  # already decoded: plain slicing is cheapest
+            if self._wire is not None:
+                return self._wire
+            if (self._dev is not None and self._future is None
+                    and self._fetch is None):
+                return None  # device-resident: _region slices on device
+            self._materialize_locked()
+            return self._wire
+
     def _region(self, zsl, ysl, xsl):
         """Rectangular region fetch: slice on device while resident.
 
@@ -483,6 +501,53 @@ def _extract_nonzero_many(arrs, caps):
     return tuple(out)
 
 
+import threading as _threading
+
+LANE_STATS = {}
+_LANE_LOCK = _threading.Lock()
+
+
+def lane_stats_reset():
+    """Clear the per-lane CPU accounting (see :func:`lane_time`)."""
+    with _LANE_LOCK:
+        LANE_STATS.clear()
+
+
+def lane_time(label, cpu, wall=0.0, nbytes=0):
+    """Accumulate (calls, thread-CPU s, wall s, bytes) under ``label``.
+
+    The benchmark harness reads :data:`LANE_STATS` after step 11 to
+    attribute the single-core host budget to lanes (rebuilds, wire
+    decodes, product parking, source building) — thread CPU is the
+    link-weather-independent cost that actually bounds this host.
+    """
+    with _LANE_LOCK:
+        c, t, w, b = LANE_STATS.get(label, (0, 0.0, 0.0, 0))
+        LANE_STATS[label] = (c + 1, t + cpu, w + wall, b + int(nbytes))
+
+
+class _lane_timer:
+    """Context manager: lane_time(label, thread_cpu, wall, nbytes)."""
+
+    def __init__(self, label, nbytes=0):
+        self.label = label
+        self.nbytes = nbytes
+
+    def __enter__(self):
+        import time
+
+        self._c0 = time.thread_time()
+        self._w0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+
+        lane_time(self.label, time.thread_time() - self._c0,
+                  time.perf_counter() - self._w0, self.nbytes)
+        return False
+
+
 def _store_int16():
     """Whether float detection-statistic cubes keep their scaled-int16
     form host-side (written as BITPIX-16 + BSCALE session files).
@@ -582,7 +647,8 @@ def _int16_wire_fetch(dev):
         q, scale = _encode_i16(d)
         del d
         s = float(scale)
-        q = np.asarray(q)
+        with _lane_timer("wire:int16", nbytes=2 * int(q.size)):
+            q = np.asarray(q)
         if _store_int16():
             return Quant16(q, s)
         arr = q.astype(np.float32)
@@ -1065,32 +1131,43 @@ class DeviceEngine:
         shared = {}
         shared_lock = threading.Lock()
 
-        def _cont_sigma():
+        def _rebuild_both():
+            # one locked pass computes BOTH products, reusing the
+            # continuum matmul output in place for cont_dct (one fewer
+            # full-cube allocation) and zeroing bad voxels with the
+            # isfinite+set pair (np.nan_to_num is ~15x slower here).
+            # The arithmetic ORDER matches the old per-fetch form
+            # exactly: on the CPU backend the rebuild is bit-equal to
+            # the device arrays, which the tight-memory paths rely on
+            # (greedy PCA iterates on a hard O2 threshold — a 1-ulp
+            # drift there flips an iteration and moves the catalog)
             with shared_lock:
-                if "cont" not in shared:
+                if "std" not in shared:
                     d0 = dctmat(nz, order, dtype=np.float32)
-                    shared["cont"] = np.tensordot(
+                    cont = np.tensordot(
                         d0, np.asarray(coef, np.float32), axes=([1], [0])
                     )
-                    shared["sigma"] = np.sqrt(orig.var)
-                return shared["cont"], shared["sigma"]
+                    sigma = np.sqrt(orig.var)
+                    data = orig.cube_raw - cont
+                    data -= mean_z[:, None, None]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        data /= sigma
+                    bad = np.asarray(orig.mask) | ~np.isfinite(data)
+                    data[bad] = 0.0
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cont /= sigma  # in place: cont becomes cont_dct
+                    cont[~np.isfinite(cont)] = 0.0
+                    shared["std"] = data
+                    shared["cont_dct"] = cont
+                return shared
 
         def fetch_cont_dct():
-            cont, sigma = _cont_sigma()
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cont_std = cont / sigma
-            np.nan_to_num(cont_std, copy=False, posinf=0.0, neginf=0.0)
-            return cont_std
+            with _lane_timer("rebuild:cont_dct"):
+                return _rebuild_both()["cont_dct"]
 
         def fetch_cube_std():
-            cont, sigma = _cont_sigma()
-            data = orig.cube_raw - cont
-            data -= mean_z[:, None, None]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                data /= sigma
-            bad = np.asarray(orig.mask) | ~np.isfinite(data)
-            data[bad] = 0.0
-            return data
+            with _lane_timer("rebuild:cube_std"):
+                return _rebuild_both()["std"]
 
         return dict(cube_std=fetch_cube_std, cont_dct=fetch_cont_dct)
 
@@ -1173,11 +1250,13 @@ class DeviceEngine:
         """
 
         def fetch():
-            std = np.array(self.orig.cube_std.data, dtype=np.float32)
-            flat = std.reshape(std.shape[0], -1)
-            for idx, u_mat, c_mat in factors:
-                flat[:, idx] -= u_mat @ c_mat
-            return std
+            std = self.orig.cube_std.data  # joins the std rebuild
+            with _lane_timer("rebuild:cube_faint"):
+                std = np.array(std, dtype=np.float32)
+                flat = std.reshape(std.shape[0], -1)
+                for idx, u_mat, c_mat in factors:
+                    flat[:, idx] -= u_mat @ c_mat
+                return std
 
         return fetch
 

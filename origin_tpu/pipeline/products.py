@@ -93,6 +93,23 @@ def _write_pool():
     return _WRITE_POOL
 
 
+def _timed_save(save, name, value, path):
+    """Park one product, accounting its writer-lane cost (see
+    engine.LANE_STATS)."""
+    from .engine import _lane_timer
+
+    with _lane_timer(f"park:{name}"):
+        save(value, path)
+    try:
+        from os import path as _p
+
+        from .engine import lane_time
+
+        lane_time("park:bytes", 0.0, nbytes=_p.getsize(path))
+    except OSError:
+        pass
+
+
 class Parked:
     """Marker standing in for a product that lives in a session file."""
 
@@ -164,7 +181,9 @@ class ProductStore:
                 continue
             path = self.file_for(name, directory)
             self._pending[name] = (
-                pool.submit(FORMATS[kind].save, value, path), path, value,
+                pool.submit(_timed_save, FORMATS[kind].save, name, value,
+                            path),
+                path, value,
             )
 
     def _join_pending(self):
@@ -188,7 +207,7 @@ class ProductStore:
             if value is None or isinstance(value, Parked):
                 continue
             path = self.file_for(name, directory)
-            FORMATS[kind].save(value, path)
+            _timed_save(FORMATS[kind].save, name, value, path)
             self._slots[name] = Parked(path)
 
     def point_at(self, directory):

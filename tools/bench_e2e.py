@@ -29,6 +29,37 @@ REF_TIMES = {  # docs/example.ipynb cells 14-79 (see BASELINE.md)
 }
 
 
+def _thread_cpu():
+    """Per-thread CPU seconds of this process: {label: seconds}.
+
+    Python-named threads (writer/copy/rebuild pools) are labelled by
+    their thread name; everything else (XLA/runtime threads) by the OS
+    comm.  Used to attribute a step's process_time to lanes."""
+    import threading
+
+    names = {t.native_id: t.name for t in threading.enumerate()
+             if t.native_id is not None}
+    tick = os.sysconf("SC_CLK_TCK")
+    out = {}
+    try:
+        for tid in os.listdir("/proc/self/task"):
+            try:
+                with open(f"/proc/self/task/{tid}/stat", "rb") as fh:
+                    st = fh.read().decode("ascii", "replace")
+                comm = st[st.index("(") + 1:st.rindex(")")]
+                rest = st[st.rindex(")") + 2:].split()
+                cpu = (int(rest[11]) + int(rest[12])) / tick
+            except OSError:
+                continue
+            label = names.get(int(tid), comm)
+            # pool threads share a prefix: aggregate them
+            label = label.rsplit("_", 1)[0] if label[-1:].isdigit() else label
+            out[label] = out.get(label, 0.0) + cpu
+    except OSError:
+        pass
+    return out
+
+
 def make_field(nz=3681, ny=100, nx=200, seed=7, noise=1.0,
                n_cont=12, n_faint=40, n_bright=8):
     """Synthetic MUSE-like field with randomly placed sources."""
@@ -134,7 +165,9 @@ def main():
 
 def _run_pipeline(args, cube_fn, run):
     from origin_tpu import ORIGIN
+    from origin_tpu.pipeline.engine import lane_stats_reset
 
+    lane_stats_reset()
     orig = ORIGIN.init(cube_fn, name=f"bench{run}", path=args.out,
                        loglevel=args.loglevel)
 
@@ -160,19 +193,55 @@ def _run_pipeline(args, cube_fn, run):
     ]
 
     times = {}
+    cpu_times = {}
     total = 0.0
-    print(f"{'step':8s} {'ours (s)':>10s} {'ref (s)':>9s} {'speedup':>9s}")
+    cpu_total = 0.0
+    print(f"{'step':8s} {'ours (s)':>10s} {'cpu (s)':>9s} {'ref (s)':>9s} "
+          f"{'speedup':>9s}")
     for name, fn in steps:
+        # process_time sums every thread's CPU seconds: it is the
+        # link-weather-INDEPENDENT cost of the step on this 1-core host
+        # (wall - cpu ~= time spent waiting on the tunnel)
         t0 = time.perf_counter()
-        fn()
+        c0 = time.process_time()
+        th0 = _thread_cpu() if name == "step11" else None
+        if name == "step11" and os.environ.get("BENCH_E2E_PROFILE"):
+            import cProfile
+            import pstats
+
+            prof = cProfile.Profile()
+            prof.enable()
+            fn()
+            prof.disable()
+            pstats.Stats(prof).sort_stats("cumulative").print_stats(30)
+        else:
+            fn()
         dt = time.perf_counter() - t0
+        dc = time.process_time() - c0
+        if th0 is not None:
+            th1 = _thread_cpu()
+            lanes = sorted(
+                ((k, th1.get(k, 0.0) - th0.get(k, 0.0))
+                 for k in set(th0) | set(th1)),
+                key=lambda kv: -kv[1])
+            print("step11 thread CPU: "
+                  + ", ".join(f"{k}={v:.1f}s" for k, v in lanes
+                              if v >= 0.5))
+            from origin_tpu.pipeline.engine import LANE_STATS
+
+            for label, (n, cpu, wall, nb) in sorted(
+                    LANE_STATS.items(), key=lambda kv: -kv[1][1]):
+                print(f"  lane {label:18s} n={n:4d} cpu={cpu:6.2f}s "
+                      f"wall={wall:6.2f}s bytes={nb/1e6:8.1f}MB")
         times[name] = dt
+        cpu_times[name] = dc
         total += dt
+        cpu_total += dc
         ref = REF_TIMES.get(name)
         sp = f"{ref/dt:8.1f}x" if ref else "      —"
-        print(f"{name:8s} {dt:10.2f} {ref or 0:9.2f} {sp}")
+        print(f"{name:8s} {dt:10.2f} {dc:9.2f} {ref or 0:9.2f} {sp}")
     ref_total = sum(REF_TIMES.values())
-    print(f"{'TOTAL':8s} {total:10.2f} {ref_total:9.2f} "
+    print(f"{'TOTAL':8s} {total:10.2f} {cpu_total:9.2f} {ref_total:9.2f} "
           f"{ref_total/total:8.1f}x")
 
     ns = orig._get_stat()
@@ -185,6 +254,8 @@ def _run_pipeline(args, cube_fn, run):
             "unit": "s",
             "vs_baseline": round(ref_total / total, 2),
             "steps": {k: round(v, 2) for k, v in times.items()},
+            "steps_cpu": {k: round(v, 2) for k, v in cpu_times.items()},
+            "cpu_total": round(cpu_total, 2),
         }))
 
 
