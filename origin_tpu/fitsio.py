@@ -619,14 +619,16 @@ def write(filename, hdus, overwrite=True):
             payload, padding = _data_bytes(data)
             parts.append(payload)
             parts.append(padding)
-    tmp = filename + ".tmp"
     # stream the parts: image payloads are zero-copy array views, and a
-    # join() would re-copy every cube-sized buffer
-    with open(tmp, "wb") as fh:
+    # join() would re-copy every cube-sized buffer.  Write straight to
+    # the final name (mpdaf/astropy semantics): a tmp+rename would make
+    # ext4 flush the data pages synchronously on the rename
+    # (auto_da_alloc), turning every product write into a disk wait on
+    # the writer's critical path
+    with open(filename, "wb") as fh:
         for part in parts:
             if len(part):
                 fh.write(part)
-    os.replace(tmp, filename)
 
 
 # ---------------------------------------------------------------------------

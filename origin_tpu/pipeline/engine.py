@@ -630,6 +630,53 @@ def _encode_i16(x):
     return q, scale
 
 
+@partial(jax.jit, static_argnames=("bits",))
+def _pack_bits(x, bits):
+    """Pack a small-integer cube to ``bits`` bits/value along x (device).
+
+    Values must be < 2**bits; 8//bits values share one output byte
+    (disjoint bit slots, so the sum is a bitwise OR)."""
+    k = 8 // bits
+    nz, ny, nx = x.shape
+    pad = (-nx) % k
+    xp = jnp.pad(x.astype(jnp.uint8), ((0, 0), (0, 0), (0, pad)))
+    xp = xp.reshape(nz, ny, (nx + pad) // k, k).astype(jnp.int32)
+    shifts = jnp.arange(k, dtype=jnp.int32) * bits
+    return jnp.sum(xp << shifts, axis=-1).astype(jnp.uint8)
+
+
+def _unpack_bits(packed, bits, nx, dtype):
+    """Host inverse of :func:`_pack_bits`."""
+    k = 8 // bits
+    mask = np.uint8((1 << bits) - 1)
+    out = np.empty(packed.shape[:2] + (packed.shape[2] * k,), np.uint8)
+    for j in range(k):
+        out[..., j::k] = (packed >> np.uint8(j * bits)) & mask
+    out = out[..., :nx]
+    return out if out.dtype == dtype else out.astype(dtype)
+
+
+def _packed_wire_fetch(dev, bits, post=None):
+    """Bit-packed lossless wire for a small-integer cube.
+
+    The default 3-profile dictionary's index cube packs 4 voxels/byte:
+    the host link moves 1/4 of the dense uint8 download.  ``post``
+    applies the caller's dtype narrowing after unpacking."""
+    box = [dev]
+    nx = int(dev.shape[-1])
+
+    def fetch():
+        d, box[0] = box[0], None
+        packed = _pack_bits(d, bits)
+        del d
+        with _lane_timer("wire:packed", nbytes=int(np.prod(packed.shape))):
+            packed = np.asarray(packed)
+        arr = _unpack_bits(packed, bits, nx, np.uint8)
+        return post(arr) if post is not None else arr
+
+    return fetch
+
+
 def _int16_wire_fetch(dev):
     """Host materialization of a float device cube over an int16 wire.
 
@@ -1381,6 +1428,19 @@ class DeviceEngine:
                 "f32", "fp32", "float32"):
             return None
         return _int16_wire_fetch(dev)
+
+    @staticmethod
+    def profile_wire_fetch(dev, nprof, post=None):
+        """Lossless bit-packed wire for the profile-index cube.
+
+        Packs to 1/2/4 bits per voxel when the dictionary fits (the
+        default 3-profile dictionary: 4 voxels/byte); larger
+        dictionaries keep the dense download.  Returns None when packing
+        does not apply."""
+        for bits in (1, 2, 4):
+            if nprof <= (1 << bits):
+                return _packed_wire_fetch(dev, bits, post=post)
+        return None
 
     @staticmethod
     def diag_wire_fetch(dev):

@@ -473,8 +473,12 @@ class ComputeTGLR(Step):
             fetch=orig.engine.diag_wire_fetch(dev["cube_correl_min"]),
             fetch_link=True,
         )
-        self.store_cube_dev("cube_profile", dev["cube_profile"],
-                            post=prof_post)
+        self.store_cube_dev(
+            "cube_profile", dev["cube_profile"], post=prof_post,
+            fetch=orig.engine.profile_wire_fetch(
+                dev["cube_profile"], nprof, post=prof_post),
+            fetch_link=True,
+        )
         self.logger.info(
             "cube_correl / cube_correl_min / cube_profile ready "
             "(T_GLR statistic and best-profile indices)"

@@ -612,3 +612,20 @@ def test_park_async_overlapped_write(tmp_path):
         np.loadtxt(tmp_path / "b.txt", ndmin=1), np.zeros(2)
     )
     np.testing.assert_array_equal(store.fetch("a"), np.arange(3.0))
+
+
+def test_profile_packed_wire(problem):
+    """The profile-index cube's bit-packed wire is lossless and engages
+    exactly when the dictionary fits 1/2/4 bits."""
+    from origin_tpu.pipeline.engine import DeviceEngine, _pack_bits
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 3, size=(30, 7, 13)).astype(np.uint8)
+    fetch = DeviceEngine.profile_wire_fetch(jnp.asarray(x), 3)
+    assert fetch is not None
+    np.testing.assert_array_equal(fetch(), x)
+    # 4 voxels/byte on the wire for a 3-profile dictionary
+    packed = np.asarray(_pack_bits(jnp.asarray(x), 2))
+    assert packed.shape == (30, 7, 4)  # ceil(13/4)
+    # a 20-profile dictionary keeps the dense download
+    assert DeviceEngine.profile_wire_fetch(jnp.zeros((2, 2, 2)), 20) is None
