@@ -936,7 +936,13 @@ class SaveSources(Step):
         eng = getattr(orig, "engine", None)
         cat = getattr(orig, "Cat3_sources", None)
         lines = getattr(orig, "Cat3_lines", None)
-        if (eng is None or orig.mesh is not None or eng.tight_memory
+        # mesh sessions take this path too: the batched window kernels
+        # compile over the row-sharded cubes (XLA inserts the shard
+        # gathers), so a live multi-chip session reduces its source
+        # spectra on the mesh instead of falling back to the host loop.
+        # Tight sessions still bail (their detection cubes are already
+        # off-device by design).
+        if (eng is None or eng.tight_memory
                 or cat is None or len(cat) == 0 or lines is None):
             return None, None
         dev_by_comp = {}

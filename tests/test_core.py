@@ -563,3 +563,59 @@ def test_quant16_cube_write_roundtrip(tmp_path):
     fn3 = str(tmp_path / "correl3.fits")
     cube2.write(fn3)
     np.testing.assert_allclose(Cube(fn3).data, arr * 3.0, rtol=1e-6)
+
+
+def test_quantcube_subcube_and_source_write(tmp_path):
+    """subcube on a wire-carrying cube yields an int16 QuantCube whose
+    decoded values equal the decoded-window values, and the Source
+    writer stores it as a scaled BITPIX-16 HDU that reads back equal."""
+    import jax.numpy as jnp
+
+    from origin_tpu import fitsio
+    from origin_tpu.artifacts.source import Source
+    from origin_tpu.core.containers import QuantCube
+    from origin_tpu.pipeline.engine import DeferredCube, _int16_wire_fetch
+
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 40, 30, 26
+    arr = rng.normal(scale=7.0, size=(nz, ny, nx)).astype(np.float32)
+    wcs = WCS(crpix=(ny / 2, nx / 2), crval=(-30.0, 53.0), shape=(ny, nx))
+    wave = WaveCoord(crval=4750.0, cdelt=1.25, shape=nz)
+    parent = DeferredCube(jnp.asarray(arr), wcs=wcs, wave=wave,
+                          fetch=_int16_wire_fetch(jnp.asarray(arr)))
+
+    sub = parent.subcube(center=(14, 13), size=9)
+    assert isinstance(sub, QuantCube)
+    assert sub.wire16().q.dtype == np.int16
+    assert sub.shape == (nz, 9, 9) and sub.ndim == 3
+    assert sub.dtype == np.float32
+    # decoded cutout == window of the decoded parent (same wire scale)
+    np.testing.assert_array_equal(sub.data, parent.data[:, 10:19, 9:18])
+    # coordinates follow the window
+    (dec, dec2) = sub.wcs.pix2sky([(4, 4)])[0], parent.wcs.pix2sky(
+        [(14, 13)])[0]
+    np.testing.assert_allclose(dec, dec2)
+
+    # an out-of-field cutout falls back to the float path (masked fill)
+    edge = parent.subcube(center=(1, 1), size=9)
+    assert not isinstance(edge, QuantCube)
+    assert edge.shape == (nz, 9, 9)
+
+    # Source writer: the cutout HDU is BITPIX 16 and reads back equal
+    src = Source.from_data(7, 53.0, -30.0, ("ORIGIN", "t", "c", ""))
+    src.cubes["ORI_CORREL"] = sub
+    fn = str(tmp_path / "src.fits")
+    src.write(fn)
+    for h in fitsio.read(fn):
+        if str(h.header.get("EXTNAME", "")).strip() == "CUB_ORI_CORREL_DATA":
+            np.testing.assert_array_equal(
+                np.asarray(h.data, np.float32), sub.data)
+            break
+    else:
+        raise AssertionError("ORI_CORREL HDU missing")
+    back = Source.from_file(fn)
+    np.testing.assert_array_equal(back.cubes["ORI_CORREL"].data, sub.data)
+
+    # replaced data invalidates the cutout's wire
+    sub.data = sub.data * 2.0
+    assert sub.wire16() is None

@@ -363,6 +363,84 @@ def test_session_mesh_full_pipeline(tmp_path):
             h.close()
 
 
+def test_session_mesh_backend_device_path(tmp_path):
+    """A LIVE mesh session's step 11 takes the batched device path — the
+    window kernels compile over the row-sharded detection cubes — and its
+    sources match a host-path rerun of the same session (same masks, same
+    catalogs; only the reduction path differs)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_minicube import make_minicube, make_segmap
+
+    from origin_tpu import ORIGIN
+    from origin_tpu.artifacts.source import Source
+    from origin_tpu.pipeline.steps import SaveSources
+
+    cube_fn = str(tmp_path / "mini.fits")
+    seg_fn = str(tmp_path / "seg.fits")
+    make_minicube(cube_fn, nz=400, ny=64, nx=64)
+    make_segmap(seg_fn, ny=64, nx=64)
+
+    live = ORIGIN.init(cube_fn, name="live", loglevel="WARNING",
+                       path=str(tmp_path), PSF_size=9, mesh=make_mesh(8, dp=1))
+    live.step01_preprocessing()
+    live.step02_areas(minsize=20, maxsize=40)
+    live.step03_compute_PCA_threshold()
+    live.step04_compute_greedy_PCA()
+    live.step05_compute_TGLR(ncpu=1)
+    live.step06_compute_purity_threshold(purity=0.8)
+    live.step07_detection(segmap=seg_fn)
+    live.step08_compute_spectra()
+    live.step09_clean_results()
+    live.step10_create_masks()
+    assert live.cube_correl.device is not None  # still resident, sharded
+
+    seen = {}
+    real = SaveSources._device_source_artifacts
+
+    def spy(o, nb_fwhm):
+        out = real(o, nb_fwhm)
+        seen["spectra"], seen["line_imgs"] = out
+        return out
+
+    try:
+        SaveSources._device_source_artifacts = staticmethod(spy)
+        live.step11_save_sources("0.1")
+    finally:
+        SaveSources._device_source_artifacts = staticmethod(real)
+    assert seen["spectra"], "mesh device spectra path did not run"
+    assert seen["line_imgs"], "mesh device line images did not run"
+
+    host_dir = tmp_path / "meshhost"
+    host_dir.mkdir()
+    try:
+        SaveSources._device_source_artifacts = staticmethod(
+            lambda o, nb: (None, None)
+        )
+        live.step11_save_sources("0.1", path=str(host_dir), overwrite=True)
+    finally:
+        SaveSources._device_source_artifacts = staticmethod(real)
+
+    ids = sorted(np.unique(np.asarray(live.Cat3_sources["ID"])))
+    checked = 0
+    for sid in ids[:3]:
+        fn = "sources/source-%0.5d.fits" % sid
+        a = Source.from_file(str(tmp_path / "live" / fn))
+        b = Source.from_file(str(host_dir / "live" / fn))
+        assert set(a.spectra) == set(b.spectra)
+        for tag in a.spectra:
+            sa, sb = a.spectra[tag], b.spectra[tag]
+            scale = max(1.0, float(np.nanmax(np.abs(sb.data))))
+            np.testing.assert_allclose(
+                np.asarray(sa.data), np.asarray(sb.data),
+                atol=2e-3 * scale, err_msg=f"src {sid} {tag}")
+            checked += 1
+    assert checked > 5
+    live.close_logfile()
+
+
 def test_greedy_pca_mesh_matches_sequential():
     """Isolated check: on identical inputs, the mesh-sharded PCA reproduces
     the sequential per-area loop's iteration trace exactly (areas are
