@@ -94,11 +94,11 @@ def e2e_step_times():
     offloads) so the code paths a full-size field takes on a small-HBM
     chip are regression-guarded too.
 
-    Returns (warm_times, tight_times); each may be None when disabled or
-    when its time box expires.
+    Returns (warm_times, tight_times, warm_lane_cpu); each may be None
+    when disabled or when its time box expires.
     """
     if os.environ.get("BENCH_SKIP_E2E"):
-        return None, None
+        return None, None, None
     # pin the memory mode so the per-step numbers stay comparable across
     # rounds on backends that report no memory limit (unknown limit means
     # tight mode): the minicube working set is ~200 MB, so a 2 GB budget
@@ -113,7 +113,7 @@ def e2e_step_times():
     from make_minicube import make_minicube, make_segmap
 
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
-    times = tight = None
+    times = tight = lanes = None
     try:
         cube_fn = os.path.join(tmp, "minicube.fits")
         seg_fn = os.path.join(tmp, "segmap.fits")
@@ -121,12 +121,20 @@ def e2e_step_times():
         make_segmap(seg_fn)
 
         def normal_runs():
+            from origin_tpu.pipeline.engine import (LANE_STATS,
+                                                    lane_stats_reset)
+
             out = None
             for run in range(2):
+                lane_stats_reset()  # record the WARM run's lanes only
                 out = _run_session_steps(cube_fn, seg_fn, f"b{run}", tmp)
-            return out
+            lanes = {k: round(v[1], 3) for k, v in sorted(
+                LANE_STATS.items(), key=lambda kv: -kv[1][1])
+                if v[1] >= 0.01}
+            return out, lanes
 
-        times = _time_boxed(normal_runs, E2E_TIMEBOX_S)
+        got = _time_boxed(normal_runs, E2E_TIMEBOX_S)
+        times, lanes = got if got is not None else (None, None)
 
         def tight_run():
             saved = os.environ.get("ORIGIN_TPU_HBM_BYTES")
@@ -141,7 +149,7 @@ def e2e_step_times():
             tight = _time_boxed(tight_run, E2E_TIMEBOX_S)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return times, tight
+    return times, tight, lanes
 
 
 def link_bandwidth(mbytes=32):
@@ -353,10 +361,15 @@ def main():
     record["link_h2d_MBps"] = h2d
     record["link_d2h_MBps"] = d2h
 
-    steps, tight = e2e_step_times()
+    steps, tight, lanes = e2e_step_times()
     if steps is not None:
         record["steps"] = steps
         record["steps_total"] = round(sum(steps.values()), 2)
+        if lanes:
+            # host-lane thread-CPU seconds of the warm run's back end
+            # (rebuilds, wire decodes, parking, source building): the
+            # link-weather-independent host cost, guarded per round
+            record["lanes_cpu"] = lanes
         record["steps_field"] = (
             "500x60x60 synthetic minicube, warm run (2nd in-process "
             "session = survey-mode warm field; step11 includes the "
