@@ -364,6 +364,16 @@ def test_tight_memory_pipeline(tmp_path, monkeypatch):
     nsrc = len(np.unique(np.asarray(orig.Cat3_lines["ID"])))
     assert len(glob.glob(str(tmp_path / "tight" / "sources"
                              / "source-*.fits"))) == nsrc
+
+    # tight sessions checkpoint through the same int16 wires: the
+    # statistic cubes' session files are scaled BITPIX-16 images here too
+    orig.write()
+    from origin_tpu import fitsio
+
+    for name in ("cube_correl", "cube_correl_min", "cube_local_max"):
+        hdr = fitsio.getheader(
+            str(tmp_path / "tight" / f"{name}.fits"), ext=1)
+        assert int(hdr["BITPIX"]) == 16, name
     orig.close_logfile()
 
 
