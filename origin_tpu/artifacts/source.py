@@ -352,6 +352,16 @@ class Source:
         for name, cube in self.cubes.items():
             hdr = coord_header(cube, True)
             hdr["EXTNAME"] = f"CUB_{name}_DATA"
+            wire = getattr(cube, "wire16", lambda: None)()
+            if wire is not None and cube.var is None and cube.mask is None:
+                # quantized statistic cutout (ORI_CORREL/ORI_SNCUBE):
+                # store the int16 window as-is with its scale — no
+                # float32 decode, half the bytes; FITS readers apply
+                # BSCALE transparently
+                hdr["BSCALE"] = wire.scale, "physical = BSCALE * stored"
+                hdr["BZERO"] = 0.0
+                hdus.append(fitsio.HDU(data=wire.q, header=hdr))
+                continue
             data = cube.data
             if data.dtype.kind == "f" and cube.mask is not None:
                 # raw-cube cutouts carry NaN at masked voxels already —
@@ -359,13 +369,13 @@ class Source:
                 masked = data[cube.mask]
                 if not np.isnan(masked).all():
                     data = np.where(cube.mask, np.nan, data)
-            hdus.append(fitsio.HDU(data=data.astype(np.float32), header=hdr))
+            hdus.append(fitsio.HDU(
+                data=data.astype(np.float32, copy=False), header=hdr))
             if cube.var is not None:
                 vhdr = coord_header(cube, True)
                 vhdr["EXTNAME"] = f"CUB_{name}_STAT"
-                hdus.append(
-                    fitsio.HDU(data=cube.var.astype(np.float32), header=vhdr)
-                )
+                hdus.append(fitsio.HDU(
+                    data=cube.var.astype(np.float32, copy=False), header=vhdr))
         for name, sp in self.spectra.items():
             hdr = coord_header(sp, False)
             hdr["EXTNAME"] = f"SPE_{name}_DATA"

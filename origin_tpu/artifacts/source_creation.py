@@ -26,7 +26,15 @@ __all__ = ["create_source", "create_all_sources"]
 logger = logging.getLogger(__name__)
 
 
-def create_source(
+def create_source(*args, **kwargs):
+    """Build one Source file; lane-accounted (see engine.LANE_STATS)."""
+    from ..pipeline.engine import _lane_timer
+
+    with _lane_timer("source:total"):
+        return _create_source(*args, **kwargs)
+
+
+def _create_source(
     source_id,
     source_table,
     source_lines,
@@ -358,7 +366,13 @@ def create_source(
     source.add_table(nb_par, "NB_PAR")
 
     if save_to is not None:
-        source.write(save_to)
+        from os import path as _p
+
+        from ..pipeline.engine import _lane_timer, lane_time
+
+        with _lane_timer("source:write"):
+            source.write(save_to)
+        lane_time("source:bytes", 0.0, nbytes=_p.getsize(save_to))
     else:
         return source
 
@@ -425,12 +439,15 @@ def create_all_sources(
         cube_std = Cube(cube_std_filename)
 
     def _precut(cube, source_id, size):
+        from ..pipeline.engine import _lane_timer
+
         k = int(np.where(np.asarray(cat3_sources["ID"]) == source_id)[0][0])
         info = cat3_sources[k]
-        sub = cube.subcube(
-            center=(float(info["dec"]), float(info["ra"])), size=size,
-            unit_center="deg",
-        )
+        with _lane_timer("source:precut"):
+            sub = cube.subcube(
+                center=(float(info["dec"]), float(info["ra"])), size=size,
+                unit_center="deg",
+            )
         sub.primary_header = cube.primary_header.copy()
         return sub
 

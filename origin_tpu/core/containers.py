@@ -556,7 +556,8 @@ class QuantCube(Cube):
 
     def copy(self):
         return Cube(data=self.data, wcs=self._copy_wcs(),
-                    wave=self._copy_wave(), copy=True)
+                    wave=self._copy_wave(),
+                    primary_header=self.primary_header.copy(), copy=True)
 
 
 class Image(_Base):

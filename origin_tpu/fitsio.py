@@ -484,14 +484,14 @@ def read(filename):
                             np.uint32
                         )
                     else:
-                        # <=2-byte integers scale exactly in float32 —
-                        # decoding a scaled int16 cube in float64 would
-                        # double its memory for no precision
-                        if data.dtype.itemsize <= 2:
+                        # <=2-byte integers with no offset scale exactly
+                        # in float32 — decoding a scaled int16 cube in
+                        # float64 would double its memory for no
+                        # precision.  Files with a BZERO offset (foreign
+                        # conventions) keep the exact float64 path.
+                        if data.dtype.itemsize <= 2 and bzero == 0:
                             data = data.astype(np.float32)
                             data *= np.float32(bscale)
-                            if bzero:
-                                data += np.float32(bzero)
                         else:
                             data = data * float(bscale) + float(bzero)
                     # scaling is applied: strip the cards so a re-write does

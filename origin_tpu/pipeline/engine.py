@@ -579,9 +579,17 @@ def _scatter_sparse(shape, dtype, n, fidx, vals, quant=False):
             / 32766.0
         flat = np.zeros(size, np.int16)
         if n:
-            flat[fidx[:n]] = np.clip(
+            q = np.clip(
                 np.round(vals / np.float32(scale)), -32767, 32767
             ).astype(np.int16)
+            # an extremum tinier than half a quantization step must not
+            # vanish from the nonzero set (consumers enumerate extrema
+            # by != 0): clamp it to +-1 — the decode error stays within
+            # one step
+            tiny = (q == 0) & (vals != 0)
+            if tiny.any():
+                q[tiny] = np.where(vals[tiny] > 0, 1, -1)
+            flat[fidx[:n]] = q
         return Quant16(flat.reshape(shape), scale)
     flat = np.zeros(size, dtype=dtype)
     if n:
@@ -656,12 +664,13 @@ def _unpack_bits(packed, bits, nx, dtype):
     return out if out.dtype == dtype else out.astype(dtype)
 
 
-def _packed_wire_fetch(dev, bits, post=None):
+def _packed_wire_fetch(dev, bits):
     """Bit-packed lossless wire for a small-integer cube.
 
     The default 3-profile dictionary's index cube packs 4 voxels/byte:
-    the host link moves 1/4 of the dense uint8 download.  ``post``
-    applies the caller's dtype narrowing after unpacking."""
+    the host link moves 1/4 of the dense uint8 download.  The caller's
+    ``post`` (dtype narrowing) is applied once by the DeferredCube
+    materialization, not here."""
     box = [dev]
     nx = int(dev.shape[-1])
 
@@ -671,8 +680,7 @@ def _packed_wire_fetch(dev, bits, post=None):
         del d
         with _lane_timer("wire:packed", nbytes=int(np.prod(packed.shape))):
             packed = np.asarray(packed)
-        arr = _unpack_bits(packed, bits, nx, np.uint8)
-        return post(arr) if post is not None else arr
+        return _unpack_bits(packed, bits, nx, np.uint8)
 
     return fetch
 
@@ -1430,7 +1438,7 @@ class DeviceEngine:
         return _int16_wire_fetch(dev)
 
     @staticmethod
-    def profile_wire_fetch(dev, nprof, post=None):
+    def profile_wire_fetch(dev, nprof):
         """Lossless bit-packed wire for the profile-index cube.
 
         Packs to 1/2/4 bits per voxel when the dictionary fits (the
@@ -1439,7 +1447,7 @@ class DeviceEngine:
         does not apply."""
         for bits in (1, 2, 4):
             if nprof <= (1 << bits):
-                return _packed_wire_fetch(dev, bits, post=post)
+                return _packed_wire_fetch(dev, bits)
         return None
 
     @staticmethod

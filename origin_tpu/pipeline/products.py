@@ -100,6 +100,15 @@ def _timed_save(save, name, value, path):
 
     with _lane_timer(f"park:{name}"):
         save(value, path)
+    # a decoded statistic cube that also still holds its int16 wire no
+    # longer needs the wire once the file exists (the wire's only
+    # remaining job was write fidelity): drop it, reclaiming ~1/3 of the
+    # product's host bytes
+    lock = getattr(value, "_lock", None)
+    if lock is not None and getattr(value, "_wire", None) is not None:
+        with lock:
+            if value._wire is not None and value._host is not None:
+                value._wire = None
     try:
         from os import path as _p
 

@@ -475,8 +475,7 @@ class ComputeTGLR(Step):
         )
         self.store_cube_dev(
             "cube_profile", dev["cube_profile"], post=prof_post,
-            fetch=orig.engine.profile_wire_fetch(
-                dev["cube_profile"], nprof, post=prof_post),
+            fetch=orig.engine.profile_wire_fetch(dev["cube_profile"], nprof),
             fetch_link=True,
         )
         self.logger.info(
@@ -924,9 +923,11 @@ class SaveSources(Step):
 
         Returns ``(spectra_pre, line_images_pre)`` for
         :func:`create_all_sources` — or ``(None, None)`` whenever the
-        batched path cannot run (no engine, mesh/tight sessions, empty
+        batched path cannot run (no engine, tight sessions, empty
         catalog, detection cubes already off-device), in which case the
-        host per-source path computes everything as before.
+        host per-source path computes everything as before.  Mesh
+        sessions take the batched path: the window kernels compile over
+        the row-sharded cubes.
         """
         from ..artifacts.masks import _fetch_line_images
         from ..artifacts.source import _moffat_weight_cube

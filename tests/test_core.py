@@ -606,8 +606,11 @@ def test_quantcube_subcube_and_source_write(tmp_path):
     src.cubes["ORI_CORREL"] = sub
     fn = str(tmp_path / "src.fits")
     src.write(fn)
-    for h in fitsio.read(fn):
+    for ext, h in enumerate(fitsio.read(fn)):
         if str(h.header.get("EXTNAME", "")).strip() == "CUB_ORI_CORREL_DATA":
+            # the HDU must actually be the scaled int16 window — assert
+            # the on-disk BITPIX, not just the decoded values
+            assert int(fitsio.getheader(fn, ext=ext)["BITPIX"]) == 16
             np.testing.assert_array_equal(
                 np.asarray(h.data, np.float32), sub.data)
             break
