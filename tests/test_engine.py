@@ -639,3 +639,18 @@ def test_profile_packed_wire(problem):
     assert packed.shape == (30, 7, 4)  # ceil(13/4)
     # a 20-profile dictionary keeps the dense download
     assert DeviceEngine.profile_wire_fetch(jnp.zeros((2, 2, 2)), 20) is None
+
+
+def test_sparse_quantization_keeps_tiny_extrema(problem):
+    """An extremum smaller than half a quantization step must survive the
+    int16 wire as a nonzero (clamped to one step), never vanish."""
+    arr = np.zeros((10, 4, 4), dtype=np.float32)
+    arr[2, 1, 1] = 30.0        # sets the scale: step ~ 9.2e-4
+    arr[7, 2, 3] = 4e-4        # far below half a step
+    arr[5, 0, 2] = -2e-4       # negative tiny extremum
+    d = DeferredCube(jnp.asarray(arr), sparse=True)
+    out = d.data
+    np.testing.assert_array_equal(out != 0, arr != 0)
+    step = 30.0 / 32766.0
+    assert 0 < out[7, 2, 3] <= step
+    assert -step <= out[5, 0, 2] < 0
