@@ -47,6 +47,11 @@ def _add_run_args(p):
                    help="host workers for source-file writing")
     p.add_argument("--no-sources", action="store_true",
                    help="stop after the catalogs (skip masks/source files)")
+    p.add_argument("--overlap-ingest", action="store_true",
+                   help="survey mode: initialize the NEXT field (FITS "
+                        "read + background raw uploads) while the "
+                        "current field's back end runs; needs HBM for "
+                        "two fields' raw inputs")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="shard the detection front-end over the first N "
                    "devices (a (1 x N) spatial mesh; Ny must divide by N)")
@@ -133,20 +138,54 @@ def main(argv=None):
     if args.command == "run":
         multi = len(args.cube) > 1
         failures = []
-        for cube_fn in args.cube:
+
+        def _init(cube_fn):
             name = args.name
             if multi:
                 stem = os.path.splitext(os.path.basename(cube_fn))[0]
                 name = f"{args.name}-{stem}"
+            return ORIGIN.init(cube_fn, name=name, path=args.path,
+                               loglevel=args.loglevel,
+                               profiles=args.profiles,
+                               fieldmap=args.fieldmap, PSF=args.psf,
+                               mesh=_mesh(args))
+
+        # --overlap-ingest pipelines the survey: field N+1's session is
+        # initialized (its FITS read and raw device uploads start in the
+        # background) while field N's detection back end still runs, so
+        # on a slow host link the next field's ingest is free.  Two
+        # fields' raw inputs are then device-resident at once — opt-in,
+        # for rigs whose HBM holds them both.
+        pending = []  # [(cube_fn, ORIGIN | None)]
+        order = list(args.cube)
+
+        def _pop_session(idx):
+            cube_fn = order[idx]
+            if args.overlap_ingest and pending:
+                fn, orig = pending.pop(0)
+                assert fn == cube_fn
+                if orig is not None:
+                    return orig
+                raise _pending_failure(cube_fn)
+            return _init(cube_fn)
+
+        def _pending_failure(cube_fn):
+            return RuntimeError(f"initialization failed for {cube_fn}")
+
+        for i, cube_fn in enumerate(order):
             # survey mode: one bad cube must not abort the remaining
             # fields, and its logfile handler must not leak
             orig = None
             try:
-                orig = ORIGIN.init(cube_fn, name=name, path=args.path,
-                                   loglevel=args.loglevel,
-                                   profiles=args.profiles,
-                                   fieldmap=args.fieldmap, PSF=args.psf,
-                                   mesh=_mesh(args))
+                orig = _pop_session(i)
+                if args.overlap_ingest and i + 1 < len(order):
+                    try:
+                        pending.append((order[i + 1], _init(order[i + 1])))
+                    except Exception:
+                        logging.getLogger("origin_tpu").exception(
+                            "survey: pre-ingest of %s failed", order[i + 1]
+                        )
+                        pending.append((order[i + 1], None))
                 _steps_from(orig, args, start_at=1)
             except Exception:
                 if not multi:

@@ -60,6 +60,32 @@ def test_cli_survey_mode(cube_fn, tmp_path):
     assert cats[0] == cats[1] and len(cats[0]) > 0
 
 
+def test_cli_survey_overlap_ingest(cube_fn, tmp_path):
+    """--overlap-ingest pipelines the survey (field N+1's session inits
+    while field N runs) with identical results, and a bad middle field
+    neither aborts the survey nor corrupts its neighbours."""
+    import shutil
+
+    second = str(tmp_path / "field2.fits")
+    bad = str(tmp_path / "bad.fits")
+    shutil.copy(cube_fn, second)
+    with open(bad, "wb") as fh:
+        fh.write(b"not a FITS file")
+    rc = main([
+        "run", cube_fn, bad, second, "--name", "ovl", "--path",
+        str(tmp_path), "--purity", "0.8", "--minsize", "20",
+        "--no-sources", "--loglevel", "WARNING", "--overlap-ingest",
+    ])
+    assert rc == 1  # the bad field is reported...
+    cats = []
+    for stem in ("minicube", "field2"):  # ...but both good fields ran
+        folder = str(tmp_path / f"ovl-{stem}")
+        cat = Table.read(os.path.join(folder, "Cat1.fits"))
+        cats.append(sorted(zip(np.asarray(cat["x0"]), np.asarray(cat["y0"]),
+                               np.asarray(cat["z0"]))))
+    assert cats[0] == cats[1] and len(cats[0]) > 0
+
+
 def test_cli_resume_noop(cube_fn, tmp_path):
     rc = main([
         "run", cube_fn, "--name", "cliresume", "--path", str(tmp_path),
