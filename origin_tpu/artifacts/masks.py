@@ -110,10 +110,7 @@ def _fetch_line_images(detection_cube, jobs, size):
         )
         # bucketed device trim (x2) before the fetch: an exact-count
         # slice is a fresh tiny program per count
-        tb = 8
-        while tb < nb:
-            tb *= 2
-        imgs = np.asarray(imgs[:min(cap, tb)])[:nb]
+        imgs = np.asarray(imgs[:min(cap, _bucket(nb, 8))])[:nb]
         for key, img in zip(keys, imgs):
             mask = ~np.isfinite(img)
             data = np.where(mask, 0.0, img)

@@ -181,14 +181,10 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
     # padded (cap, Nz) rows are real link bytes).  Trim sizes are x2
     # buckets, not the exact counts: each distinct slice size is a tiny
     # compiled program, so exact-count slicing would recompile per field
-    def _b2(n):
-        b = 8
-        while b < n:
-            b *= 2
-        return b
+    from .pca import _bucket
 
-    tb = min(cap, _b2(nb))
-    tl = min(lcap, _b2(nl)) if nl else 0
+    tb = min(cap, _bucket(nb, 8))
+    tl = min(lcap, _bucket(nl, 8)) if nl else 0
     res = {k: (v[:tl] if k.startswith("line") else v[:tb])
            for k, v in res.items()}
     host = jax.device_get(res)

@@ -606,10 +606,7 @@ def _trim2(x, n):
     coarse tiers keep the big compaction programs' compile count low,
     the trim keeps their padding off the link.
     """
-    b = 8
-    while b < n:
-        b *= 2
-    return x[: min(x.shape[0], b)]
+    return x[: min(x.shape[0], _bucket(n, 8))]
 
 
 def _sparse_fetch(dev, quant=False):
@@ -1450,21 +1447,11 @@ class DeviceEngine:
                 return _packed_wire_fetch(dev, bits)
         return None
 
-    @staticmethod
-    def diag_wire_fetch(dev):
-        """Int16 wire for a diagnostics-only statistic cube.
-
-        ``cube_correl_min`` is stored bfloat16 on device (its 8-bit
-        mantissa is coarser than the int16 quantization floor, so the
-        wire loses nothing) and only ever feeds the session file and
-        diagnostic plots; same opt-outs as the correl wire.
-        """
-        import os
-
-        if os.environ.get("ORIGIN_TPU_CORREL_WIRE", "int16").lower() in (
-                "f32", "fp32", "float32"):
-            return None
-        return _int16_wire_fetch(dev)
+    # cube_correl_min is stored bfloat16 on device (its 8-bit mantissa
+    # is coarser than the int16 quantization floor, so the wire loses
+    # nothing) and only ever feeds the session file and diagnostic
+    # plots: it shares the correl wire's behavior and opt-outs exactly
+    diag_wire_fetch = correl_wire_fetch
 
     # -- step 08 -----------------------------------------------------------
     def minicubes(self, xs, ys, sg):
@@ -1515,13 +1502,18 @@ class DeviceEngine:
         var = self.input_var()
         mask = self.input_mask()
         out = {}
+        # pad ONCE by the largest cutout's halo (window starts sit at
+        # most m//2 out of field) and share the padded triple across
+        # every size group — per-size full-edge pads re-ran three
+        # cube-sized device programs per distinct mask size and
+        # transiently doubled the halo
+        h = max(int(m) for m in jobs_by_size) // 2 + 1
+        pd = jnp.pad(cube, ((0, 0), (h, h), (h, h)))
+        pv = jnp.pad(var, ((0, 0), (h, h), (h, h)),
+                     constant_values=np.inf)
+        pm = jnp.pad(mask, ((0, 0), (h, h), (h, h)),
+                     constant_values=True)
         for m, jobs in sorted(jobs_by_size.items()):
-            h = int(m)
-            pd = jnp.pad(cube, ((0, 0), (h, h), (h, h)))
-            pv = jnp.pad(var, ((0, 0), (h, h), (h, h)),
-                         constant_values=np.inf)
-            pm = jnp.pad(mask, ((0, 0), (h, h), (h, h)),
-                         constant_values=True)
             jobs = [dict(j, y0=int(j["y0"]) + h, x0=int(j["x0"]) + h)
                     for j in jobs]
             wcube = wcube_fn(m) if wcube_fn is not None else None

@@ -200,10 +200,17 @@ class ProductStore:
 
         A slot restashed since the write started (a re-run step) keeps
         its new live value: the stale file is joined but not marked, so
-        :meth:`park_all`'s sweep rewrites it.
+        :meth:`park_all`'s sweep rewrites it.  A FAILED write (disk
+        full, bad path) is cleared from the pending set and re-raised
+        once — the slot stays live, so the next write() retries it
+        instead of re-raising the stale failure forever.
         """
         for name, (fut, path, value) in list(self._pending.items()):
-            fut.result()
+            try:
+                fut.result()
+            except Exception:
+                del self._pending[name]
+                raise
             if self._slots.get(name) is value:
                 self._slots[name] = Parked(path)
             del self._pending[name]

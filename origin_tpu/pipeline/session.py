@@ -137,6 +137,11 @@ class ORIGIN(PlotMixin):
                 self._product_owner[pname] = step
 
         fresh_session = param is None
+        # False until THIS session has written its instrument files: a
+        # fresh session initialized into a reused directory must
+        # overwrite another dataset's cube_psf/ima_white/wfield files,
+        # not adopt them (loaded sessions own the existing files)
+        self._aux_synced = not fresh_session
 
         self.logger.info("Read the Data Cube %s", filename)
         self.param["cubename"] = filename
@@ -487,7 +492,7 @@ class ORIGIN(PlotMixin):
         # would otherwise re-pay the PSF cube + white image every time)
         def _write_once(obj, fname):
             target = os.path.join(self.outpath, fname)
-            if not os.path.isfile(target):
+            if not self._aux_synced or not os.path.isfile(target):
                 obj.write(target)
 
         if isinstance(self.PSF, list):
@@ -502,6 +507,7 @@ class ORIGIN(PlotMixin):
                             "wfield_%02d.fits" % i)
         if self.ima_white is not None:
             _write_once(self.ima_white, "ima_white.fits")
+        self._aux_synced = True  # subsequent write()s skip the rewrites
 
         # materialize device-resident products with minimal link traffic
         # (fused sparse fetches for the local-extrema cubes, overlapped

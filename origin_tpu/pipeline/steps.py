@@ -1060,10 +1060,9 @@ class SaveSources(Step):
                 )
                 # bucketed device trim (x2) before the fetch: exact-count
                 # slices would compile per field
-                tb = 8
-                while tb < nb:
-                    tb *= 2
-                tb = min(cap, tb)
+                from ..ops.pca import _bucket
+
+                tb = min(cap, _bucket(nb, 8))
                 specs = np.asarray(specs[:tb])[:nb]
                 maxmaps = np.asarray(maxmaps[:tb])[:nb]
                 for i, (sid, _y0, _x0, _o) in enumerate(rows):

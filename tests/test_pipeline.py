@@ -466,3 +466,50 @@ def test_step11_device_batched_matches_host(minicube, tmp_path):
                                            err_msg=f"src {sid} {tag}")
     assert checked_specs > 10
     orig.close_logfile()
+
+
+def test_failed_background_park_is_retried(tmp_path):
+    """A failed async product write must not poison the session: the
+    failure surfaces once, the slot stays live, and the next write()
+    retries (and succeeds) instead of re-raising the stale error."""
+    from origin_tpu.core.containers import Image as OImage
+    from origin_tpu.pipeline.products import ProductStore
+
+    store = ProductStore({"img": "image"})
+    store.stash("img", OImage(data=np.ones((4, 4), np.float32)))
+
+    bad = tmp_path / "missing" / "dir"  # parent does not exist
+    store.park_async(str(bad))
+    with pytest.raises(OSError):
+        store.park_all(str(bad))
+
+    good = tmp_path / "ok"
+    good.mkdir()
+    store.park_all(str(good))  # must not re-raise the stale failure
+    assert (good / "img.fits").is_file()
+    assert store.fetch("img") is not None
+
+
+def test_fresh_session_overwrites_stale_instrument_files(minicube,
+                                                         tmp_path):
+    """A fresh session initialized into a REUSED directory must rewrite
+    cube_psf/ima_white for ITS dataset, not adopt another run's files."""
+    cube_fn, _ = minicube
+    folder = tmp_path / "reuse"
+    folder.mkdir()
+    stale = folder / "cube_psf.fits"
+    from origin_tpu import fitsio
+
+    fitsio.writeto(str(stale), np.zeros((3, 5, 5), np.float32))
+    before = os.path.getsize(str(stale))
+
+    orig = ORIGIN.init(cube_fn, name="reuse", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.write()
+    after = os.path.getsize(str(stale))
+    assert after != before  # rewritten with THIS dataset's PSF
+    # ... and a second write() of the same session skips the rewrite
+    t0 = os.path.getmtime(str(stale))
+    orig.write()
+    assert os.path.getmtime(str(stale)) == t0
+    orig.close_logfile()
