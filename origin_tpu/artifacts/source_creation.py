@@ -202,7 +202,9 @@ def _create_source(
     data_cube = source.cubes["MUSE_CUBE"]
 
     if cube_ori is None:
-        cube_ori = Cube(cube_std_filename if comp else cube_cor_filename)
+        from ..pipeline.recipes import load_cube
+
+        cube_ori = load_cube(cube_std_filename if comp else cube_cor_filename)
     ori_tag = "ORI_SNCUBE" if comp else "ORI_CORREL"
     if cube_ori.shape[1:] == (mask_size, mask_size):
         source.cubes[ori_tag] = cube_ori
@@ -436,7 +438,11 @@ def create_all_sources(
     if cube_cor is None and 0 in comps.values():
         cube_cor = Cube(cube_cor_filename)
     if cube_std is None and 1 in comps.values():
-        cube_std = Cube(cube_std_filename)
+        # recipe-aware: a session checkpoint stores cube_std as its
+        # generator file (pipeline.recipes) by default
+        from ..pipeline.recipes import load_cube
+
+        cube_std = load_cube(cube_std_filename)
 
     def _precut(cube, source_id, size):
         from ..pipeline.engine import _lane_timer

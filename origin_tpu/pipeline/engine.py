@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from .. import fitsio
 from ..core.containers import Cube, Quant16
 from ..ops import compute_local_max, o2test, standardize
-from ..ops.dct import dct_residual, dctmat
+from ..ops.dct import dct_residual
 from ..ops.convolve import fft2_shape
 from ..ops.glr import (
     dft_spatial_factors,
@@ -157,7 +157,7 @@ class DeferredCube(Cube):
     """
 
     def __init__(self, dev, wcs=None, wave=None, post=None, sparse=False,
-                 fetch=None, fetch_link=False):
+                 fetch=None, fetch_link=False, recipe_save=None):
         import threading
 
         self.filename = None
@@ -173,6 +173,9 @@ class DeferredCube(Cube):
         self._post = post
         self._sparse = sparse
         self._fetch = fetch
+        # writes the product's generator file instead of the dense cube
+        # (recipes.py); None for products without an exact generator
+        self._recipe_save = recipe_save
         # True when the custom fetch moves bulk data over the link (e.g.
         # a quantized wire): it then queues on the transfer worker, not
         # the host-rebuild workers
@@ -239,6 +242,21 @@ class DeferredCube(Cube):
             return self._wire
 
     @property
+    def recipe_active(self):
+        """True when ``write`` will store the recipe, not the dense cube."""
+        from .recipes import recipes_enabled
+
+        return self._recipe_save is not None and recipes_enabled()
+
+    def write(self, filename, **kwargs):
+        """Park the product: its tiny generator file when one exists
+        (recipes.py), the dense cube otherwise."""
+        if self.recipe_active:
+            self._recipe_save(filename)
+            return
+        super().write(filename, **kwargs)
+
+    @property
     def data(self):
         with self._lock:
             self._materialize_locked()
@@ -289,8 +307,11 @@ class DeferredCube(Cube):
             if self._wire is not None:
                 return self._wire
             if (self._dev is not None and self._future is None
-                    and self._fetch is None):
-                return None  # device-resident: _region slices on device
+                    and not self._fetch_link):
+                # device-resident (a pure host REBUILD fetch does not
+                # count: with recipe checkpointing it may never be
+                # needed, so windows slice on device instead)
+                return None
             self._materialize_locked()
             return self._wire
 
@@ -302,12 +323,15 @@ class DeferredCube(Cube):
         Uses ``dynamic_slice`` so every same-size window shares one
         compiled program (start offsets are traced, not baked in).
 
-        When a full-cube background materialization is already in flight
-        (or the cube is host-rebuildable), joining it beats issuing device
-        slices that would queue behind the bulk transfer on the link.
+        When a full-cube background materialization is already in flight,
+        joining it beats issuing device slices that would queue behind
+        the bulk transfer on the link.  (A host-rebuildable cube whose
+        rebuild has NOT started keeps device slicing: with recipe-form
+        checkpointing the rebuild may otherwise never be needed at all.)
         """
         if (self._host is not None or self._dev is None
-                or self._future is not None or self._fetch is not None):
+                or self._future is not None
+                or (self._fetch is not None and self._fetch_link)):
             return super()._region(zsl, ysl, xsl)
         if any(
             isinstance(sl, slice) and sl.step not in (None, 1)
@@ -903,6 +927,7 @@ class DeviceEngine:
         self._inputs = {}
         self._inputs_future = None
         self._mini_cache = {}
+        self._recipes = {}  # product name -> recipe saver (see recipes.py)
         self._tight = None
         # decide the memory mode NOW, before pipeline state accumulates,
         # so every step of this session sees one consistent mode
@@ -941,6 +966,15 @@ class DeviceEngine:
         else:
             var_raw = jnp.ones(c.data.shape, jnp.float32)
         return _derive_inputs(raw, var_raw)
+
+    def recipe_saver(self, name):
+        """Recipe writer for an exactly-reconstructible product, or None.
+
+        Registered by the steps that record a product's generators
+        (step 01: DCT coefficients; step 04: PCA factors); the
+        DeferredCube's ``write`` then stores the tiny recipe file instead
+        of rebuilding and serializing the dense cube (recipes.py)."""
+        return self._recipes.get(name)
 
     def prefetch_inputs(self):
         """Start uploading the raw cube / variance in the background.
@@ -1171,8 +1205,18 @@ class DeviceEngine:
         orig = self.orig
         if getattr(orig, "cube", None) is None:
             return {}
-        nz = orig.shape[0]
         mean_z = np.asarray(mean_z, np.float32)
+
+        # the same payload, stored: session write() parks these products
+        # as tiny recipe files instead of rebuilding + serializing the
+        # dense cubes (recipes.py; ORIGIN_TPU_STORE_RECIPES=0 opts out)
+        from .recipes import write_dct_recipe
+
+        cubename = getattr(orig, "param", {}).get("cubename")
+        self._recipes["cube_std"] = lambda path: write_dct_recipe(
+            path, "std", coef, mean_z, order, cubename)
+        self._recipes["cont_dct"] = lambda path: write_dct_recipe(
+            path, "cont", coef, mean_z, order, cubename)
 
         # the two fetches run concurrently on the host pool and share the
         # expensive intermediates (the DCT continuum matmul and the
@@ -1184,31 +1228,21 @@ class DeviceEngine:
         shared_lock = threading.Lock()
 
         def _rebuild_both():
-            # one locked pass computes BOTH products, reusing the
-            # continuum matmul output in place for cont_dct (one fewer
-            # full-cube allocation) and zeroing bad voxels with the
-            # isfinite+set pair (np.nan_to_num is ~15x slower here).
-            # The arithmetic ORDER matches the old per-fetch form
-            # exactly: on the CPU backend the rebuild is bit-equal to
-            # the device arrays, which the tight-memory paths rely on
-            # (greedy PCA iterates on a hard O2 threshold — a 1-ulp
-            # drift there flips an iteration and moves the catalog)
+            # one locked pass computes BOTH products (shared math with
+            # the recipe loader, recipes.rebuild_std_cont: the arithmetic
+            # ORDER is part of the contract — on the CPU backend the
+            # rebuild is bit-equal to the device arrays, which the
+            # tight-memory paths rely on: greedy PCA iterates on a hard
+            # O2 threshold, so a 1-ulp drift there flips an iteration
+            # and moves the catalog)
+            from .recipes import rebuild_std_cont
+
             with shared_lock:
                 if "std" not in shared:
-                    d0 = dctmat(nz, order, dtype=np.float32)
-                    cont = np.tensordot(
-                        d0, np.asarray(coef, np.float32), axes=([1], [0])
+                    data, cont = rebuild_std_cont(
+                        orig.cube_raw, orig.var, orig.mask, coef, mean_z,
+                        order,
                     )
-                    sigma = np.sqrt(orig.var)
-                    data = orig.cube_raw - cont
-                    data -= mean_z[:, None, None]
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        data /= sigma
-                    bad = np.asarray(orig.mask) | ~np.isfinite(data)
-                    data[bad] = 0.0
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cont /= sigma  # in place: cont becomes cont_dct
-                    cont[~np.isfinite(cont)] = 0.0
                     shared["std"] = data
                     shared["cont_dct"] = cont
                 return shared
@@ -1290,6 +1324,12 @@ class DeviceEngine:
                         c_mat[used][:, :npx]))
                 )
         faint_fetch = self._make_faint_fetch(factors)
+        if getattr(self.orig, "cube", None) is not None:
+            from .recipes import write_pca_recipe
+
+            cubename = getattr(self.orig, "param", {}).get("cubename")
+            self._recipes["cube_faint"] = lambda path: write_pca_recipe(
+                path, factors, cubename)
         return flat.reshape(cube_std.shape), mapO2, nstop, faint_fetch
 
     def _make_faint_fetch(self, factors):

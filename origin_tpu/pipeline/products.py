@@ -141,6 +141,10 @@ class ProductStore:
         self.spec = dict(spec)
         self._slots = {}
         self._pending = {}  # name -> (Future, path) of an async park
+        # optional context-aware loader for cube products: recipe files
+        # (recipes.py) rebuild against the owning session's raw data;
+        # returns None for a plain dense file
+        self.resolve = None
 
     def __contains__(self, name):
         return name in self.spec
@@ -167,8 +171,12 @@ class ProductStore:
         if isinstance(value, Parked):
             if not os.path.isfile(value.path):
                 return None
-            value = FORMATS[self.spec[name]].load(value.path)
-            self._slots[name] = value
+            loaded = None
+            if self.resolve is not None and self.spec[name] == "cube":
+                loaded = self.resolve(value.path)
+            if loaded is None:
+                loaded = FORMATS[self.spec[name]].load(value.path)
+            self._slots[name] = value = loaded
         return value
 
     def park_async(self, directory):
@@ -189,6 +197,9 @@ class ProductStore:
                     or name in self._pending):
                 continue
             path = self.file_for(name, directory)
+            if self._recipe_current(value, path):
+                self._slots[name] = Parked(path)
+                continue
             self._pending[name] = (
                 pool.submit(_timed_save, FORMATS[kind].save, name, value,
                             path),
@@ -215,6 +226,14 @@ class ProductStore:
                 self._slots[name] = Parked(path)
             del self._pending[name]
 
+    @staticmethod
+    def _recipe_current(value, path):
+        """True when ``value`` was rebuilt FROM the recipe file at ``path``
+        (a resumed fetch): re-parking it would pointlessly serialize the
+        dense cube over its own still-valid generator file."""
+        return (getattr(value, "_recipe_source", None) == path
+                and os.path.isfile(path))
+
     def park_all(self, directory):
         """Write every live product to ``directory`` and free its memory."""
         self._join_pending()
@@ -223,7 +242,8 @@ class ProductStore:
             if value is None or isinstance(value, Parked):
                 continue
             path = self.file_for(name, directory)
-            _timed_save(FORMATS[kind].save, name, value, path)
+            if not self._recipe_current(value, path):
+                _timed_save(FORMATS[kind].save, name, value, path)
             self._slots[name] = Parked(path)
 
     def point_at(self, directory):

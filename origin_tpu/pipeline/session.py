@@ -525,6 +525,9 @@ class ORIGIN(PlotMixin):
             if name not in step.store._pending
             for val in (step.store.peek(name),)
             if isinstance(val, DeferredCube) and val.device is not None
+            # recipe-backed products park as their generator files: no
+            # host materialization is needed to write them
+            and not val.recipe_active
         ]
         if pending:
             materialize_deferred(pending)

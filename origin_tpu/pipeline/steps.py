@@ -115,6 +115,7 @@ class Step:
         self.idx = idx
         self.method_name = f"step{idx:02d}_{self.name}"
         self.store = ProductStore(self.products)
+        self.store.resolve = self._load_recipe_product
         meta = param.setdefault(self.name, {})
         meta.setdefault("stepidx", idx)
         self.meta = meta
@@ -124,6 +125,17 @@ class Step:
         return (
             f"<{type(self).__name__} [{self.idx:02d}] {self.status.name}>"
         )
+
+    def _load_recipe_product(self, path):
+        """Session-aware loader for recipe-form cube products (returns
+        None for dense files, letting the generic reader handle them)."""
+        from .recipes import is_recipe_file, load_recipe
+
+        if not is_recipe_file(path):
+            return None
+        cube = load_recipe(path, orig=self.orig)
+        cube._recipe_source = path  # park skips rewriting this file
+        return cube
 
     def __getattr__(self, name):
         # products read as attributes, materializing parked files on demand
@@ -198,10 +210,12 @@ class Step:
         """
         from .engine import DeferredCube
 
+        recipe = self.orig.engine.recipe_saver(name)
         self.put(name, DeferredCube(dev, wcs=self.orig.wcs,
                                     wave=self.orig.wave, post=post,
                                     sparse=sparse, fetch=fetch,
-                                    fetch_link=fetch_link))
+                                    fetch_link=fetch_link,
+                                    recipe_save=recipe))
 
     def store_image(self, name, data, **kwargs):
         self.put(name, Image(data=data, wcs=self.orig.wcs, mask=False,
@@ -858,14 +872,34 @@ class SaveSources(Step):
         # correl first (the per-source cutouts below join it), then std
         # (cube_faint's rebuild and comp=1 cutouts join it), diagnostics
         # last
-        orig.engine.prefetch(
+        # recipe-backed products (cube_std / cont_dct / cube_faint) are
+        # parked as their tiny generator files, so their host rebuilds are
+        # skipped entirely UNLESS the host source path below will cut
+        # comp=1 cutouts from cube_std (no device artifacts)
+        names = [
             # the sparse extrema group goes first (small fused round-trips
             # on a still-quiet link), then the bulk copies
             "cube_local_max", "cube_local_min",
             "cube_std_local_max", "cube_std_local_min",
             "cube_correl", "cube_std", "cont_dct", "cube_correl_min",
             "cube_profile", "cube_faint",
-        )
+        ]
+
+        owners = getattr(orig, "_product_owner", {})
+
+        def _skip_rebuild(n):
+            owner = owners.get(n)
+            obj = owner.store.peek(n) if owner is not None else None
+            if not getattr(obj, "recipe_active", False):
+                return False
+            if n == "cube_std" and spectra_pre is None:
+                comps = getattr(orig, "Cat3_sources", None)
+                if comps is not None and len(comps) and (
+                        np.asarray(comps["comp"]) == 1).any():
+                    return False  # host path cuts std cutouts: rebuild
+            return True
+
+        orig.engine.prefetch(*[n for n in names if not _skip_rebuild(n)])
 
         # ... and start the checkpoint's disk writes right behind them:
         # every earlier step's products are final, so a writer thread can

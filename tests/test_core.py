@@ -581,8 +581,13 @@ def test_quantcube_subcube_and_source_write(tmp_path):
     arr = rng.normal(scale=7.0, size=(nz, ny, nx)).astype(np.float32)
     wcs = WCS(crpix=(ny / 2, nx / 2), crval=(-30.0, 53.0), shape=(ny, nx))
     wave = WaveCoord(crval=4750.0, cdelt=1.25, shape=nz)
+    # fetch_link=True marks a wire-producing LINK fetch (the production
+    # configuration for the detection-statistic cubes, steps.py): windows
+    # then come from the int16 wire; pure host-rebuild fetches
+    # (fetch_link=False) slice on device instead
     parent = DeferredCube(jnp.asarray(arr), wcs=wcs, wave=wave,
-                          fetch=_int16_wire_fetch(jnp.asarray(arr)))
+                          fetch=_int16_wire_fetch(jnp.asarray(arr)),
+                          fetch_link=True)
 
     sub = parent.subcube(center=(14, 13), size=9)
     assert isinstance(sub, QuantCube)

@@ -347,10 +347,13 @@ def test_write_skips_unchanged_aux_and_keeps_format(minicube, tmp_path):
     orig.write()
     folder = str(tmp_path / "w")
 
-    # cont_dct is stored bf16 on device but written as a float32 FITS cube
+    # cont_dct / cube_std are checkpointed as recipe files by default
+    # (pipeline.recipes); the materialized products are float32 dense
     from origin_tpu import fitsio
+    from origin_tpu.pipeline.recipes import is_recipe_file, load_cube
 
-    cont = fitsio.getdata(os.path.join(folder, "cont_dct.fits"))
+    assert is_recipe_file(os.path.join(folder, "cont_dct.fits")) == "dct_cont"
+    cont = load_cube(os.path.join(folder, "cont_dct.fits")).data
     assert cont.dtype == np.float32
     # local extrema round-trip the sparse transfer exactly: nonzero where
     # a strict box maximum exists, zero elsewhere
@@ -358,7 +361,7 @@ def test_write_skips_unchanged_aux_and_keeps_format(minicube, tmp_path):
     assert lmax.dtype == np.float32
     nnz = np.count_nonzero(lmax)
     assert 0 < nnz < lmax.size // 4  # genuinely sparse
-    std = fitsio.getdata(os.path.join(folder, "cube_std.fits"))
+    std = load_cube(os.path.join(folder, "cube_std.fits")).data
     zs, ys, xs = np.nonzero(lmax)
     # the extrema cube is stored scaled-int16: values match the float32
     # statistic to the quantization step, the zero pattern is exact

@@ -1,0 +1,98 @@
+"""Recipe-form checkpointing: cube_std / cont_dct / cube_faint are stored
+as their generators (DCT coefficients + channel means, PCA rank-1 factors)
+and rebuilt bit-identically on load (pipeline/recipes.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from make_minicube import make_minicube
+
+from origin_tpu import ORIGIN
+from origin_tpu.pipeline.recipes import is_recipe_file, load_cube
+
+
+@pytest.fixture(scope="module")
+def front_session(tmp_path_factory):
+    """Steps 01-04 run + checkpoint, with the host-rebuilt references
+    captured before the write."""
+    path = tmp_path_factory.mktemp("recipes")
+    cube_fn = str(path / "minicube.fits")
+    make_minicube(cube_fn)
+    orig = ORIGIN.init(cube_fn, name="rec", path=str(path), loglevel="ERROR")
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=30, maxsize=60)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    refs = {
+        name: np.array(getattr(orig, name).data)
+        for name in ("cube_std", "cont_dct", "cube_faint")
+    }
+    orig.write()
+    return str(path / "rec"), refs
+
+
+def test_recipe_files_written(front_session):
+    folder, refs = front_session
+    kinds = {"cube_std": "dct_std", "cont_dct": "dct_cont",
+             "cube_faint": "pca_faint"}
+    dense_bytes = refs["cube_std"].nbytes
+    for name, kind in kinds.items():
+        path = os.path.join(folder, name + ".fits")
+        assert is_recipe_file(path) == kind
+        # the whole point: the generator file is a small fraction of the cube
+        assert os.path.getsize(path) < dense_bytes // 4
+
+
+def test_recipe_reload_bit_identical(front_session):
+    """A restored session rebuilds the three products exactly (the CPU
+    rebuild is bit-equal to the live session's host arrays — the
+    tight-memory greedy PCA depends on that)."""
+    folder, refs = front_session
+    orig2 = ORIGIN.load(folder, loglevel="ERROR")
+    for name, ref in refs.items():
+        np.testing.assert_array_equal(getattr(orig2, name).data, ref,
+                                      err_msg=name)
+
+
+def test_recipe_generic_loader(front_session):
+    """load_cube needs no session: the recipe records the raw cube path
+    (and pca_faint resolves cube_std from its own directory)."""
+    folder, refs = front_session
+    for name in ("cube_std", "cont_dct", "cube_faint"):
+        cube = load_cube(os.path.join(folder, name + ".fits"))
+        np.testing.assert_array_equal(cube.data, refs[name], err_msg=name)
+        assert cube.data.dtype == np.float32
+
+
+def test_refetched_recipe_not_rewritten(front_session):
+    """Fetching a parked recipe product and writing again must not
+    serialize the dense cube over its own still-valid generator file."""
+    folder, refs = front_session
+    orig2 = ORIGIN.load(folder, loglevel="ERROR")
+    path = os.path.join(folder, "cube_std.fits")
+    before = (os.path.getmtime(path), os.path.getsize(path))
+    _ = orig2.cube_std.data  # fetch: slot becomes a live rebuilt Cube
+    orig2.write()
+    assert (os.path.getmtime(path), os.path.getsize(path)) == before
+    assert is_recipe_file(path) == "dct_std"
+
+
+def test_recipes_optout(tmp_path, monkeypatch):
+    """ORIGIN_TPU_STORE_RECIPES=0 restores dense float32 session files."""
+    monkeypatch.setenv("ORIGIN_TPU_STORE_RECIPES", "0")
+    cube_fn = str(tmp_path / "minicube.fits")
+    make_minicube(cube_fn)
+    orig = ORIGIN.init(cube_fn, name="dense", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing()
+    ref = np.array(orig.cube_std.data)
+    orig.write()
+    path = str(tmp_path / "dense" / "cube_std.fits")
+    assert is_recipe_file(path) is None
+    from origin_tpu import fitsio
+
+    arr = fitsio.getdata(path)
+    assert arr.dtype == np.float32
+    np.testing.assert_array_equal(np.nan_to_num(arr), ref)
