@@ -198,6 +198,15 @@ def main(argv=None):
             finally:
                 if multi and orig is not None:
                     orig.close_logfile()
+                if orig is not None and "engine" in orig.__dict__:
+                    # free the finished field's device allocations NOW:
+                    # the session<->engine cycle otherwise holds them
+                    # until a GC pass, shrinking the next field's HBM
+                    orig.engine.release()
+                    del orig
+                    import gc
+
+                    gc.collect()
         if failures:
             print(f"survey: {len(failures)} cube(s) failed: "
                   + " ".join(failures), file=sys.stderr)

@@ -134,7 +134,7 @@ def _bucket4(n, minimum=8):
     return b
 
 
-def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
+def batched_source_spectra(pd, pv, pm, jobs, wcube=None, chunk=None):
     """Run :func:`source_spectra_kernel` for a list of source jobs.
 
     ``jobs`` is a list of dicts with keys ``key`` (source id), ``y0``/``x0``
@@ -142,12 +142,41 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
     and ``lines``: a list of ``(num_line, (m, m) float32 weight image)``.
     All jobs must share one cutout size ``m`` (callers group by size).
 
+    Jobs run in fixed-size chunks (default 8, ``ORIGIN_TPU_SPECTRA_CHUNK``):
+    the kernel's vmapped window gathers materialize (cap, Nz, m, m)
+    batches, so an unchunked survey field (cap up to 128 after x4
+    bucketing) would demand several GB of transient HBM — enough to OOM
+    a small-HBM chip whose persistent cubes are already resident.  One
+    chunk size also means ONE compiled program for every field.  All
+    chunk programs are dispatched before a single batched fetch collects
+    their results, so the link still pays one round-trip.
+
     Returns ``{source_id: {tag: (Nz,) np.float32 or (spec, var)}}`` with
     tags MUSE_SKY / MUSE_TOT[_SKYSUB] / MUSE_WHITE[_SKYSUB] /
     MUSE_PSF[_SKYSUB] / ORI_CORR_<num>[_SKYSUB].
     """
     if not jobs:
         return {}
+    if chunk is None:
+        import os
+
+        chunk = int(os.environ.get("ORIGIN_TPU_SPECTRA_CHUNK", "8"))
+    pending = [
+        _dispatch_spectra_chunk(pd, pv, pm, jobs[i:i + chunk], wcube)
+        for i in range(0, len(jobs), chunk)
+    ]
+    # ONE batched transfer for every chunk's outputs (async prefetch,
+    # single block) — chunking must not multiply link round-trips
+    hosts = jax.device_get([res for res, _, _, _ in pending])
+    out = {}
+    for host, (_, cjobs, ljobs, has_psf) in zip(hosts, pending):
+        _decode_spectra_chunk(out, host, cjobs, ljobs, has_psf)
+    return out
+
+
+def _dispatch_spectra_chunk(pd, pv, pm, jobs, wcube):
+    """Enqueue one chunk's kernel; returns (device outputs, jobs, ljobs,
+    has_psf) without blocking on the transfer."""
     m = jobs[0]["objm"].shape[0]
     nb = len(jobs)
     cap = _bucket4(nb)
@@ -187,9 +216,10 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None):
     tl = min(lcap, _bucket(nl, 8)) if nl else 0
     res = {k: (v[:tl] if k.startswith("line") else v[:tb])
            for k, v in res.items()}
-    host = jax.device_get(res)
+    return res, jobs, ljobs, has_psf
 
-    out = {}
+
+def _decode_spectra_chunk(out, host, jobs, ljobs, has_psf):
     for i, j in enumerate(jobs):
         d = {
             "MUSE_SKY": host["sky"][i],

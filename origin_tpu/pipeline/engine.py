@@ -256,6 +256,18 @@ class DeferredCube(Cube):
             return
         super().write(filename, **kwargs)
 
+    def drop_device(self):
+        """Free the device copy when the host can recreate the content.
+
+        Safe only for cubes with a host copy, a wire, or a rebuild
+        ``fetch`` (recipe-backed products): later ``.data`` access then
+        rebuilds on host instead of downloading.  No-op otherwise."""
+        with self._lock:
+            if (self._dev is not None and self._future is None
+                    and (self._host is not None or self._wire is not None
+                         or self._fetch is not None)):
+                self._dev = None
+
     @property
     def data(self):
         with self._lock:
@@ -506,6 +518,23 @@ _extract_above = partial(jax.jit, static_argnames=("cap",))(
 @jax.jit
 def _count_above_pair(a1, t1, a2, t2):
     return jnp.sum(a1 > t1), jnp.sum(a2 > t2)
+
+
+#: speculative per-cube line capacity of step 07's single-round-trip
+#: count+compact program (tests shrink it to exercise the overflow path)
+_SPEC_CAP = 4096
+
+
+@partial(jax.jit, static_argnames=("cap1", "cap2"))
+def _count_extract_above_pair(a1, e1, t1, cap1, a2, e2, t2, cap2):
+    """Counts AND capacity-bounded compactions of both cubes as ONE
+    program / one fetch (the step-07 fast path: one link round-trip
+    when the speculative capacity holds both counts)."""
+    return (
+        jnp.sum(a1 > t1), jnp.sum(a2 > t2),
+        _extract_above_body(a1, e1, t1, cap1),
+        _extract_above_body(a2, e2, t2, cap2),
+    )
 
 
 @jax.jit
@@ -1134,6 +1163,37 @@ class DeviceEngine:
         if self.tight_memory:
             self.offload(*names)
 
+    def drop_device(self, *names):
+        """Free still-resident device copies of host-recreatable products.
+
+        Used by step 11 once a recipe-backed cube's device copy has served
+        its last on-device consumer: with recipe checkpointing nothing
+        materializes these cubes anymore, so without an explicit drop
+        their HBM would be freed only when the session objects are
+        garbage-collected."""
+        owners = getattr(self.orig, "_product_owner", {})
+        for n in names:
+            owner = owners.get(n)
+            val = owner.store.peek(n) if owner is not None else None
+            if isinstance(val, DeferredCube):
+                val.drop_device()
+
+    def release(self):
+        """Drop every device allocation this session's engine holds.
+
+        Multi-field processes (survey CLI, benchmarks) call this once a
+        field is finished: the session<->engine reference cycle otherwise
+        keeps the raw-input device arrays alive until a GC pass, which on
+        a small-HBM chip can OOM the NEXT field's programs."""
+        self._inputs.clear()
+        self._inputs_future = None
+        self._mini_cache.clear()
+        owners = getattr(self.orig, "_product_owner", {})
+        for name, owner in owners.items():
+            val = owner.store.peek(name)
+            if isinstance(val, DeferredCube):
+                val.drop_device()
+
     def std_scalar(self, name):
         """Standard deviation of a session cube (device when resident)."""
         obj = getattr(self.orig, name)
@@ -1582,16 +1642,16 @@ class DeviceEngine:
         return self._unpack_sparse(res, n, arr.shape, len(gather))
 
     def detections_above_pair(self, spec1, spec2):
-        """Sparse detections from two cubes in two device round-trips.
+        """Sparse detections from two cubes in ONE device round-trip.
 
         Each spec is ``(name, threshold, gather_names)`` and each result
-        matches :meth:`detections_above`.  Equivalent to two separate
-        calls, but both exact counts come back in ONE fetch and both
-        compacted extractions in a second: step 07 pays two link
-        round-trips instead of four.  The device compute is microseconds
-        — on a high-latency host link the round-trips ARE the step time
-        (reference builds the same catalogs from two in-memory
-        ``np.where`` scans, reference steps.py:958-974).
+        matches :meth:`detections_above`.  Counts and capacity-bounded
+        compactions of BOTH cubes come back in one speculative fetch;
+        only a count overflowing the speculative capacity (4096 lines per
+        cube) pays a second, exact-bucket fetch.  The device compute is
+        microseconds — on a high-latency host link the round-trips ARE
+        the step time (reference builds the same catalogs from two
+        in-memory ``np.where`` scans, reference steps.py:958-974).
         """
         name1, thr1, g1 = spec1
         name2, thr2, g2 = spec2
@@ -1599,15 +1659,21 @@ class DeviceEngine:
         a2 = self.get(name2)
         e1 = tuple(self.get(g) for g in g1)
         e2 = tuple(self.get(g) for g in g2)
-        n1, n2 = (
-            int(v) for v in jax.device_get(
-                _count_above_pair(a1, thr1, a2, thr2)
-            )
+        # speculative single round-trip: counts + compactions at a fixed
+        # capacity in ONE program.  The padded rows cost ~100 kB on the
+        # wire — noise next to a link round-trip — and the capacity holds
+        # every realistic per-threshold detection count; overflow falls
+        # back to the exact-bucket pair fetch below
+        sc1 = min(_SPEC_CAP, a1.size)
+        sc2 = min(_SPEC_CAP, a2.size)
+        n1, n2, r1, r2 = jax.device_get(
+            _count_extract_above_pair(a1, e1, thr1, sc1, a2, e2, thr2, sc2)
         )
-        if n1 == 0 and n2 == 0:
+        n1, n2 = int(n1), int(n2)
+        if n1 <= sc1 and n2 <= sc2:
             return (
-                self._unpack_sparse(None, 0, a1.shape, len(g1)),
-                self._unpack_sparse(None, 0, a2.shape, len(g2)),
+                self._unpack_sparse(r1, n1, a1.shape, len(g1)),
+                self._unpack_sparse(r2, n2, a2.shape, len(g2)),
             )
         # shared capacity bucket while the counts are close (the program
         # cache stays keyed by one cap); per-side buckets when they differ

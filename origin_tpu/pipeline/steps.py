@@ -580,8 +580,8 @@ class Detection(Step):
         )
         # device-side sparse extraction: only (n, 3) indices + values cross
         # the host boundary, never the local-max cubes themselves; both
-        # cubes are counted and compacted in paired programs (two link
-        # round-trips total)
+        # cubes are counted AND compacted in one speculative program (a
+        # single link round-trip unless a count overflows the capacity)
         det_corr, det_std = orig.engine.detections_above_pair(
             ("cube_local_max", orig.threshold_correl, ("cube_profile",)),
             ("cube_std_local_max", orig.threshold_std, ()),
@@ -864,6 +864,12 @@ class SaveSources(Step):
             orig, nb_fwhm
         )
 
+        # nothing on device reads these two again (their checkpoint form
+        # is the recipe / host rebuild): free their HBM before the batch
+        # programs and bulk transfers below need headroom.  cube_std's
+        # device copy stays — comp=1 source cutouts window it on device
+        orig.engine.drop_device("cont_dct", "cube_faint")
+
         # every cube-sized product is final and step 10 issued its last
         # device programs: start ALL background materializations now, so
         # they stream behind this step's (host-dominated) source building
@@ -944,6 +950,10 @@ class SaveSources(Step):
             spectra_pre=spectra_pre,
             line_images_pre=line_images_pre,
         )
+
+        # the sources are built: cube_std's device windows served their
+        # last consumer (the checkpoint stores its recipe)
+        orig.engine.drop_device("cube_std")
 
         # checkpoint the session the sources reference (the reference
         # writes first, source_creation.py:439; writing LAST is

@@ -508,6 +508,33 @@ def test_detections_above_pair_asymmetric_counts(problem):
     assert len(z2) == 1 and (z2[0], y2[0], x2[0]) == (5, 5, 5)
 
 
+def test_detections_above_pair_speculative_overflow(problem, monkeypatch):
+    """A count exceeding the speculative single-round-trip capacity must
+    fall back to the exact-bucket fetch and still match np.where."""
+    import origin_tpu.pipeline.engine as engmod
+
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    a1 = np.zeros((30, 10, 10), np.float32)
+    a2 = np.zeros((30, 10, 10), np.float32)
+    a1.ravel()[::2] = 2.0          # 1500 hits >> the shrunken capacity
+    a2[5, 5, 5] = 2.0
+    orig._store["big"] = DeferredCube(jnp.asarray(a1))
+    orig._store["small"] = DeferredCube(jnp.asarray(a2))
+    monkeypatch.setattr(engmod, "_SPEC_CAP", 64)
+    det1, det2 = eng.detections_above_pair(
+        ("big", 1.0, ()), ("small", 1.0, ())
+    )
+    (z1, y1, x1), v1, _ = det1
+    ez, ey, ex = np.where(a1 > 1.0)
+    np.testing.assert_array_equal(z1, ez)
+    np.testing.assert_array_equal(y1, ey)
+    np.testing.assert_array_equal(x1, ex)
+    np.testing.assert_allclose(v1, a1[ez, ey, ex])
+    assert len(det2[0][0]) == 1
+
+
 def test_derived_inputs_match_host_views(tmp_path):
     """Uploading raw (NaN-carrying) data + variance and deriving the
     zero-filled cube / inf-filled variance / mask on device must be

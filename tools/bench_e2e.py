@@ -247,6 +247,16 @@ def _run_pipeline(args, cube_fn, run):
     ns = orig._get_stat()
     print(f"detections: {ns}")
 
+    # free this field's device allocations NOW: the session<->engine
+    # reference cycle otherwise keeps them alive until a GC pass, and the
+    # next field's programs can OOM a small-HBM chip meanwhile
+    orig.close_logfile()  # detach this field's rotating-file handler
+    if "engine" in orig.__dict__:
+        orig.engine.release()
+    import gc
+
+    gc.collect()
+
     if args.json:
         print(json.dumps({
             "metric": "e2e_pipeline_time",
