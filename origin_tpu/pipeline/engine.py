@@ -601,6 +601,68 @@ class _lane_timer:
         return False
 
 
+# -- foreground-CPU gate ------------------------------------------------------
+#
+# On a few-core host, overlapping the checkpoint's byte-processing (int16
+# quantization, sparse scatters, big-endian conversion, FITS writes) with
+# the source builder's own memory-bound passes is a net LOSS: the threads
+# timeslice on the same core and every switch cold-starts L1/L2/TLC, so
+# each lane's measured thread-CPU inflates 4x+ (measured: the per-source
+# cutout pass costs 0.8 s alone, 3.5-26 s under churn).  Device->host
+# TRANSFERS are exempt — a blocked device_get burns no CPU (measured 0%
+# duty) and must keep streaming.  The gate lets the hot foreground phase
+# (source building) declare itself; background WRITE jobs then wait for
+# it to finish before touching bytes, turning the overlap into
+# stream-transfers-now / process-bytes-after.
+
+_FG_COND = _threading.Condition()
+_FG_HOLDERS = set()  # thread idents currently inside foreground_cpu()
+
+
+def _defer_background_writes():
+    """Gate background byte-processing behind foreground phases?
+
+    Default: only on hosts where the threads would share cores
+    (<= 2 usable CPUs).  ``ORIGIN_TPU_DEFER_WRITES=1/0`` forces."""
+    import os
+
+    env = os.environ.get("ORIGIN_TPU_DEFER_WRITES")
+    if env is not None:
+        return env not in ("0", "false")
+    try:
+        ncpu = len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover - non-Linux
+        ncpu = os.cpu_count() or 1
+    return ncpu <= 2
+
+
+class foreground_cpu:
+    """Context manager marking a foreground host-CPU phase."""
+
+    def __enter__(self):
+        with _FG_COND:
+            _FG_HOLDERS.add(_threading.get_ident())
+        return self
+
+    def __exit__(self, *exc):
+        with _FG_COND:
+            _FG_HOLDERS.discard(_threading.get_ident())
+            _FG_COND.notify_all()
+        return False
+
+
+def wait_for_foreground(timeout=900.0):
+    """Block a background byte-processing job while a foreground phase
+    runs (no-op on multi-core hosts, from a foreground thread itself, or
+    after ``timeout`` — the gate must never deadlock a checkpoint)."""
+    if not _defer_background_writes():
+        return
+    if _threading.get_ident() in _FG_HOLDERS:
+        return
+    with _FG_COND:
+        _FG_COND.wait_for(lambda: not _FG_HOLDERS, timeout)
+
+
 def _store_int16():
     """Whether float detection-statistic cubes keep their scaled-int16
     form host-side (written as BITPIX-16 + BSCALE session files).

@@ -95,9 +95,16 @@ def _write_pool():
 
 def _timed_save(save, name, value, path):
     """Park one product, accounting its writer-lane cost (see
-    engine.LANE_STATS)."""
-    from .engine import _lane_timer
+    engine.LANE_STATS).
 
+    On few-core hosts the byte-processing (quantize/byteswap/write)
+    waits for any foreground phase (source building) to finish first:
+    interleaving the two on one core inflates BOTH lanes' CPU ~4x via
+    cache/TLB thrash (engine.wait_for_foreground).  Transfers are not
+    held up — they stream from the copy pool regardless."""
+    from .engine import _lane_timer, wait_for_foreground
+
+    wait_for_foreground()
     with _lane_timer(f"park:{name}"):
         save(value, path)
     # a decoded statistic cube that also still holds its int16 wire no

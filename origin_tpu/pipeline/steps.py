@@ -926,30 +926,38 @@ class SaveSources(Step):
         spectra = orig.spectra
         segmaps = {"LABEL": orig.segmap_label, "MERGED": orig.segmap_merged}
 
-        create_all_sources(
-            cat3_sources=orig.Cat3_sources,
-            cat3_lines=orig.Cat3_lines,
-            origin_params=orig.param,
-            cube_cor_filename=os.path.join(outpath, "cube_correl.fits"),
-            cube_std_filename=os.path.join(outpath, "cube_std.fits"),
-            mask_filename_tpl=orig.param["mask_filename_tpl"],
-            skymask_filename_tpl=orig.param["skymask_filename_tpl"],
-            spectra_fits_filename=spectra if spectra is not None
-            else os.path.join(outpath, "spectra.fits"),
-            segmaps=segmaps,
-            version=version,
-            profile_fwhm=orig.FWHM_profiles,
-            out_tpl=os.path.join(out_dir, "source-%0.5d.fits"),
-            n_jobs=n_jobs,
-            author=author,
-            nb_fwhm=nb_fwhm,
-            expmap_filename=expmap_filename,
-            data_cube=orig.cube,
-            cube_cor=cube_cor,
-            cube_std=cube_std,
-            spectra_pre=spectra_pre,
-            line_images_pre=line_images_pre,
-        )
+        # the source loop is the foreground host-CPU phase: on few-core
+        # hosts the background park jobs hold their byte-processing until
+        # it finishes (transfers keep streaming — see
+        # engine.wait_for_foreground), because interleaving the two on a
+        # shared core inflates both lanes' CPU ~4x via cache thrash
+        from .engine import foreground_cpu
+
+        with foreground_cpu():
+            create_all_sources(
+                cat3_sources=orig.Cat3_sources,
+                cat3_lines=orig.Cat3_lines,
+                origin_params=orig.param,
+                cube_cor_filename=os.path.join(outpath, "cube_correl.fits"),
+                cube_std_filename=os.path.join(outpath, "cube_std.fits"),
+                mask_filename_tpl=orig.param["mask_filename_tpl"],
+                skymask_filename_tpl=orig.param["skymask_filename_tpl"],
+                spectra_fits_filename=spectra if spectra is not None
+                else os.path.join(outpath, "spectra.fits"),
+                segmaps=segmaps,
+                version=version,
+                profile_fwhm=orig.FWHM_profiles,
+                out_tpl=os.path.join(out_dir, "source-%0.5d.fits"),
+                n_jobs=n_jobs,
+                author=author,
+                nb_fwhm=nb_fwhm,
+                expmap_filename=expmap_filename,
+                data_cube=orig.cube,
+                cube_cor=cube_cor,
+                cube_std=cube_std,
+                spectra_pre=spectra_pre,
+                line_images_pre=line_images_pre,
+            )
 
         # the sources are built: cube_std's device windows served their
         # last consumer (the checkpoint stores its recipe)

@@ -681,3 +681,42 @@ def test_sparse_quantization_keeps_tiny_extrema(problem):
     step = 30.0 / 32766.0
     assert 0 < out[7, 2, 3] <= step
     assert -step <= out[5, 0, 2] < 0
+
+
+def test_foreground_gate_defers_background_writes(monkeypatch):
+    """Background park jobs wait out a foreground phase (few-core mode),
+    run from the foreground thread itself, and ignore the gate when
+    deferral is off."""
+    import threading
+    import time
+
+    import origin_tpu.pipeline.engine as engmod
+
+    monkeypatch.setenv("ORIGIN_TPU_DEFER_WRITES", "1")
+    order = []
+
+    def bg():
+        engmod.wait_for_foreground(timeout=30)
+        order.append("bg")
+
+    with engmod.foreground_cpu():
+        t = threading.Thread(target=bg)
+        t.start()
+        time.sleep(0.15)
+        # the foreground thread itself is exempt (no self-deadlock)
+        engmod.wait_for_foreground(timeout=30)
+        order.append("fg")
+    t.join(10)
+    assert order == ["fg", "bg"]
+
+    # deferral off: the gate is a no-op even inside a foreground phase
+    monkeypatch.setenv("ORIGIN_TPU_DEFER_WRITES", "0")
+    with engmod.foreground_cpu():
+        done = []
+        t = threading.Thread(
+            target=lambda: (engmod.wait_for_foreground(timeout=30),
+                            done.append(1))
+        )
+        t.start()
+        t.join(10)
+        assert done == [1]
