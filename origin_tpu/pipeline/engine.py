@@ -1668,8 +1668,16 @@ class DeviceEngine:
         # most m//2 out of field) and share the padded triple across
         # every size group — per-size full-edge pads re-ran three
         # cube-sized device programs per distinct mask size and
-        # transiently doubled the halo
-        h = max(int(m) for m in jobs_by_size) // 2 + 1
+        # transiently doubled the halo.  The halo is quantized to
+        # power-of-two tiers with a floor of 32 (covers masks up to
+        # 63 px, i.e. the default 25 px plus two retry growths): the
+        # padded shape keys every per-size kernel's compilation, and an
+        # exact halo recompiled the whole family whenever one field's
+        # retry ladder produced a larger mask than the previous field's
+        need = max(int(m) for m in jobs_by_size) // 2 + 1
+        h = 32
+        while h < need:
+            h *= 2
         pd = jnp.pad(cube, ((0, 0), (h, h), (h, h)))
         pv = jnp.pad(var, ((0, 0), (h, h), (h, h)),
                      constant_values=np.inf)
