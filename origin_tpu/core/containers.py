@@ -17,6 +17,17 @@ from .coords import WCS, WaveCoord
 
 __all__ = ["Cube", "Image", "Spectrum", "Quant16", "QuantCube"]
 
+# primary-header marker of a sparse scaled-int16 cube file (the session
+# storage of the four local-extrema cubes; see _Base.write / _Base._load)
+SPARSE_KEY = "ORITPUSP"
+
+
+def _store_sparse():
+    import os
+
+    return os.environ.get("ORIGIN_TPU_STORE_SPARSE", "1").lower() not in (
+        "0", "false")
+
 
 class Quant16:
     """Scaled-int16 representation of a float32 array: ``q * scale``.
@@ -30,13 +41,21 @@ class Quant16:
     which any FITS reader decodes transparently — and (c) skips the
     float32 big-endian conversion pass at write time.  ``decode()``
     materializes the float32 view for numeric consumers.
+
+    ``pairs``, when set, holds the ``(flat_index, value)`` arrays of the
+    nonzero entries (the sparse device transfer of a local-extrema cube,
+    pipeline.engine._scatter_sparse).  A wire carrying pairs can be
+    checkpointed as a tiny sparse FITS table instead of the dense int16
+    image — on a throughput-throttled disk the four extrema cubes'
+    dense files otherwise dominate the checkpoint's write time.
     """
 
-    __slots__ = ("q", "scale")
+    __slots__ = ("q", "scale", "pairs")
 
-    def __init__(self, q, scale):
+    def __init__(self, q, scale, pairs=None):
         self.q = np.asarray(q)
         self.scale = float(scale)
+        self.pairs = pairs
 
     @property
     def shape(self):
@@ -236,15 +255,53 @@ class _Base:
     def wire16(self):
         """The product's :class:`Quant16` wire, when it carries one.
 
-        Plain containers never do; :class:`DeferredCube` returns the
-        quantized transfer so :meth:`write` can store it as a scaled
-        BITPIX-16 image without ever decoding the full float32 array.
+        Plain containers only do after loading a sparse extrema file
+        (``_load`` keeps the pairs so a re-park stays sparse);
+        :class:`DeferredCube` returns the quantized transfer so
+        :meth:`write` can store it as a scaled BITPIX-16 image without
+        ever decoding the full float32 array.
         """
-        return None
+        return getattr(self, "_wire16", None)
 
     def write(self, filename, savemask="nan", convert_float32=False, **kwargs):
         wire = self.wire16()
-        if wire is not None and self.var is None and self.mask is None:
+        if (wire is not None and self.var is None and self.mask is None
+                and getattr(wire, "pairs", None) is not None
+                and self.ndim == 3 and _store_sparse()):
+            # mostly-zero statistic cube (local extrema): store the
+            # (flat index, int16 value) pairs as a FITS binary table —
+            # ~1000x smaller than the dense image on typical fields.
+            # Reading it back through Cube() reconstructs the dense
+            # float32 array bit-identically to the dense int16 file's
+            # decode; ORIGIN_TPU_STORE_SPARSE=0 restores dense files
+            fidx, qvals = wire.pairs
+            dhdr = fitsio.Header()
+            if self.wcs is not None:
+                self.wcs.to_header(dhdr)
+            if self.wave is not None:
+                self.wave.to_header(dhdr, axis=3)
+            dhdr["EXTNAME"] = "DATA"
+            phdr = self.primary_header.copy()
+            phdr[SPARSE_KEY] = (
+                "extrema16", "sparse scaled-int16 cube (origin_tpu)"
+            )
+            phdr["SPSCALE"] = wire.scale, "physical = SPSCALE * VAL"
+            nz, ny, nx = self.shape
+            phdr["SPNZ"] = int(nz)
+            phdr["SPNY"] = int(ny)
+            phdr["SPNX"] = int(nx)
+            from collections import OrderedDict
+
+            cols = OrderedDict(
+                IDX=np.asarray(fidx), VAL=np.asarray(qvals, np.int16)
+            )
+            fitsio.write(filename, [
+                fitsio.HDU(header=phdr),
+                fitsio.HDU(data=cols, header=dhdr),
+            ])
+            return
+        if (wire is not None and self.var is None and self.mask is None
+                and wire.q.shape == self.shape):
             dhdr = fitsio.Header()
             if self.wcs is not None:
                 self.wcs.to_header(dhdr)
@@ -283,6 +340,33 @@ class _Base:
     def _load(self, filename):
         hdus = fitsio.read(filename)
         self.primary_header = hdus[0].header
+        if self.primary_header.get(SPARSE_KEY) and len(hdus) > 1:
+            # sparse scaled-int16 cube (see write): scatter the pairs
+            # into a dense float32 array — same values as decoding the
+            # dense int16 file this replaces
+            phdr = self.primary_header
+            shape = (int(phdr["SPNZ"]), int(phdr["SPNY"]), int(phdr["SPNX"]))
+            scale = np.float32(phdr["SPSCALE"])
+            tbl = hdus[1]
+            flat = np.zeros(int(np.prod(shape)), np.float32)
+            idx = np.asarray(tbl.data["IDX"])
+            if idx.size:
+                flat[idx] = np.asarray(tbl.data["VAL"], np.float32) * scale
+            self.data = flat.reshape(shape)
+            self.var = None
+            self.mask = None
+            hdr = tbl.header
+            self.wcs = WCS.from_header(hdr, shape=shape[-2:])
+            self.wave = WaveCoord.from_header(hdr, axis=3, shape=shape[0])
+            self.data_header = hdr
+            # keep the pairs: a later write() re-parks the (read-only
+            # diagnostic) cube sparsely instead of as a dense float32
+            self._wire16 = Quant16(
+                np.zeros(0, np.int16), float(scale),
+                pairs=(idx, np.asarray(tbl.data["VAL"], np.int16)),
+            )
+            del phdr[SPARSE_KEY]  # re-written fresh by write()
+            return
         data_hdu = None
         stat_hdu = None
         for h in hdus:

@@ -705,7 +705,13 @@ def _scatter_sparse(shape, dtype, n, fidx, vals, quant=False):
             if tiny.any():
                 q[tiny] = np.where(vals[tiny] > 0, 1, -1)
             flat[fidx[:n]] = q
-        return Quant16(flat.reshape(shape), scale)
+            pairs = (np.ascontiguousarray(fidx[:n]), q)
+        else:
+            pairs = (np.zeros(0, np.int32), np.zeros(0, np.int16))
+        # keep the (index, value) pairs on the wire: the checkpoint then
+        # stores the mostly-zero cube as a tiny sparse table instead of a
+        # dense int16 image (containers._Base.write)
+        return Quant16(flat.reshape(shape), scale, pairs=pairs)
     flat = np.zeros(size, dtype=dtype)
     if n:
         flat[fidx[:n]] = vals[:n]

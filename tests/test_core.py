@@ -627,3 +627,66 @@ def test_quantcube_subcube_and_source_write(tmp_path):
     # replaced data invalidates the cutout's wire
     sub.data = sub.data * 2.0
     assert sub.wire16() is None
+
+
+def test_sparse_extrema_file_roundtrip(tmp_path):
+    """A Quant16 wire carrying (index, value) pairs checkpoints as a tiny
+    sparse FITS table and reads back as the identical dense float32 cube;
+    a re-park of the loaded cube stays sparse."""
+    from origin_tpu.core.containers import SPARSE_KEY, Quant16
+    from origin_tpu.core.coords import WCS, WaveCoord
+
+    rng = np.random.default_rng(11)
+    shape = (40, 16, 12)
+    size = int(np.prod(shape))
+    idx = np.sort(rng.choice(size, 37, replace=False)).astype(np.int32)
+    q = rng.integers(-32000, 32000, 37).astype(np.int16)
+    q[q == 0] = 1
+    scale = 3.7e-4
+    flat = np.zeros(size, np.int16)
+    flat[idx] = q
+    wire = Quant16(flat.reshape(shape), scale, pairs=(idx, q))
+
+    cube = Cube(data=wire.decode(), wcs=WCS(crpix=(8, 6), crval=(-30.0, 53.0)),
+                wave=WaveCoord(crpix=1.0, crval=4750.0, cdelt=1.25), copy=False)
+    cube.mask = None
+    cube._wire16 = wire
+    fn = str(tmp_path / "lmax.fits")
+    cube.write(fn)
+
+    assert os.path.getsize(fn) < 40 * 2880  # sparse, not a dense image
+    assert fitsio.getheader(fn)[SPARSE_KEY] == "extrema16"
+
+    back = Cube(fn)
+    assert back.data.dtype == np.float32
+    np.testing.assert_array_equal(back.data, wire.decode())
+    np.testing.assert_allclose(back.wave.coord(), cube.wave.coord())
+    np.testing.assert_allclose(back.wcs.pix2sky([(3, 3)]),
+                               cube.wcs.pix2sky([(3, 3)]))
+
+    # the loaded cube re-parks sparsely (kept pairs), not as dense float32
+    fn2 = str(tmp_path / "lmax2.fits")
+    back.write(fn2)
+    assert fitsio.getheader(fn2)[SPARSE_KEY] == "extrema16"
+    again = Cube(fn2)
+    np.testing.assert_array_equal(again.data, wire.decode())
+
+    # empty pair set (a detection-free field) round-trips to all zeros
+    ew = Quant16(np.zeros(shape, np.int16), 1e-30,
+                 pairs=(np.zeros(0, np.int32), np.zeros(0, np.int16)))
+    ec = Cube(data=ew.decode(), copy=False)
+    ec.mask = None
+    ec._wire16 = ew
+    fn3 = str(tmp_path / "empty.fits")
+    ec.write(fn3)
+    assert np.count_nonzero(Cube(fn3).data) == 0
+
+    # opt-out: ORIGIN_TPU_STORE_SPARSE=0 restores a dense file
+    os.environ["ORIGIN_TPU_STORE_SPARSE"] = "0"
+    try:
+        fn4 = str(tmp_path / "dense.fits")
+        cube.write(fn4)
+        assert SPARSE_KEY not in fitsio.getheader(fn4)
+        np.testing.assert_allclose(Cube(fn4).data, wire.decode(), atol=scale)
+    finally:
+        del os.environ["ORIGIN_TPU_STORE_SPARSE"]

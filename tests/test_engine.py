@@ -365,15 +365,20 @@ def test_tight_memory_pipeline(tmp_path, monkeypatch):
     assert len(glob.glob(str(tmp_path / "tight" / "sources"
                              / "source-*.fits"))) == nsrc
 
-    # tight sessions checkpoint through the same int16 wires: the
-    # statistic cubes' session files are scaled BITPIX-16 images here too
+    # tight sessions checkpoint through the same int16 wires: the dense
+    # statistic cubes' session files are scaled BITPIX-16 images here
+    # too, and the mostly-zero extrema cubes sparse tables
     orig.write()
     from origin_tpu import fitsio
+    from origin_tpu.core.containers import SPARSE_KEY
 
-    for name in ("cube_correl", "cube_correl_min", "cube_local_max"):
+    for name in ("cube_correl", "cube_correl_min"):
         hdr = fitsio.getheader(
             str(tmp_path / "tight" / f"{name}.fits"), ext=1)
         assert int(hdr["BITPIX"]) == 16, name
+    assert fitsio.getheader(
+        str(tmp_path / "tight" / "cube_local_max.fits")
+    )[SPARSE_KEY] == "extrema16"
     orig.close_logfile()
 
 

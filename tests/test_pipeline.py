@@ -356,8 +356,15 @@ def test_write_skips_unchanged_aux_and_keeps_format(minicube, tmp_path):
     cont = load_cube(os.path.join(folder, "cont_dct.fits")).data
     assert cont.dtype == np.float32
     # local extrema round-trip the sparse transfer exactly: nonzero where
-    # a strict box maximum exists, zero elsewhere
-    lmax = fitsio.getdata(os.path.join(folder, "cube_std_local_max.fits"))
+    # a strict box maximum exists, zero elsewhere.  The session file is a
+    # sparse (index, value) table (containers.SPARSE_KEY); Cube() scatters
+    # it back to the dense float32 array
+    from origin_tpu.core.containers import SPARSE_KEY, Cube
+
+    lmax_fn = os.path.join(folder, "cube_std_local_max.fits")
+    assert fitsio.getheader(lmax_fn)[SPARSE_KEY] == "extrema16"
+    assert os.path.getsize(lmax_fn) < 2 ** 20  # tiny on disk
+    lmax = Cube(lmax_fn).data
     assert lmax.dtype == np.float32
     nnz = np.count_nonzero(lmax)
     assert 0 < nnz < lmax.size // 4  # genuinely sparse
