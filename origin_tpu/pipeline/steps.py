@@ -829,6 +829,27 @@ class CreateMasks(Step):
         )
 
 
+class _LazyDeviceCube:
+    """``.device`` view of a session product, re-uploaded on first use.
+
+    Stands in for a still-resident DeferredCube when a resumed session
+    re-runs step 11: the batched source kernels only read ``.device``,
+    so the (link-bound) upload happens once, lazily, and only if a
+    kernel actually consumes this cube.
+    """
+
+    def __init__(self, engine, name):
+        self._engine = engine
+        self._name = name
+        self._dev = None
+
+    @property
+    def device(self):
+        if self._dev is None:
+            self._dev = self._engine.get(self._name)
+        return self._dev
+
+
 class SaveSources(Step):
     """Write one Source FITS file per source.
 
@@ -922,7 +943,12 @@ class SaveSources(Step):
         # re-reading the freshly written session from disk (the reference
         # re-reads three full cubes per run, source_creation.py:439-534)
         cube_cor = orig.cube_correl
-        cube_std = orig.cube_std
+        # cube_std feeds only comp=1 (STD-detected) sources' ORI_SNCUBE
+        # cutouts; materializing it unconditionally would pay the full
+        # recipe rebuild on resumed sessions that have none
+        comps = np.asarray(orig.Cat3_sources["comp"]) \
+            if len(orig.Cat3_sources) else np.zeros(0, int)
+        cube_std = orig.cube_std if (comps == 1).any() else None
         spectra = orig.spectra
         segmaps = {"LABEL": orig.segmap_label, "MERGED": orig.segmap_merged}
 
@@ -998,11 +1024,26 @@ class SaveSources(Step):
         if (eng is None or eng.tight_memory
                 or cat is None or len(cat) == 0 or lines is None):
             return None, None
+        comps_present = {int(c) for c in np.asarray(cat["comp"])}
         dev_by_comp = {}
         for comp, name in ((0, "cube_correl"), (1, "cube_std")):
+            if comp not in comps_present:
+                dev_by_comp[comp] = None
+                continue
             obj = getattr(orig, name, None)
-            dev_by_comp[comp] = obj if getattr(obj, "device", None) \
-                is not None else None
+            if getattr(obj, "device", None) is not None:
+                dev_by_comp[comp] = obj
+            elif obj is not None:
+                # resumed session: the detection cube lives host-side
+                # (int16 session file / recipe).  Re-upload it once and
+                # run the same batched window kernels — the upload is
+                # link-bound and amortized over every source, while the
+                # host per-source fallback costs ~10 cutout-sized
+                # single-core passes per source (the reference re-reads
+                # the full cubes per run, source_creation.py:439-534)
+                dev_by_comp[comp] = _LazyDeviceCube(eng, name)
+            else:
+                dev_by_comp[comp] = None
 
         mask_tpl = orig.param["mask_filename_tpl"]
         sky_tpl = orig.param["skymask_filename_tpl"]

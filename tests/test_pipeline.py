@@ -477,6 +477,32 @@ def test_step11_device_batched_matches_host(minicube, tmp_path):
     assert checked_specs > 10
     orig.close_logfile()
 
+    # resumed-session leg: reload the written session and re-run step 11.
+    # The batched device path must run from the re-uploaded detection
+    # cubes (steps._LazyDeviceCube) and reproduce the host-path sources
+    res = ORIGIN.load(str(tmp_path / "bat"), loglevel="WARNING")
+    res_dir = tmp_path / "resumed"
+    res_dir.mkdir()
+    try:
+        SaveSources._device_source_artifacts = staticmethod(spy)
+        seen.clear()
+        res.step11_save_sources("0.1", path=str(res_dir), overwrite=True)
+    finally:
+        SaveSources._device_source_artifacts = staticmethod(real)
+    assert seen["spectra"], "resumed session fell back to the host path"
+    for sid in ids[:3]:
+        fn = "sources/source-%0.5d.fits" % sid
+        a = Source.from_file(str(res_dir / "bat" / fn))
+        b = Source.from_file(str(host_dir / "bat" / fn))
+        assert set(a.spectra) == set(b.spectra)
+        for tag in sorted(a.spectra):
+            sa, sb = a.spectra[tag], b.spectra[tag]
+            scale = max(1.0, float(np.nanmax(np.abs(sb.data))))
+            np.testing.assert_allclose(
+                np.asarray(sa.data), np.asarray(sb.data),
+                atol=2e-3 * scale, err_msg=f"resumed src {sid} {tag}")
+    res.close_logfile()
+
 
 def test_failed_background_park_is_retried(tmp_path):
     """A failed async product write must not poison the session: the
