@@ -109,6 +109,19 @@ class _Base:
 
     # -- basic properties ----------------------------------------------------
     @property
+    def data(self):
+        return self._data_arr
+
+    @data.setter
+    def data(self, val):
+        self._data_arr = val
+        # replaced content invalidates a kept int16 wire (loaded session
+        # statistic files keep theirs for sparse/int16 re-parks and
+        # half-size engine re-uploads; see _load)
+        if getattr(self, "_wire16", None) is not None:
+            self._wire16 = None
+
+    @property
     def shape(self):
         return self.data.shape
 
@@ -386,6 +399,19 @@ class _Base:
             self.mask = m if m.any() else None
         else:
             self.mask = None
+        wq = getattr(data_hdu, "wire16_q", None)
+        if (wq is not None and stat_hdu is None and self.mask is None
+                and wq.shape == self.data.shape):
+            # a scaled-int16 session statistic cube: keep the undecoded
+            # buffer as the wire.  subcube() then cuts int16 windows
+            # (per-source ORI_CORREL/ORI_SNCUBE files stay int16 on a
+            # resumed session, as on a live one), a re-park skips the
+            # re-quantization, and the engine re-uploads half the bytes
+            # and dequantizes on device.  The wire is dropped if .data
+            # is reassigned — but NOT on an in-place mutation of the
+            # loaded array, which no pipeline path performs (session
+            # statistic files are read-only products)
+            self._wire16 = Quant16(wq, data_hdu.wire16_scale)
         hdr = data_hdu.header
         if self.data.ndim >= 2:
             self.wcs = WCS.from_header(hdr, shape=self.data.shape[-2:])
@@ -557,8 +583,16 @@ class Cube(_Base):
     def _subcube_wire(self):
         """The parent's Quant16 wire when slicing it beats decoding.
 
-        Plain cubes never carry one; :class:`DeferredCube` overrides
-        (device-resident cubes keep using the device window slice)."""
+        Plain cubes carry one only after loading a dense scaled-int16
+        session file (``_load`` keeps the undecoded buffer), so resumed
+        sessions cut the same int16 windows a live one does;
+        :class:`DeferredCube` overrides (device-resident cubes keep
+        using the device window slice)."""
+        w = getattr(self, "_wire16", None)
+        q = getattr(w, "q", None)
+        if (q is not None and q.ndim == 3 and q.shape == self.shape
+                and self.mask is None):
+            return w
         return None
 
     def get_image(self, wave, unit_wave=None, method="sum"):

@@ -456,6 +456,7 @@ def read(filename):
             naxis = int(hdr.get("NAXIS", 0))
             dims = [int(hdr[f"NAXIS{i}"]) for i in range(1, naxis + 1)]
             nelem = int(np.prod(dims)) if dims else 0
+            q = None
             if xtension == "BINTABLE":
                 nbytes = int(hdr["NAXIS1"]) * int(hdr["NAXIS2"]) + int(
                     hdr.get("PCOUNT", 0)
@@ -490,6 +491,7 @@ def read(filename):
                         # precision.  Files with a BZERO offset (foreign
                         # conventions) keep the exact float64 path.
                         if data.dtype.itemsize <= 2 and bzero == 0:
+                            q = data
                             data = data.astype(np.float32)
                             data *= np.float32(bscale)
                         else:
@@ -499,7 +501,15 @@ def read(filename):
                     for card in ("BSCALE", "BZERO"):
                         if card in hdr:
                             del hdr[card]
-            hdus.append(HDU(data=data, header=hdr))
+            hdu = HDU(data=data, header=hdr)
+            if q is not None and q.dtype == np.int16:
+                # the undecoded scaled-int16 buffer: consumers that can
+                # carry the wire (session statistic cubes) keep it to
+                # skip re-quantization at write time and to halve a
+                # resume re-upload (containers._Base._load)
+                hdu.wire16_q = q
+                hdu.wire16_scale = float(bscale)
+            hdus.append(hdu)
             first = False
         if first:
             raise OSError(f"empty FITS file: {filename}")

@@ -1006,6 +1006,16 @@ def _tglr_fused(faint, mask, psfs, wmaps, t_num, t_den, factors,
                          diag_bf16=diag_bf16, prof_dtype=prof_dtype)
 
 
+@jax.jit
+def _dequant16(q, scale):
+    """The Quant16 decode on device: ``float32(q) * float32(scale)``.
+
+    Same arithmetic as :meth:`origin_tpu.core.containers.Quant16.decode`,
+    so an int16-wire re-upload yields bit-identical values to uploading
+    the host-decoded float32 array (at half the link bytes)."""
+    return q.astype(jnp.float32) * scale
+
+
 class DeviceEngine:
     """Per-session holder of device-resident front-end state.
 
@@ -1274,11 +1284,21 @@ class DeviceEngine:
 
         Prefers the still-resident DeferredCube handle; falls back to
         uploading the host copy (resume-from-disk path), with masked
-        voxels zero-filled as the device kernels expect.
+        voxels zero-filled as the device kernels expect.  A host copy
+        carrying its dense int16 wire (loaded scaled-int16 session
+        files, materialized quantized transfers) uploads the wire —
+        half the float32 bytes — and dequantizes on device
+        (``float32(q) * float32(scale)``, bit-equal to the host decode).
         """
         obj = getattr(self.orig, name)
         if isinstance(obj, DeferredCube) and obj.device is not None:
             return obj.device
+        wire = obj.wire16() if hasattr(obj, "wire16") else None
+        q = getattr(wire, "q", None)
+        if (q is not None and q.dtype == np.int16
+                and q.shape == tuple(obj.shape)
+                and getattr(obj, "mask", None) is None):
+            return _dequant16(self._put_raw(q), np.float32(wire.scale))
         host = obj.filled(0)
         if host.dtype == np.float64:
             host = host.astype(np.float32)
@@ -1869,6 +1889,15 @@ class MeshEngine(DeviceEngine):
         obj = getattr(self.orig, name)
         if isinstance(obj, DeferredCube) and obj.device is not None:
             return obj.device
+        wire = obj.wire16() if hasattr(obj, "wire16") else None
+        q = getattr(wire, "q", None)
+        if (q is not None and q.dtype == np.int16 and q.ndim == 3
+                and q.shape == tuple(obj.shape)
+                and getattr(obj, "mask", None) is None):
+            # half-size upload of the int16 wire, dequantized in place
+            # over the row sharding
+            return _dequant16(jax.device_put(q, self._row),
+                              np.float32(wire.scale))
         host = obj.filled(0)
         if host.dtype == np.float64:
             host = host.astype(np.float32)

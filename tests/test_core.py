@@ -629,6 +629,67 @@ def test_quantcube_subcube_and_source_write(tmp_path):
     assert sub.wire16() is None
 
 
+def test_dense_int16_file_keeps_wire(tmp_path):
+    """Loading a dense scaled-int16 session cube keeps the undecoded
+    wire: subcube() cuts int16 windows (live/resumed source-file parity),
+    a re-write stays BITPIX 16, and reassigning .data drops the wire."""
+    from origin_tpu.core.containers import Quant16, QuantCube
+    from origin_tpu.core.coords import WCS, WaveCoord
+
+    rng = np.random.default_rng(5)
+    q = rng.integers(-32000, 32000, (40, 16, 12)).astype(np.int16)
+    scale = 2.5e-4
+    wire = Quant16(q, scale)
+    cube = Cube(data=wire.decode(), wcs=WCS(crpix=(8, 6)),
+                wave=WaveCoord(crval=4750.0, cdelt=1.25), copy=False)
+    cube.mask = None
+    cube._wire16 = wire
+    fn = str(tmp_path / "stat16.fits")
+    cube.write(fn)
+    hdr = fitsio.getheader(fn, ext=1)
+    assert int(hdr["BITPIX"]) == 16
+
+    back = Cube(fn)
+    np.testing.assert_array_equal(back.data, wire.decode())
+    w = back.wire16()
+    assert w is not None and w.q.dtype == np.int16
+    np.testing.assert_array_equal(w.q, q)
+    assert w.scale == np.float32(scale)
+
+    # subcube of the loaded cube carries an int16 window
+    sub = back.subcube((8, 6), 4)
+    assert isinstance(sub, QuantCube)
+    np.testing.assert_array_equal(sub.data, wire.decode()[:, 6:10, 4:8])
+
+    # re-write stays int16 and round-trips
+    fn2 = str(tmp_path / "stat16b.fits")
+    back.write(fn2)
+    assert int(fitsio.getheader(fn2, ext=1)["BITPIX"]) == 16
+    np.testing.assert_array_equal(Cube(fn2).data, wire.decode())
+
+    # replacing the data invalidates the wire
+    back.data = back.data * 2.0
+    assert back.wire16() is None
+    fn3 = str(tmp_path / "stat16c.fits")
+    back.write(fn3)
+    assert int(fitsio.getheader(fn3, ext=1)["BITPIX"]) == -32
+
+
+def test_engine_get_uploads_int16_wire(tmp_path):
+    """engine.get() of a wire-carrying host cube uploads the int16 buffer
+    and dequantizes on device, matching the host decode bit-for-bit."""
+    import jax.numpy as jnp
+
+    from origin_tpu.core.containers import Quant16
+    from origin_tpu.pipeline.engine import _dequant16
+
+    rng = np.random.default_rng(6)
+    q = rng.integers(-32000, 32000, (30, 8, 8)).astype(np.int16)
+    wire = Quant16(q, 3.3e-4)
+    out = np.asarray(_dequant16(jnp.asarray(q), np.float32(wire.scale)))
+    np.testing.assert_array_equal(out, wire.decode())
+
+
 def test_sparse_extrema_file_roundtrip(tmp_path):
     """A Quant16 wire carrying (index, value) pairs checkpoints as a tiny
     sparse FITS table and reads back as the identical dense float32 cube;
