@@ -1016,6 +1016,17 @@ def _dequant16(q, scale):
     return q.astype(jnp.float32) * scale
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _scatter16_flat(fidx, q, scale, size):
+    """Scatter (index, int16 value) pairs into a flat float32 zero cube.
+
+    The device form of the sparse extrema decode (containers._load):
+    pad rows carry ``q == 0`` so their scatter-add is a no-op, making
+    the capacity-bucketed upload exact."""
+    flat = jnp.zeros((size,), jnp.float32)
+    return flat.at[fidx].add(q.astype(jnp.float32) * scale)
+
+
 class DeviceEngine:
     """Per-session holder of device-resident front-end state.
 
@@ -1299,6 +1310,26 @@ class DeviceEngine:
                 and q.shape == tuple(obj.shape)
                 and getattr(obj, "mask", None) is None):
             return _dequant16(self._put_raw(q), np.float32(wire.scale))
+        pairs = getattr(wire, "pairs", None)
+        if (pairs is not None and q is not None and q.size == 0
+                and getattr(obj, "mask", None) is None):
+            # sparse-loaded extrema cube: upload the (index, value)
+            # pairs (bucketed so the scatter compiles per tier, not per
+            # count) and rebuild the dense cube on device — a resumed
+            # step 06/07 re-run then moves kilobytes instead of a dense
+            # float32 cube per extrema product
+            fidx, vals = pairs
+            n = int(np.asarray(fidx).size)
+            shape = tuple(obj.shape)
+            size = int(np.prod(shape))
+            cap = min(_bucket4(max(n, 1), 256), max(size, 1))
+            fi = np.zeros(cap, np.int64)
+            qv = np.zeros(cap, np.int16)
+            fi[:n] = np.asarray(fidx)[:cap]
+            qv[:n] = np.asarray(vals)[:cap]
+            flat = _scatter16_flat(self._put_raw(fi), self._put_raw(qv),
+                                   np.float32(wire.scale), size)
+            return flat.reshape(shape)
         host = obj.filled(0)
         if host.dtype == np.float64:
             host = host.astype(np.float32)

@@ -214,6 +214,57 @@ def test_engine_get_reuploads_after_materialize(problem):
     np.testing.assert_allclose(np.asarray(dev2), cube)
 
 
+def test_engine_get_wire_uploads(problem):
+    """get() uploads the int16 wire of a dense-wire host cube, and the
+    (index, value) pairs of a sparse-loaded extrema cube, matching the
+    host decode bit-for-bit (resume-from-disk paths)."""
+    from origin_tpu.core.containers import Quant16
+
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    rng = np.random.default_rng(3)
+    shape = cube.shape
+
+    # dense int16 wire (a loaded scaled-int16 session file)
+    q = rng.integers(-32000, 32000, shape).astype(np.int16)
+    wire = Quant16(q, 1.7e-4)
+    c = Cube(data=wire.decode(), copy=False)
+    c.mask = None
+    c._wire16 = wire
+    orig._store["cube_correl"] = c
+    np.testing.assert_array_equal(
+        np.asarray(eng.get("cube_correl")), wire.decode()
+    )
+
+    # sparse pairs wire (a sparse-loaded extrema file): kilobyte upload,
+    # device scatter
+    size = int(np.prod(shape))
+    idx = np.sort(rng.choice(size, 41, replace=False)).astype(np.int64)
+    vals = rng.integers(-32000, 32000, 41).astype(np.int16)
+    vals[vals == 0] = 3
+    scale = np.float32(2.2e-4)
+    flat = np.zeros(size, np.float32)
+    flat[idx] = vals.astype(np.float32) * scale
+    sc = Cube(data=flat.reshape(shape), copy=False)
+    sc.mask = None
+    sc._wire16 = Quant16(np.zeros(0, np.int16), float(scale),
+                         pairs=(idx, vals))
+    orig._store["cube_local_max"] = sc
+    np.testing.assert_array_equal(
+        np.asarray(eng.get("cube_local_max")), flat.reshape(shape)
+    )
+
+    # empty pair set (a detection-free field) stays all-zero
+    ec = Cube(data=np.zeros(shape, np.float32), copy=False)
+    ec.mask = None
+    ec._wire16 = Quant16(np.zeros(0, np.int16), 1.0,
+                         pairs=(np.zeros(0, np.int64),
+                                np.zeros(0, np.int16)))
+    orig._store["cube_local_min"] = ec
+    assert not np.asarray(eng.get("cube_local_min")).any()
+
+
 def test_greedy_pca_engine_matches_direct(problem):
     from origin_tpu.ops import greedy_pca_by_area, o2test
 
