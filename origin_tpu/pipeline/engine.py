@@ -1238,6 +1238,12 @@ class DeviceEngine:
             if not o._sparse:
                 o.prefetch()
 
+    #: detection statistics whose global std feeds add_tglr_stat
+    #: (step 09): compute it while the cube is still device-resident —
+    #: after a tight offload the host copy is a quantized wire and a
+    #: dense host np.std costs seconds per cube at full-field scale
+    _STD_CACHED = ("cube_std", "cube_correl")
+
     def offload(self, *names):
         """Materialize products to host now, freeing their HBM.
 
@@ -1246,6 +1252,8 @@ class DeviceEngine:
         for n in names:
             obj = getattr(self.orig, n, None)
             if isinstance(obj, DeferredCube) and obj.device is not None:
+                if n in self._STD_CACHED:
+                    obj._std_scalar = float(_std_jit(obj.device))
                 obj.materialize()
 
     def maybe_offload(self, *names):
@@ -1284,9 +1292,33 @@ class DeviceEngine:
                 val.drop_device()
 
     def std_scalar(self, name):
-        """Standard deviation of a session cube (device when resident)."""
+        """Standard deviation of a session cube (device when resident).
+
+        Prefers the scalar stashed at offload time (device reduction of
+        the unquantized array, same program as the non-tight path); a
+        materialized quantized wire is reduced by exact integer sums
+        (``scale * sqrt(E[q^2] - E[q]^2)``) without the float32 decode
+        pass the dense host np.std would pay."""
         obj = getattr(self.orig, name)
-        if isinstance(obj, DeferredCube) and obj.device is None:
+        cached = getattr(obj, "_std_scalar", None)
+        if cached is not None:
+            return cached
+        off_device = isinstance(obj, DeferredCube) and obj.device is None
+        if off_device:
+            w = obj._wire  # direct: wire16() would run a rebuild fetch
+        elif not isinstance(obj, DeferredCube) and hasattr(obj, "wire16"):
+            w = obj.wire16()
+        else:
+            w = None
+        q = getattr(w, "q", None)
+        if q is not None and q.size and q.shape == tuple(obj.shape):
+            q = q.ravel()
+            n = q.size
+            s1 = int(q.sum(dtype=np.int64))
+            s2 = int(np.einsum("i,i->", q, q, dtype=np.int64))
+            var = s2 / n - (s1 / n) ** 2
+            return float(w.scale) * float(np.sqrt(max(var, 0.0)))
+        if off_device:
             return float(np.std(obj.data))
         return float(_std_jit(self.get(name)))
 

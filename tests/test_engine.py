@@ -265,6 +265,37 @@ def test_engine_get_wire_uploads(problem):
     assert not np.asarray(eng.get("cube_local_min")).any()
 
 
+def test_std_scalar_wire_and_offload_cache(problem):
+    """std_scalar reduces a materialized int16 wire by exact integer
+    sums (no float32 decode) and prefers the device scalar stashed at
+    offload time."""
+    from origin_tpu.core.containers import Quant16
+
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+
+    # wire path: scale * sqrt(E[q^2] - E[q]^2) == np.std(decode)
+    rng = np.random.default_rng(9)
+    q = rng.integers(-32000, 32000, cube.shape).astype(np.int16)
+    wire = Quant16(q, 2.1e-4)
+    c = Cube(data=wire.decode(), copy=False)
+    c.mask = None
+    c._wire16 = wire
+    orig._store["cube_correl"] = c
+    got = eng.std_scalar("cube_correl")
+    assert abs(got - float(np.std(wire.decode().astype(np.float64)))) \
+        < 1e-6 * abs(got)
+
+    # offload stash: the device reduction survives materialization
+    d = DeferredCube(jnp.asarray(cube))
+    orig._store["cube_std"] = d
+    want = eng.std_scalar("cube_std")  # device path
+    eng.offload("cube_std")
+    assert d.device is None
+    assert eng.std_scalar("cube_std") == pytest.approx(want, rel=1e-6)
+
+
 def test_greedy_pca_engine_matches_direct(problem):
     from origin_tpu.ops import greedy_pca_by_area, o2test
 
