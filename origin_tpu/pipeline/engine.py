@@ -168,6 +168,8 @@ class DeferredCube(Cube):
         self.var = None
         self.mask = None
         self._dev = dev
+        self._shape = tuple(dev.shape)
+        self._dtype = np.dtype(str(dev.dtype))
         self._host = None
         self._wire = None  # Quant16 transfer kept for write-time reuse
         self._post = post
@@ -289,7 +291,11 @@ class DeferredCube(Cube):
             return self._host.shape
         if self._wire is not None:
             return self._wire.shape
-        return self._dev.shape
+        if self._dev is not None:
+            return self._dev.shape
+        # device dropped with only a rebuild fetch left (tight-memory
+        # recipe products): the recorded construction shape
+        return self._shape
 
     @property
     def ndim(self):
@@ -301,10 +307,12 @@ class DeferredCube(Cube):
             return self._host.dtype
         if self._wire is not None:
             return np.dtype(np.float32)
+        dev_dtype = (np.dtype(str(self._dev.dtype))
+                     if self._dev is not None else self._dtype)
         if self._post is not None:
             # dtype after the post-transform (e.g. int16 profile cube)
-            return self._post(np.zeros(1, np.dtype(str(self._dev.dtype)))).dtype
-        return np.dtype(str(self._dev.dtype))
+            return self._post(np.zeros(1, dev_dtype)).dtype
+        return dev_dtype
 
     def _subcube_wire(self):
         """Quant16 wire for subcube cutting, when that beats decoding.
@@ -1257,8 +1265,28 @@ class DeviceEngine:
                 obj.materialize()
 
     def maybe_offload(self, *names):
-        if self.tight_memory:
-            self.offload(*names)
+        """Free the HBM of finished products on tight-memory sessions.
+
+        Host-rebuildable products whose checkpoint is a recipe file
+        (cube_std / cont_dct / cube_faint) just drop their device copy:
+        materializing them would pay an expensive single-core rebuild
+        (tens of seconds per cube at full-field scale) that often nobody
+        consumes — a later ``.data`` access rebuilds on demand.  The
+        detection-statistic std scalars are reduced on device first
+        (:meth:`std_scalar`).  Everything else offloads (materializes)
+        as before."""
+        if not self.tight_memory:
+            return
+        for n in names:
+            obj = getattr(self.orig, n, None)
+            if not isinstance(obj, DeferredCube) or obj.device is None:
+                continue
+            if n in self._STD_CACHED:
+                obj._std_scalar = float(_std_jit(obj.device))
+            if obj._fetch is not None and obj.recipe_active:
+                obj.drop_device()
+            else:
+                obj.materialize()
 
     def drop_device(self, *names):
         """Free still-resident device copies of host-recreatable products.
