@@ -155,3 +155,21 @@ def test_usage_md_fences_execute(tmp_path, monkeypatch):
 
     for h in list(logging.getLogger("origin_tpu").handlers):
         h.close()
+
+
+def test_reference_parity_surface_resolves():
+    """Every top-level name the reference package exports (its __init__
+    star-exports lib_origin.__all__ + the step framework + the artifact
+    entry points) resolves on origin_tpu to a real callable/class, and
+    dir() advertises them."""
+    import origin_tpu
+
+    for name in origin_tpu._REF_PARITY:
+        obj = getattr(origin_tpu, name)
+        assert obj is not None, name
+        assert callable(obj) or name == "STEPS", name
+    d = dir(origin_tpu)
+    assert "Correlation_GLR_test" in d and "spatiospectral_merging" in d
+    # canonical homes unchanged
+    from origin_tpu.detect import spatiospectral_merging
+    assert origin_tpu.spatiospectral_merging is spatiospectral_merging
