@@ -353,7 +353,8 @@ class Source:
             hdr = coord_header(cube, True)
             hdr["EXTNAME"] = f"CUB_{name}_DATA"
             wire = getattr(cube, "wire16", lambda: None)()
-            if wire is not None and cube.var is None and cube.mask is None:
+            if (wire is not None and cube.var is None and cube.mask is None
+                    and wire.q.shape == tuple(cube.shape)):
                 # quantized statistic cutout (ORI_CORREL/ORI_SNCUBE):
                 # store the int16 window as-is with its scale — no
                 # float32 decode, half the bytes; FITS readers apply

@@ -110,6 +110,15 @@ class _Base:
     # -- basic properties ----------------------------------------------------
     @property
     def data(self):
+        if self._data_arr is None:
+            # dense-int16 session file loaded wire-only (_load): decode
+            # on first dense access, so a resumed session that consumes
+            # the cube through its wire (engine uploads, int16 subcube
+            # windows, re-parks) never holds wire AND float32 together
+            w = getattr(self, "_wire16", None)
+            if w is not None and getattr(w, "q", None) is not None \
+                    and w.q.size:
+                self._data_arr = w.decode()
         return self._data_arr
 
     @data.setter
@@ -123,6 +132,11 @@ class _Base:
 
     @property
     def shape(self):
+        if self.__dict__.get("_data_arr") is None:
+            w = getattr(self, "_wire16", None)
+            q = getattr(w, "q", None)
+            if q is not None and q.size:
+                return q.shape
         return self.data.shape
 
     @property
@@ -131,6 +145,9 @@ class _Base:
 
     @property
     def dtype(self):
+        if self.__dict__.get("_data_arr") is None and \
+                getattr(self, "_wire16", None) is not None:
+            return np.dtype(np.float32)  # the wire decodes to float32
         return self.data.dtype
 
     @property
@@ -392,26 +409,32 @@ class _Base:
                 stat_hdu = h
         if data_hdu is None:
             raise OSError(f"no image data in {filename}")
-        self.data = np.asarray(data_hdu.data)
-        self.var = None if stat_hdu is None else np.asarray(stat_hdu.data)
-        if self.data.dtype.kind == "f":
-            m = ~np.isfinite(self.data)
-            self.mask = m if m.any() else None
-        else:
-            self.mask = None
         wq = getattr(data_hdu, "wire16_q", None)
-        if (wq is not None and stat_hdu is None and self.mask is None
-                and wq.shape == self.data.shape):
-            # a scaled-int16 session statistic cube: keep the undecoded
-            # buffer as the wire.  subcube() then cuts int16 windows
+        if (wq is not None and stat_hdu is None
+                and wq.shape == np.asarray(data_hdu.data).shape):
+            # a scaled-int16 session statistic cube: keep ONLY the
+            # undecoded buffer as the wire (the decode is always finite,
+            # so no mask pass is needed, and .data re-decodes lazily on
+            # first dense access).  subcube() then cuts int16 windows
             # (per-source ORI_CORREL/ORI_SNCUBE files stay int16 on a
             # resumed session, as on a live one), a re-park skips the
             # re-quantization, and the engine re-uploads half the bytes
             # and dequantizes on device.  The wire is dropped if .data
-            # is reassigned — but NOT on an in-place mutation of the
-            # loaded array, which no pipeline path performs (session
+            # is reassigned — but NOT on an in-place mutation of a
+            # decoded array, which no pipeline path performs (session
             # statistic files are read-only products)
+            self.var = None
+            self.mask = None
+            self._data_arr = None
             self._wire16 = Quant16(wq, data_hdu.wire16_scale)
+        else:
+            self.data = np.asarray(data_hdu.data)
+            self.var = None if stat_hdu is None else np.asarray(stat_hdu.data)
+            if self.data.dtype.kind == "f":
+                m = ~np.isfinite(self.data)
+                self.mask = m if m.any() else None
+            else:
+                self.mask = None
         hdr = data_hdu.header
         if self.data.ndim >= 2:
             self.wcs = WCS.from_header(hdr, shape=self.data.shape[-2:])

@@ -201,13 +201,15 @@ class DeferredCube(Cube):
         """
         with self._lock:
             if (self._host is None and self._wire is None
-                    and self._future is None
-                    and self._dev is not None and not self._sparse):
+                    and self._future is None and not self._sparse):
                 if self._fetch is not None:
+                    # fetch-backed products stay prefetchable after a
+                    # drop_device (tight recipe cubes): the background
+                    # rebuild must still overlap the foreground phase
                     pool = (_copy_pool() if self._fetch_link
                             else _host_pool())
                     self._future = pool.submit(self._fetch)
-                else:
+                elif self._dev is not None:
                     dev = self._dev
                     self._future = _copy_pool().submit(
                         lambda: np.asarray(dev)
@@ -1035,6 +1037,39 @@ def _scatter16_flat(fidx, q, scale, size):
     return flat.at[fidx].add(q.astype(jnp.float32) * scale)
 
 
+def _wire_device_upload(obj, put, reshard=None):
+    """Device array rebuilt from a host product's Quant16 wire, or None.
+
+    Shared by both engines' ``get``: a dense int16 wire uploads at half
+    the float32 bytes and dequantizes on device (bit-equal to the host
+    decode); a sparse pairs wire (loaded extrema file) uploads kilobytes
+    and scatters.  ``put`` moves a host array onto the target
+    device/sharding; ``reshard`` (optional) places the scatter result
+    onto the final sharding."""
+    wire = obj.wire16() if hasattr(obj, "wire16") else None
+    q = getattr(wire, "q", None)
+    if q is None or getattr(obj, "mask", None) is not None:
+        return None
+    shape = tuple(obj.shape)
+    if q.dtype == np.int16 and q.ndim == 3 and q.shape == shape:
+        return _dequant16(put(q), np.float32(wire.scale))
+    pairs = getattr(wire, "pairs", None)
+    if pairs is not None and q.size == 0:
+        fidx, vals = pairs
+        n = int(np.asarray(fidx).size)
+        size = int(np.prod(shape))
+        cap = min(_bucket4(max(n, 1), 256), max(size, 1))
+        fi = np.zeros(cap, np.int64)
+        qv = np.zeros(cap, np.int16)
+        fi[:n] = np.asarray(fidx)
+        qv[:n] = np.asarray(vals)
+        flat = _scatter16_flat(jnp.asarray(fi), jnp.asarray(qv),
+                               np.float32(wire.scale), size)
+        out = flat.reshape(shape)
+        return reshard(out) if reshard is not None else out
+    return None
+
+
 class DeviceEngine:
     """Per-session holder of device-resident front-end state.
 
@@ -1364,32 +1399,9 @@ class DeviceEngine:
         obj = getattr(self.orig, name)
         if isinstance(obj, DeferredCube) and obj.device is not None:
             return obj.device
-        wire = obj.wire16() if hasattr(obj, "wire16") else None
-        q = getattr(wire, "q", None)
-        if (q is not None and q.dtype == np.int16
-                and q.shape == tuple(obj.shape)
-                and getattr(obj, "mask", None) is None):
-            return _dequant16(self._put_raw(q), np.float32(wire.scale))
-        pairs = getattr(wire, "pairs", None)
-        if (pairs is not None and q is not None and q.size == 0
-                and getattr(obj, "mask", None) is None):
-            # sparse-loaded extrema cube: upload the (index, value)
-            # pairs (bucketed so the scatter compiles per tier, not per
-            # count) and rebuild the dense cube on device — a resumed
-            # step 06/07 re-run then moves kilobytes instead of a dense
-            # float32 cube per extrema product
-            fidx, vals = pairs
-            n = int(np.asarray(fidx).size)
-            shape = tuple(obj.shape)
-            size = int(np.prod(shape))
-            cap = min(_bucket4(max(n, 1), 256), max(size, 1))
-            fi = np.zeros(cap, np.int64)
-            qv = np.zeros(cap, np.int16)
-            fi[:n] = np.asarray(fidx)[:cap]
-            qv[:n] = np.asarray(vals)[:cap]
-            flat = _scatter16_flat(self._put_raw(fi), self._put_raw(qv),
-                                   np.float32(wire.scale), size)
-            return flat.reshape(shape)
+        dev = _wire_device_upload(obj, self._put_raw)
+        if dev is not None:
+            return dev
         host = obj.filled(0)
         if host.dtype == np.float64:
             host = host.astype(np.float32)
@@ -1980,15 +1992,13 @@ class MeshEngine(DeviceEngine):
         obj = getattr(self.orig, name)
         if isinstance(obj, DeferredCube) and obj.device is not None:
             return obj.device
-        wire = obj.wire16() if hasattr(obj, "wire16") else None
-        q = getattr(wire, "q", None)
-        if (q is not None and q.dtype == np.int16 and q.ndim == 3
-                and q.shape == tuple(obj.shape)
-                and getattr(obj, "mask", None) is None):
-            # half-size upload of the int16 wire, dequantized in place
-            # over the row sharding
-            return _dequant16(jax.device_put(q, self._row),
-                              np.float32(wire.scale))
+        dev = _wire_device_upload(
+            obj,
+            lambda a: jax.device_put(a, self._row),
+            reshard=lambda x: jax.device_put(x, self._row),
+        )
+        if dev is not None:
+            return dev
         host = obj.filled(0)
         if host.dtype == np.float64:
             host = host.astype(np.float32)

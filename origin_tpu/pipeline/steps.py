@@ -946,8 +946,9 @@ class SaveSources(Step):
         # cube_std feeds only comp=1 (STD-detected) sources' ORI_SNCUBE
         # cutouts; materializing it unconditionally would pay the full
         # recipe rebuild on resumed sessions that have none
-        comps = np.asarray(orig.Cat3_sources["comp"]) \
-            if len(orig.Cat3_sources) else np.zeros(0, int)
+        cat3 = getattr(orig, "Cat3_sources", None)
+        comps = np.asarray(cat3["comp"]) \
+            if cat3 is not None and len(cat3) else np.zeros(0, int)
         cube_std = orig.cube_std if (comps == 1).any() else None
         spectra = orig.spectra
         segmaps = {"LABEL": orig.segmap_label, "MERGED": orig.segmap_merged}
