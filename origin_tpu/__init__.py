@@ -51,6 +51,7 @@ _REF_PARITY = {
     "unique_sources": ("detect", "unique_sources"),
     # step framework (reference steps.py:1336-1348)
     "Status": ("pipeline.steps", "Status"),
+    "Step": ("pipeline.steps", "Step"),
     "Preprocessing": ("pipeline.steps", "Preprocessing"),
     "CreateAreas": ("pipeline.steps", "CreateAreas"),
     "ComputePCAThreshold": ("pipeline.steps", "ComputePCAThreshold"),
