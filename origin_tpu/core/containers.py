@@ -436,11 +436,15 @@ class _Base:
             else:
                 self.mask = None
         hdr = data_hdu.header
-        if self.data.ndim >= 2:
-            self.wcs = WCS.from_header(hdr, shape=self.data.shape[-2:])
-        if self.data.ndim in (1, 3):
-            axis = 3 if self.data.ndim == 3 else 1
-            self.wave = WaveCoord.from_header(hdr, axis=axis, shape=self.data.shape[0])
+        # coordinate parsing must not touch self.data: on a wire-only
+        # int16 load that property access would decode the dense float32
+        # cube the lazy load just avoided
+        shape = self.shape
+        if len(shape) >= 2:
+            self.wcs = WCS.from_header(hdr, shape=shape[-2:])
+        if len(shape) in (1, 3):
+            axis = 3 if len(shape) == 3 else 1
+            self.wave = WaveCoord.from_header(hdr, axis=axis, shape=shape[0])
         self.data_header = hdr
 
 
@@ -483,7 +487,16 @@ class Cube(_Base):
 
         Subclasses holding device-resident data override this to fetch
         only the requested region (see pipeline.engine.DeferredCube).
+        A cube loaded wire-only (dense scaled-int16 session file) decodes
+        just the requested window instead of materializing the full
+        float32 cube.
         """
+        if self.var is None and self.mask is None and \
+                self.__dict__.get("_data_arr") is None:
+            w = getattr(self, "_wire16", None)
+            q = getattr(w, "q", None)
+            if q is not None and q.ndim == 3 and q.shape == self.shape:
+                return w.decode((zsl, ysl, xsl)), None, None
         return (
             self.data[zsl, ysl, xsl],
             None if self.var is None else self.var[zsl, ysl, xsl],
@@ -588,9 +601,21 @@ class Cube(_Base):
             var = np.full((nzz, size, size), np.inf, dtype=self.var.dtype)
         if sy0 < sy1 and sx0 < sx1:
             dy0, dx0 = sy0 - y0, sx0 - x0
-            dblock, vblock, mblock = self._region(
-                zsl, slice(sy0, sy1), slice(sx0, sx1)
-            )
+            # a quantized parent decodes only the in-field window (the
+            # partial cutout needs NaN outside the field, which int16
+            # cannot carry, so the WINDOW is float32 — but the parent must
+            # not pay a full-cube decode for one edge source, which would
+            # also strand every LATER source's cutout at float32)
+            wire = self._subcube_wire() if self.var is None else None
+            if wire is not None:
+                dblock = wire.decode(
+                    (zsl, slice(sy0, sy1), slice(sx0, sx1))
+                )
+                vblock = mblock = None
+            else:
+                dblock, vblock, mblock = self._region(
+                    zsl, slice(sy0, sy1), slice(sx0, sx1)
+                )
             data[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = dblock
             mask[:, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = (
                 mblock if mblock is not None else False

@@ -324,10 +324,14 @@ class DeferredCube(Cube):
         in flight (or arrived), cutting int16 windows from it avoids the
         full float32 decode."""
         with self._lock:
-            if self._host is not None:
-                return None  # already decoded: plain slicing is cheapest
             if self._wire is not None:
+                # int16 windows beat float32 slices even when a decoded
+                # host copy also exists: the per-source FITS cutout then
+                # stays scaled-int16 (half the bytes on a
+                # throughput-throttled disk)
                 return self._wire
+            if self._host is not None:
+                return None  # decoded, no wire kept: plain slicing
             if (self._dev is not None and self._future is None
                     and not self._fetch_link):
                 # device-resident (a pure host REBUILD fetch does not
@@ -351,6 +355,12 @@ class DeferredCube(Cube):
         rebuild has NOT started keeps device slicing: with recipe-form
         checkpointing the rebuild may otherwise never be needed at all.)
         """
+        with self._lock:
+            w = self._wire
+        if w is not None and self._host is None:
+            # materialized as a Quant16 wire: decode only the window
+            # instead of forcing the full float32 decode through .data
+            return w.decode((zsl, ysl, xsl)), None, None
         if (self._host is not None or self._dev is None
                 or self._future is not None
                 or (self._fetch is not None and self._fetch_link)):

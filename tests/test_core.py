@@ -751,3 +751,72 @@ def test_sparse_extrema_file_roundtrip(tmp_path):
         np.testing.assert_allclose(Cube(fn4).data, wire.decode(), atol=scale)
     finally:
         del os.environ["ORIGIN_TPU_STORE_SPARSE"]
+
+
+def test_edge_subcube_keeps_parent_wire_undecoded(tmp_path):
+    """A partial-field (edge) cutout of a wire-carrying cube decodes only
+    its in-field window: the parent stays wire-only, and LATER in-field
+    cutouts still come out as int16 QuantCubes.
+
+    Regression shape: one edge source at the top of the source loop used
+    to force the parent's full float32 decode through the generic region
+    path, after which every remaining source's ORI cutout (and its
+    per-source FITS HDU) silently fell back to float32 — doubling the
+    bytes the throughput-throttled disk has to absorb in step 11."""
+    from origin_tpu.core.containers import Quant16, QuantCube
+    from origin_tpu.core.coords import WCS, WaveCoord
+
+    rng = np.random.default_rng(9)
+    q = rng.integers(-32000, 32000, (30, 20, 18)).astype(np.int16)
+    wire = Quant16(q, 1.5e-4)
+    cube = Cube(data=wire.decode(), wcs=WCS(crpix=(10, 9)),
+                wave=WaveCoord(crval=4750.0, cdelt=1.25), copy=False)
+    cube.mask = None
+    cube._wire16 = wire
+    fn = str(tmp_path / "stat16.fits")
+    cube.write(fn)
+
+    back = Cube(fn)  # wire-only load: no dense float32 yet
+    assert back.__dict__.get("_data_arr") is None
+
+    # edge cutout first (the poisoning order)
+    edge = back.subcube((1, 1), 9)
+    assert not isinstance(edge, QuantCube)
+    assert edge.shape == (30, 9, 9)
+    # in-field voxels equal the decoded window; out-of-field are masked
+    np.testing.assert_array_equal(
+        edge.data[:, 3:, 3:], wire.decode()[:, :6, :6])
+    assert bool(edge.mask[0, 0, 0]) and not bool(edge.mask[0, 4, 4])
+    # the parent was NOT decoded by the edge cutout
+    assert back.__dict__.get("_data_arr") is None
+
+    # a later in-field cutout still cuts an int16 window
+    sub = back.subcube((10, 9), 6)
+    assert isinstance(sub, QuantCube)
+    assert sub.wire16().q.dtype == np.int16
+    np.testing.assert_array_equal(sub.data, wire.decode()[:, 7:13, 6:12])
+
+
+def test_deferred_subcube_wire_survives_decode():
+    """DeferredCube: a full .data decode (any host consumer) must not
+    strand later cutouts at float32 — the kept wire still wins."""
+    import jax.numpy as jnp
+
+    from origin_tpu.core.containers import QuantCube
+    from origin_tpu.pipeline.engine import DeferredCube, _int16_wire_fetch
+
+    rng = np.random.default_rng(12)
+    arr = rng.normal(scale=4.0, size=(25, 16, 14)).astype(np.float32)
+    parent = DeferredCube(jnp.asarray(arr),
+                          fetch=_int16_wire_fetch(jnp.asarray(arr)),
+                          fetch_link=True)
+    _ = parent.data  # decode (e.g. a plotting/host consumer)
+    assert parent._host is not None and parent._wire is not None
+    sub = parent.subcube((8, 7), 6)
+    assert isinstance(sub, QuantCube)
+    np.testing.assert_array_equal(sub.data, parent.data[:, 5:11, 4:10])
+    # edge cutouts window-decode from the wire too
+    edge = parent.subcube((0, 0), 7)
+    assert not isinstance(edge, QuantCube)
+    np.testing.assert_array_equal(
+        edge.data[:, 3:, 3:], parent.data[:, :4, :4])
