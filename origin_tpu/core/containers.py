@@ -293,11 +293,26 @@ class _Base:
         """
         return getattr(self, "_wire16", None)
 
+    def _data_header(self):
+        """wcs/wave/EXTNAME header for the DATA extension.
+
+        Shape-aware (never touches ``self.data``): on a wire-only int16
+        cube the data property access would decode the full float32
+        array just to pick the wave header axis."""
+        dhdr = fitsio.Header()
+        shape = self.shape
+        if self.wcs is not None:
+            self.wcs.to_header(dhdr)
+        if self.wave is not None and len(shape) in (1, 3):
+            self.wave.to_header(dhdr, axis=3 if len(shape) == 3 else 1)
+        dhdr["EXTNAME"] = "DATA"
+        return dhdr
+
     def write(self, filename, savemask="nan", convert_float32=False, **kwargs):
         wire = self.wire16()
         if (wire is not None and self.var is None and self.mask is None
                 and getattr(wire, "pairs", None) is not None
-                and self.ndim == 3 and _store_sparse()):
+                and len(self.shape) == 3 and _store_sparse()):
             # mostly-zero statistic cube (local extrema): store the
             # (flat index, int16 value) pairs as a FITS binary table —
             # ~1000x smaller than the dense image on typical fields.
@@ -305,12 +320,7 @@ class _Base:
             # float32 array bit-identically to the dense int16 file's
             # decode; ORIGIN_TPU_STORE_SPARSE=0 restores dense files
             fidx, qvals = wire.pairs
-            dhdr = fitsio.Header()
-            if self.wcs is not None:
-                self.wcs.to_header(dhdr)
-            if self.wave is not None:
-                self.wave.to_header(dhdr, axis=3)
-            dhdr["EXTNAME"] = "DATA"
+            dhdr = self._data_header()
             phdr = self.primary_header.copy()
             phdr[SPARSE_KEY] = (
                 "extrema16", "sparse scaled-int16 cube (origin_tpu)"
@@ -332,12 +342,7 @@ class _Base:
             return
         if (wire is not None and self.var is None and self.mask is None
                 and wire.q.shape == self.shape):
-            dhdr = fitsio.Header()
-            if self.wcs is not None:
-                self.wcs.to_header(dhdr)
-            if self.wave is not None:
-                self.wave.to_header(dhdr, axis=3 if self.ndim == 3 else 1)
-            dhdr["EXTNAME"] = "DATA"
+            dhdr = self._data_header()
             dhdr["BSCALE"] = wire.scale, "physical = BSCALE * stored"
             dhdr["BZERO"] = 0.0
             fitsio.write(filename, [
@@ -351,12 +356,7 @@ class _Base:
             data[self.mask] = np.nan
         if convert_float32 and data.dtype == np.float64:
             data = data.astype(np.float32)
-        dhdr = fitsio.Header()
-        if self.wcs is not None:
-            self.wcs.to_header(dhdr)
-        if self.wave is not None:
-            self.wave.to_header(dhdr, axis=3 if self.ndim == 3 else 1)
-        dhdr["EXTNAME"] = "DATA"
+        dhdr = self._data_header()
         hdus = [
             fitsio.HDU(header=self.primary_header.copy()),
             fitsio.HDU(data=data, header=dhdr),

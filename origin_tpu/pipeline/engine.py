@@ -356,13 +356,15 @@ class DeferredCube(Cube):
         checkpointing the rebuild may otherwise never be needed at all.)
         """
         with self._lock:
-            w = self._wire
-        if w is not None and self._host is None:
+            # snapshot the state once: a background park's materialization
+            # can null _dev between an unlocked guard and its use
+            w, host, dev, future = self._wire, self._host, self._dev, \
+                self._future
+        if w is not None and host is None:
             # materialized as a Quant16 wire: decode only the window
             # instead of forcing the full float32 decode through .data
             return w.decode((zsl, ysl, xsl)), None, None
-        if (self._host is not None or self._dev is None
-                or self._future is not None
+        if (host is not None or dev is None or future is not None
                 or (self._fetch is not None and self._fetch_link)):
             return super()._region(zsl, ysl, xsl)
         if any(
@@ -372,7 +374,7 @@ class DeferredCube(Cube):
             # strided windows are rare: materialize and defer to the host
             # path rather than silently returning the unstrided block
             return super()._region(zsl, ysl, xsl)
-        nz, ny, nx = self.shape
+        nz, ny, nx = dev.shape
         squeeze_z = not isinstance(zsl, slice)
         if squeeze_z:
             zsl = slice(int(zsl), int(zsl) + 1)
@@ -386,7 +388,7 @@ class DeferredCube(Cube):
         x0, x1 = xsl.indices(nx)[:2]
         block = np.asarray(
             _dyn_region(
-                self._dev, z0, y0, x0,
+                dev, z0, y0, x0,
                 max(0, z1 - z0), max(0, y1 - y0), max(0, x1 - x0),
             )
         )
@@ -851,6 +853,24 @@ def _int16_wire_fetch(dev):
     return fetch
 
 
+def _fetch_sparse_pairs(devs):
+    """Nonzero counts + compacted (index, value) pairs for a group of
+    sparse device cubes: ONE fused count program and ONE fused
+    compaction fetch for the whole group.  Shared by the background
+    prefetch and the direct materialization so their cap bucketing,
+    trim and quantization can never diverge."""
+    counts = [int(v) for v in jax.device_get(_count_nonzero_many(devs))]
+    caps = tuple(
+        min(_bucket4(max(n, 1), 256), d.size)
+        for n, d in zip(counts, devs)
+    )
+    res = jax.device_get(tuple(
+        (_trim2(f, n), _trim2(v, n))
+        for n, (f, v) in zip(counts, _extract_nonzero_many(devs, caps))
+    ))
+    return counts, res
+
+
 def _prefetch_sparse_group(cubes):
     """Start ONE background job fetching a group of sparse cubes.
 
@@ -875,18 +895,8 @@ def _prefetch_sparse_group(cubes):
 
     def _job():
         try:
-            devs = tuple(dev for _, _, dev in grabbed)
-            counts = [int(v) for v in jax.device_get(
-                _count_nonzero_many(devs))]
-            caps = tuple(
-                min(_bucket4(max(n, 1), 256), d.size)
-                for n, d in zip(counts, devs)
-            )
-            res = jax.device_get(tuple(
-                (_trim2(f, n), _trim2(v, n))
-                for n, (f, v) in zip(counts,
-                                     _extract_nonzero_many(devs, caps))
-            ))
+            counts, res = _fetch_sparse_pairs(
+                tuple(dev for _, _, dev in grabbed))
             for (c, fut, dev), n, (fidx, vals) in zip(grabbed, counts, res):
                 fut.set_result(_scatter_sparse(
                     dev.shape, np.dtype(str(dev.dtype)), n, fidx, vals,
@@ -920,17 +930,7 @@ def materialize_deferred(cubes):
     for c in dense:
         c.prefetch()
     if sparse:
-        devs = tuple(c._dev for c in sparse)
-        counts = [int(v) for v in jax.device_get(_count_nonzero_many(devs))]
-        caps = tuple(
-            min(_bucket4(max(n, 1), 256), d.size)
-            for n, d in zip(counts, devs)
-        )
-        res = jax.device_get(tuple(
-            (_trim2(f, n), _trim2(v, n))
-            for n, (f, v) in zip(counts,
-                                 _extract_nonzero_many(devs, caps))
-        ))
+        counts, res = _fetch_sparse_pairs(tuple(c._dev for c in sparse))
         for c, n, (fidx, vals) in zip(sparse, counts, res):
             arr = _scatter_sparse(
                 c._dev.shape, np.dtype(str(c._dev.dtype)), n, fidx, vals,
@@ -1061,10 +1061,11 @@ def _wire_device_upload(obj, put, reshard=None):
     if q is None or getattr(obj, "mask", None) is not None:
         return None
     shape = tuple(obj.shape)
-    if q.dtype == np.int16 and q.ndim == 3 and q.shape == shape:
-        return _dequant16(put(q), np.float32(wire.scale))
     pairs = getattr(wire, "pairs", None)
-    if pairs is not None and q.size == 0:
+    # pairs FIRST: a materialized sparse extrema cube carries both a
+    # dense q and its pairs — the kilobyte scatter beats re-uploading
+    # the full dense int16 image
+    if pairs is not None:
         fidx, vals = pairs
         n = int(np.asarray(fidx).size)
         size = int(np.prod(shape))
@@ -1077,6 +1078,8 @@ def _wire_device_upload(obj, put, reshard=None):
                                np.float32(wire.scale), size)
         out = flat.reshape(shape)
         return reshard(out) if reshard is not None else out
+    if q.dtype == np.int16 and q.ndim == 3 and q.shape == shape:
+        return _dequant16(put(q), np.float32(wire.scale))
     return None
 
 

@@ -107,15 +107,17 @@ def _timed_save(save, name, value, path):
     wait_for_foreground()
     with _lane_timer(f"park:{name}"):
         save(value, path)
-    # a decoded statistic cube that also still holds its int16 wire no
-    # longer needs the wire once the file exists (the wire's only
-    # remaining job was write fidelity): drop it, reclaiming ~1/3 of the
-    # product's host bytes
+    # a product holding BOTH its decoded float32 copy and its int16 wire
+    # keeps the WIRE once the file exists: later consumers cut int16
+    # windows from it (per-source FITS cutouts stay BITPIX 16) and the
+    # engine re-uploads half the bytes.  The float32 copy is the
+    # redundant one (2/3 of the product's host bytes) and re-decodes
+    # lazily if a dense consumer comes back.
     lock = getattr(value, "_lock", None)
     if lock is not None and getattr(value, "_wire", None) is not None:
         with lock:
             if value._wire is not None and value._host is not None:
-                value._wire = None
+                value._host = None
     try:
         from os import path as _p
 
