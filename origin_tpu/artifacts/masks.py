@@ -95,7 +95,7 @@ def _fetch_line_images(detection_cube, jobs, size):
         # x4 tiers (8, 32, 128, 512, ...) so one compiled program covers
         # counts within a 4x band — survey fields routinely straddle
         # power-of-two counts
-        from ..ops.spectra import _bucket4
+        from ..ops.spectra import _bucket4, _trim2
 
         nb = len(keys)
         cap = _bucket4(nb, 8)
@@ -110,7 +110,7 @@ def _fetch_line_images(detection_cube, jobs, size):
         )
         # bucketed device trim (x2) before the fetch: an exact-count
         # slice is a fresh tiny program per count
-        imgs = np.asarray(imgs[:min(cap, _bucket(nb, 8))])[:nb]
+        imgs = np.asarray(_trim2(imgs, nb))[:nb]
         for key, img in zip(keys, imgs):
             mask = ~np.isfinite(img)
             data = np.where(mask, 0.0, img)

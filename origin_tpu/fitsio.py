@@ -42,6 +42,8 @@ _DTYPE_TO_BITPIX = {
     "int8": 16,  # FITS has no signed byte; widened to int16 on write
     "uint16": 32,  # FITS image ints are signed; widened losslessly
     "uint32": 64,
+    "uint64": 64,  # widened with a range check on write
+    "bool": 8,
     "int16": 16,
     "int32": 32,
     "int64": 64,
@@ -568,7 +570,10 @@ def _data_bytes(data):
     if data is None:
         return b"", b""
     dt = data.dtype
-    if dt.name == "int8":
+    if dt.name == "bool":
+        data = data.astype("uint8")
+        dt = data.dtype
+    elif dt.name == "int8":
         data = data.astype("int16")
         dt = data.dtype
     elif dt.name == "uint16":
@@ -660,14 +665,41 @@ def getdata(filename, ext=None):
     return hdus[ext].data
 
 
+def _data_unit_bytes(hdr):
+    """Size of the (unpadded) data unit that follows ``hdr``."""
+    naxis = int(hdr.get("NAXIS", 0))
+    dims = [int(hdr[f"NAXIS{i}"]) for i in range(1, naxis + 1)]
+    nelem = int(np.prod(dims)) if dims else 0
+    if str(hdr.get("XTENSION", "")).strip() == "BINTABLE":
+        return int(hdr["NAXIS1"]) * int(hdr["NAXIS2"]) + int(
+            hdr.get("PCOUNT", 0))
+    if naxis == 0 or nelem == 0:
+        return 0
+    return nelem * _BITPIX_TO_DTYPE[int(hdr["BITPIX"])].itemsize
+
+
 def getheader(filename, ext=0):
-    hdus = read(filename)
-    if isinstance(ext, str):
-        for h in hdus:
-            if h.name == ext:
-                return h.header
-        raise KeyError(f"extension {ext!r} not found in {filename}")
-    return hdus[ext].header
+    """Header of one HDU, seeking past data units instead of reading
+    them (recipes/session restores probe GB-scale cube files for one
+    primary keyword)."""
+    with open(filename, "rb") as fh:
+        i = 0
+        while True:
+            hdr = _read_header(fh)
+            if hdr is None:
+                if i == 0:
+                    raise OSError(f"empty FITS file: {filename}")
+                if isinstance(ext, str):
+                    raise KeyError(
+                        f"extension {ext!r} not found in {filename}")
+                raise IndexError(f"no extension {ext} in {filename}")
+            if isinstance(ext, str):
+                if str(hdr.get("EXTNAME", "")).strip() == ext:
+                    return hdr
+            elif i == ext:
+                return hdr
+            fh.seek(_padded(_data_unit_bytes(hdr)), 1)
+            i += 1
 
 
 def writeto(filename, data, header=None, overwrite=True):

@@ -134,6 +134,22 @@ def _bucket4(n, minimum=8):
     return b
 
 
+def _trim2(x, n, minimum=8):
+    """Device-slice a cap-padded batch down to the x2 bucket of ``n``.
+
+    The companion of :func:`_bucket4`: coarse x4 capacity tiers keep the
+    number of compiled batch programs low, and this trim keeps their
+    padding off the link (<2x the real rows fetched) while itself using
+    only a logarithmic family of slice programs.  THE shared recipe for
+    every cap-padded device batch (source spectra, line images, ORI
+    stats, sparse compactions) — callers slice the exact ``[:n]`` on the
+    host after the fetch.
+    """
+    from .pca import _bucket
+
+    return x[: min(x.shape[0], _bucket(n, minimum))]
+
+
 def batched_source_spectra(pd, pv, pm, jobs, wcube=None, chunk=None):
     """Run :func:`source_spectra_kernel` for a list of source jobs.
 
@@ -207,14 +223,8 @@ def _dispatch_spectra_chunk(pd, pv, pm, jobs, wcube):
         jnp.asarray(lsrc), jnp.asarray(lw), m, has_psf,
     )
     # slice most of the padding off on device before the fetch (the
-    # padded (cap, Nz) rows are real link bytes).  Trim sizes are x2
-    # buckets, not the exact counts: each distinct slice size is a tiny
-    # compiled program, so exact-count slicing would recompile per field
-    from .pca import _bucket
-
-    tb = min(cap, _bucket(nb, 8))
-    tl = min(lcap, _bucket(nl, 8)) if nl else 0
-    res = {k: (v[:tl] if k.startswith("line") else v[:tb])
+    # padded (cap, Nz) rows are real link bytes)
+    res = {k: (_trim2(v, nl) if k.startswith("line") else _trim2(v, nb))
            for k, v in res.items()}
     return res, jobs, ljobs, has_psf
 

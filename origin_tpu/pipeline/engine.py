@@ -44,7 +44,7 @@ from ..ops.glr import (
     prepare_profiles,
 )
 from ..ops.pca import _bucket, greedy_pca
-from ..ops.spectra import _bucket4
+from ..ops.spectra import _bucket4, _trim2
 
 __all__ = ["DeferredCube", "DeviceEngine", "MeshEngine", "device_memory_fits"]
 
@@ -738,18 +738,6 @@ def _scatter_sparse(shape, dtype, n, fidx, vals, quant=False):
     if n:
         flat[fidx[:n]] = vals[:n]
     return flat.reshape(shape)
-
-
-def _trim2(x, n):
-    """Device-slice a cap-padded vector down to the x2 bucket of ``n``.
-
-    Bounds the fetched padding to <2x the real rows while keeping the
-    number of distinct slice programs logarithmic (an exact-count slice
-    would compile per field).  Used with the x4 capacity tiers below:
-    coarse tiers keep the big compaction programs' compile count low,
-    the trim keeps their padding off the link.
-    """
-    return x[: min(x.shape[0], _bucket(n, 8))]
 
 
 def _sparse_fetch(dev, quant=False):

@@ -176,7 +176,7 @@ class Step:
 
     def __call__(self, *args, **kwargs):
         self.logger.info("Step %02d - %s", self.idx, self.desc)
-        t0 = time.perf_counter()
+        self._t0 = t0 = time.perf_counter()
         self._record_params(kwargs)
         self._check_dependencies()
         try:
@@ -565,7 +565,11 @@ class Detection(Step):
 
     def det_correl_min(self, thresh=None):
         """3D positions of detections in correl_min."""
-        thresh = thresh or self.orig.param["threshold"]
+        # `is None`, not truthiness: an explicit thresh=0.0 must be
+        # honored (the reference's `thresh or ...` silently replaces it,
+        # reference steps.py:937)
+        if thresh is None:
+            thresh = self.orig.param["threshold"]
         return np.where(self.orig.cube_local_min.data > thresh)
 
     def run(self, orig, threshold=None, threshold_std=None, tol_spat=3,
@@ -662,7 +666,12 @@ class Detection(Step):
 
         cat_comp = cat[np.asarray(cat["comp"]) == 1]
         ns = len(set(np.asarray(cat["ID"])))
-        ds = len(set(np.asarray(cat_comp["ID"])) - set(np.asarray(cat["ID"])))
+        # sources found ONLY by the std (complementary) detection — the
+        # reference subtracts the full ID set from its own subset, which
+        # is provably empty (reference steps.py:1040)
+        cat_glr = cat[np.asarray(cat["comp"]) == 0]
+        ds = len(set(np.asarray(cat_comp["ID"]))
+                 - set(np.asarray(cat_glr["ID"])))
         self.put("Cat1", cat)
         self.logger.info(
             "Cat1 ready: %d [+%s] sources, %d [+%d] lines",
@@ -798,7 +807,11 @@ class CreateMasks(Step):
         if path is None:
             out_dir = "%s/masks" % orig.outpath
         else:
-            if os.path.exists(path):
+            # the parent path must EXIST (as in step 11); the reference
+            # inverts this check for masks only (reference
+            # steps.py:1225-1226 raises when the path exists, making a
+            # re-run with the documented overwrite=True impossible)
+            if not os.path.exists(path):
                 raise ValueError(f"Invalid path: {path}")
             path = os.path.normpath(path)
             out_dir = f"{path}/{orig.name}/masks"
@@ -993,7 +1006,14 @@ class SaveSources(Step):
         # checkpoint the session the sources reference (the reference
         # writes first, source_creation.py:439; writing LAST is
         # equivalent on disk and lets the transfers overlap the source
-        # building above)
+        # building above).  Stamp this step's own status/meta FIRST:
+        # __call__ only records them after run() returns, which would
+        # leave the freshly-written session showing save_sources as
+        # NOTRUN on reload
+        self.status = Status.RUN
+        self.meta["execution_date"] = datetime.now().isoformat()
+        if getattr(self, "_t0", None) is not None:
+            self.meta["runtime"] = time.perf_counter() - self._t0
         orig.write()
 
     @staticmethod
@@ -1154,11 +1174,10 @@ class SaveSources(Step):
                 )
                 # bucketed device trim (x2) before the fetch: exact-count
                 # slices would compile per field
-                from ..ops.pca import _bucket
+                from ..ops.spectra import _trim2
 
-                tb = min(cap, _bucket(nb, 8))
-                specs = np.asarray(specs[:tb])[:nb]
-                maxmaps = np.asarray(maxmaps[:tb])[:nb]
+                specs = np.asarray(_trim2(specs, nb))[:nb]
+                maxmaps = np.asarray(_trim2(maxmaps, nb))[:nb]
                 for i, (sid, _y0, _x0, _o) in enumerate(rows):
                     if sid in spectra_pre:
                         spectra_pre[sid]["ORI_CORR"] = specs[i]
