@@ -159,12 +159,28 @@ def main(argv=None):
         pending = []  # [(cube_fn, ORIGIN | None)]
         order = list(args.cube)
 
+        # the sessions share one "origin_tpu" logger, so a pre-ingested
+        # field's rotating-file handler would capture the CURRENT
+        # field's step records (and rotate its own log away under them).
+        # Detach the next field's handler once its init lines are
+        # recorded; re-attach when its own steps start.
+        def _detach_log(orig):
+            if orig is not None and orig.file_handler is not None:
+                if orig.file_handler in orig.logger.handlers:
+                    orig.logger.removeHandler(orig.file_handler)
+
+        def _attach_log(orig):
+            h = orig.file_handler
+            if h is not None and h not in orig.logger.handlers:
+                orig.logger.addHandler(h)
+
         def _pop_session(idx):
             cube_fn = order[idx]
             if args.overlap_ingest and pending:
                 fn, orig = pending.pop(0)
                 assert fn == cube_fn
                 if orig is not None:
+                    _attach_log(orig)
                     return orig
                 raise _pending_failure(cube_fn)
             return _init(cube_fn)
@@ -179,13 +195,20 @@ def main(argv=None):
             try:
                 orig = _pop_session(i)
                 if args.overlap_ingest and i + 1 < len(order):
+                    # keep the current field's handler off while the next
+                    # field's init logs, and vice versa afterwards
+                    _detach_log(orig)
                     try:
-                        pending.append((order[i + 1], _init(order[i + 1])))
+                        nxt = _init(order[i + 1])
+                        _detach_log(nxt)
+                        pending.append((order[i + 1], nxt))
                     except Exception:
                         logging.getLogger("origin_tpu").exception(
                             "survey: pre-ingest of %s failed", order[i + 1]
                         )
                         pending.append((order[i + 1], None))
+                    finally:
+                        _attach_log(orig)
                 _steps_from(orig, args, start_at=1)
             except Exception:
                 if not multi:
@@ -221,6 +244,9 @@ def main(argv=None):
     elif args.command == "status":
         orig = ORIGIN.load(args.folder, loglevel="WARNING")
         orig.status()
+        # timestat/stat report via logger.info: raise the console level
+        # AFTER the (noisy) load so their records actually print
+        orig.set_loglevel("INFO")
         orig.timestat()
         try:
             orig.stat()

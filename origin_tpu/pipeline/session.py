@@ -119,6 +119,22 @@ class ORIGIN(PlotMixin):
         self.param["loglevel"] = loglevel
         self.param["logcolor"] = logcolor
 
+        try:
+            self._init_session(filename, fieldmap, profiles, PSF,
+                               LBDA_FWHM_PSF, FWHM_PSF, PSF_size, param,
+                               imawhite, wfields)
+        except Exception:
+            # a failed construction (corrupt cube, bad FSF header, bad
+            # mesh) must not leave its rotating-file handler on the
+            # shared logger: every later session's records would
+            # duplicate into the dead session's logfile, one leaked fd
+            # per failure
+            self.close_logfile()
+            raise
+
+    def _init_session(self, filename, fieldmap, profiles, PSF,
+                      LBDA_FWHM_PSF, FWHM_PSF, PSF_size, param, imawhite,
+                      wfields):
         self.logger.info("Step 00 - Initialization (ORIGIN v%s)", __version__)
 
         # step wiring: instantiate, fix signatures, expose stepNN_* methods
@@ -156,13 +172,9 @@ class ORIGIN(PlotMixin):
             # input uploads now so they stream behind the remaining init
             # work (FSF build, white image).  Restored sessions skip this
             # — status/info inspection must not touch the device.  A bad
-            # session mesh surfaces here (fail fast), after releasing the
-            # just-opened logfile.
-            try:
-                self.engine.prefetch_inputs()
-            except Exception:
-                self.close_logfile()
-                raise
+            # session mesh surfaces here (fail fast; __init__ releases
+            # the just-opened logfile on any construction failure).
+            self.engine.prefetch_inputs()
 
         if profiles is None:
             profiles = default_dictionary_path()
@@ -482,10 +494,21 @@ class ORIGIN(PlotMixin):
             shutil.copytree(self.outpath, outpath)
             self.outpath = outpath
             self._setup_logfile(self.logger)
+        reopen_log = False
         if erase:
+            # the rotating-file handler holds <name>.log inside the tree:
+            # close it before the rmtree and reopen after the directory
+            # is recreated (the reference deletes with the handler open,
+            # so its post-erase log output goes to an unlinked inode and
+            # info() then fails on the missing file, origin.py:651-727)
+            if self.file_handler is not None:
+                self.close_logfile()
+                reopen_log = True
             shutil.rmtree(self.outpath)
             self._o2_files_stale = True
         os.makedirs(self.outpath, exist_ok=True)
+        if reopen_log:
+            self._setup_logfile(self.logger)
 
         # the instrument files never change within a session: write them
         # only when they are not already on disk (a re-written checkpoint
