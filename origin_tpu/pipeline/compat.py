@@ -1,0 +1,198 @@
+"""Loading sessions written by the reference ``muse_origin`` package.
+
+The reference serializes its session parameters with an unrestricted
+YAML dumper (reference origin.py:25-31 ``dump_yaml``; written by
+``ORIGIN.write``, reference origin.py:706-707), so a session directory
+produced by it carries ``!!python/...`` tags: per-step ``Status`` enums
+(string-valued members such as ``'dumped outputs'``, reference
+steps.py:111-117), numpy scalars for interpolated thresholds, tuples
+for per-area lists.  ``yaml.safe_load`` refuses every one of those
+tags, which would lock reference users out of their existing session
+directories when they switch to origin_tpu.
+
+:func:`load_params` reads the reference dialect with a ``SafeLoader``
+subclass: tags whose payloads matter (Status, numpy scalars and dtypes,
+tuples, OrderedDict) are decoded faithfully, any other python tag
+degrades to its plain YAML payload with a warning, and the result is
+normalized into the schema origin_tpu writes (step status as enum
+*names*, builtin scalars, lists).  Everything else in a reference
+session is standard FITS — dense float32 cubes/images, binary tables,
+the ``testO2_%d.txt`` arrays — which the ordinary load path already
+reads; the product file names are identical by design (reference
+steps.py:301-337 dumps each DataObj as ``<name>.fits|.txt``).
+"""
+
+import base64
+import logging
+
+import numpy as np
+import yaml
+
+__all__ = ["load_params", "loads_params", "looks_like_reference_yaml"]
+
+logger = logging.getLogger(__name__)
+
+# Reference Status member values -> member names (reference
+# steps.py:111-117).  origin_tpu persists the *names*.
+_REF_STATUS_VALUES = {
+    "not run yet": "NOTRUN",
+    "run": "RUN",
+    "dumped outputs": "DUMPED",
+    "failed": "FAILED",
+}
+_STATUS_NAMES = frozenset(_REF_STATUS_VALUES.values())
+
+
+def _status_name(arg):
+    """Map a reference Status payload (value string, name, or ordinal)."""
+    if isinstance(arg, str):
+        if arg in _REF_STATUS_VALUES:
+            return _REF_STATUS_VALUES[arg]
+        if arg in _STATUS_NAMES:
+            return arg
+    if isinstance(arg, (int, np.integer)):
+        # defensive: some dumpers persist the member by ordinal
+        names = ["NOTRUN", "RUN", "DUMPED", "FAILED"]
+        if 0 <= int(arg) < len(names):
+            return names[int(arg)]
+    raise ValueError(f"unrecognized reference Status payload: {arg!r}")
+
+
+def _numpy_dtype(args, state):
+    """Rebuild a dtype from numpy's __reduce__ payload."""
+    dt = np.dtype(args[0]) if args else np.dtype("f8")
+    if state:
+        # state[1] is the byte order of the pickled dtype
+        order = state[1] if len(state) > 1 else None
+        if order in ("<", ">", "=", "|"):
+            dt = dt.newbyteorder(order)
+    return dt
+
+
+def _numpy_scalar(args):
+    """Decode ``numpy.core.multiarray.scalar(dtype, bytes)`` payloads."""
+    dt, payload = args
+    if not isinstance(dt, np.dtype):
+        dt = np.dtype(dt)
+    if isinstance(payload, str):
+        payload = base64.b64decode(payload)
+    return np.frombuffer(payload, dtype=dt)[0].item()
+
+
+def _apply(suffix, args, state):
+    """Best-effort evaluation of a ``python/object/apply:<suffix>`` node."""
+    if suffix.endswith(".Status"):
+        return _status_name(args[0])
+    if suffix == "numpy.dtype":
+        return _numpy_dtype(args, state)
+    if suffix.endswith("multiarray.scalar"):
+        return _numpy_scalar(args)
+    if suffix in ("builtins.tuple", "__builtin__.tuple"):
+        return tuple(args[0]) if args else ()
+    if suffix in ("builtins.list", "__builtin__.list"):
+        return list(args[0]) if args else []
+    if suffix in ("builtins.dict", "__builtin__.dict"):
+        return dict(args[0]) if args else {}
+    if suffix == "collections.OrderedDict":
+        return dict(args[0]) if args else {}
+    if suffix in ("builtins.set", "__builtin__.set"):
+        return list(args[0]) if args else []
+    logger.warning(
+        "reference session: unknown python tag %r degraded to its payload",
+        suffix,
+    )
+    if state is not None:
+        return state
+    if len(args) == 1:
+        return args[0]
+    return args or None
+
+
+class _RefLoader(yaml.SafeLoader):
+    """SafeLoader that tolerates the reference's python-tagged YAML."""
+
+
+def _construct_apply(loader, suffix, node):
+    if isinstance(node, yaml.SequenceNode):
+        args = loader.construct_sequence(node, deep=True)
+        state = None
+    elif isinstance(node, yaml.MappingNode):
+        m = loader.construct_mapping(node, deep=True)
+        args = m.get("args", [])
+        state = m.get("state")
+    else:
+        args = [loader.construct_scalar(node)]
+        state = None
+    return _apply(suffix, args, state)
+
+
+def _construct_object(loader, suffix, node):
+    # a pickled instance: its payload is the __dict__ / state
+    if isinstance(node, yaml.MappingNode):
+        return loader.construct_mapping(node, deep=True)
+    if isinstance(node, yaml.SequenceNode):
+        return loader.construct_sequence(node, deep=True)
+    return loader.construct_scalar(node)
+
+
+def _construct_name(loader, suffix, node):
+    return suffix
+
+
+def _construct_tuple(loader, node):
+    return tuple(loader.construct_sequence(node, deep=True))
+
+
+_RefLoader.add_multi_constructor(
+    "tag:yaml.org,2002:python/object/apply:", _construct_apply)
+_RefLoader.add_multi_constructor(
+    "tag:yaml.org,2002:python/object/new:", _construct_apply)
+_RefLoader.add_multi_constructor(
+    "tag:yaml.org,2002:python/object:", _construct_object)
+_RefLoader.add_multi_constructor(
+    "tag:yaml.org,2002:python/name:", _construct_name)
+_RefLoader.add_constructor(
+    "tag:yaml.org,2002:python/tuple", _construct_tuple)
+for _t, _c in (
+    ("python/str", yaml.SafeLoader.construct_yaml_str),
+    ("python/unicode", yaml.SafeLoader.construct_yaml_str),
+    ("python/int", yaml.SafeLoader.construct_yaml_int),
+    ("python/long", yaml.SafeLoader.construct_yaml_int),
+    ("python/float", yaml.SafeLoader.construct_yaml_float),
+    ("python/bool", yaml.SafeLoader.construct_yaml_bool),
+    ("python/none", yaml.SafeLoader.construct_yaml_null),
+    ("python/list", yaml.SafeLoader.construct_yaml_seq),
+    ("python/dict", yaml.SafeLoader.construct_yaml_map),
+):
+    _RefLoader.add_constructor(f"tag:yaml.org,2002:{_t}", _c)
+
+
+def _normalize(obj):
+    """Reduce a decoded reference tree to origin_tpu's plain-YAML schema."""
+    if isinstance(obj, dict):
+        return {k: _normalize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_normalize(v) for v in obj]
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj
+
+
+def looks_like_reference_yaml(text):
+    """Cheap sniff for the reference dumper's python tags."""
+    return "!!python/" in text
+
+
+def loads_params(text):
+    """Parse a reference-dialect params YAML string into our schema."""
+    return _normalize(yaml.load(text, Loader=_RefLoader))
+
+
+def load_params(path):
+    """Read a reference-written ``<name>.yaml`` session parameter file."""
+    with open(path) as f:
+        return loads_params(f.read())

@@ -25,9 +25,12 @@ import yaml
 from .. import fitsio
 from ..core.containers import Cube, Image
 from ..core.fsf import FieldsMap, read_fsf_from_header
-from ..core.profiles import default_dictionary_path, load_dictionary
+from ..core.profiles import (
+    DICO_3FWHM, DICO_FWHM_2_12, default_dictionary_path, load_dictionary,
+)
 from ..core.table import Table
 from ..version import version as __version__
+from . import compat
 from . import steps as steps_mod
 from .plotting import PlotMixin
 from .steps import Status
@@ -268,12 +271,33 @@ class ORIGIN(PlotMixin):
         name = os.path.basename(folder)
 
         with open(f"{folder}/{name}.yaml") as stream:
-            param = yaml.safe_load(stream)
+            text = stream.read()
+        if compat.looks_like_reference_yaml(text):
+            # session written by the reference muse_origin package: its
+            # python-tagged YAML dialect is decoded into our schema
+            # (same product file names on disk, reference steps.py:301-337)
+            param = compat.loads_params(text)
+        else:
+            param = yaml.safe_load(text)
 
         # convert step status strings back into enums
         for key, val in param.items():
             if isinstance(val, dict) and "status" in val:
                 val["status"] = Status[val["status"]]
+
+        # a session moved from another machine may reference a profile
+        # dictionary by an absolute path that no longer exists; the two
+        # dictionaries shipped with the reference are also shipped here
+        prof = param.get("profiles")
+        if prof and not os.path.isfile(str(prof)):
+            base = os.path.basename(str(prof))
+            if base in (DICO_3FWHM, DICO_FWHM_2_12):
+                packaged = default_dictionary_path(base)
+                logging.getLogger(__name__).warning(
+                    "profile dictionary %s not found; using the packaged %s",
+                    prof, packaged,
+                )
+                param["profiles"] = packaged
 
         FWHM_PSF = (
             np.asarray(param["FWHM PSF"]) if "FWHM PSF" in param else None

@@ -1,0 +1,163 @@
+"""Reference-session interoperability (`origin_tpu.pipeline.compat`).
+
+A session directory written by the reference muse_origin package — dense
+FITS products plus a python-tagged YAML parameter file (reference
+origin.py:651-727, steps.py:301-337) — must load directly into
+origin_tpu, so reference users keep their existing sessions when they
+switch.  The product file names match by design; what needs translating
+is the YAML dialect, exercised here both as a unit (handcrafted
+reference-dialect text with every tag family the reference dumper
+emits) and end-to-end (a written session whose params file is re-dumped
+in the reference dialect, then loaded and resumed).
+"""
+
+import base64
+
+import numpy as np
+import pytest
+import yaml
+
+from make_minicube import make_minicube, make_segmap
+
+from origin_tpu import ORIGIN
+from origin_tpu.pipeline import compat
+from origin_tpu.pipeline.steps import Status
+
+# our member names -> the reference's member *values* (reference
+# steps.py:111-117), which is what its YAML stores
+REF_STATUS_VALUES = {
+    "NOTRUN": "not run yet",
+    "RUN": "run",
+    "DUMPED": "dumped outputs",
+    "FAILED": "failed",
+}
+
+
+def _np_scalar_yaml(value, code):
+    """The exact node shape yaml's unrestricted dumper emits for a numpy
+    scalar (object/apply:numpy.core.multiarray.scalar with a dtype node
+    and a base64 payload)."""
+    payload = base64.b64encode(np.dtype(code).type(value).tobytes()).decode()
+    return (
+        "!!python/object/apply:numpy.core.multiarray.scalar\n"
+        "- !!python/object/apply:numpy.dtype\n"
+        f"  args: [{code}, 0, 1]\n"
+        "  state: !!python/tuple [3, <, null, null, null, -1, -1, 0]\n"
+        "- !!binary |\n"
+        f"  {payload}\n"
+    )
+
+
+def test_loads_params_reference_dialect():
+    text = (
+        "cubename: /data/cube.fits\n"
+        "loglevel: DEBUG\n"
+        "logcolor: false\n"
+        "profiles: /somewhere/Dico_3FWHM.fits\n"
+        "threshold: " + _np_scalar_yaml(4.125, "f8") +
+        "nbareas: " + _np_scalar_yaml(4, "i8") +
+        "preprocessing:\n"
+        "  stepidx: 1\n"
+        "  params: {dct_order: 10}\n"
+        "  status: !!python/object/apply:muse_origin.steps.Status\n"
+        "  - dumped outputs\n"
+        "  runtime: 9.62\n"
+        "somepair: !!python/tuple [1, 2]\n"
+        "weird: !!python/object/apply:some.unknown.Thing [5]\n"
+        "aname: !!python/name:numpy.median ''\n"
+    )
+    assert compat.looks_like_reference_yaml(text)
+    param = compat.loads_params(text)
+    assert param["threshold"] == 4.125
+    assert isinstance(param["threshold"], float)
+    assert param["nbareas"] == 4
+    assert isinstance(param["nbareas"], int)
+    assert param["preprocessing"]["status"] == "DUMPED"
+    assert param["preprocessing"]["params"]["dct_order"] == 10
+    assert param["somepair"] == [1, 2]  # normalized to list
+    assert param["weird"] == 5  # unknown tag degrades to its payload
+    assert param["aname"] == "numpy.median"
+    # plain origin_tpu YAML must NOT be routed through the compat loader
+    assert not compat.looks_like_reference_yaml("a: 1\nb: [2, 3]\n")
+
+
+def test_status_payload_forms():
+    from origin_tpu.pipeline.compat import _status_name
+
+    assert _status_name("dumped outputs") == "DUMPED"
+    assert _status_name("DUMPED") == "DUMPED"
+    assert _status_name(2) == "DUMPED"
+    with pytest.raises(ValueError):
+        _status_name("nonsense")
+
+
+class _RefStatusTag:
+    """Stand-in that serializes exactly like the reference's Status."""
+
+    def __init__(self, name):
+        self.name = name
+
+
+def _status_repr(dumper, obj):
+    return dumper.represent_sequence(
+        "tag:yaml.org,2002:python/object/apply:muse_origin.steps.Status",
+        [REF_STATUS_VALUES[obj.name]],
+    )
+
+
+class _RefDumper(yaml.SafeDumper):
+    pass
+
+
+_RefDumper.add_representer(_RefStatusTag, _status_repr)
+
+
+@pytest.fixture(scope="module")
+def minicube(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data")
+    cube_fn = str(path / "minicube.fits")
+    seg_fn = str(path / "segmap.fits")
+    make_minicube(cube_fn)
+    make_segmap(seg_fn)
+    return cube_fn, seg_fn
+
+
+def test_load_reference_session(minicube, tmp_path, monkeypatch):
+    # dense float32 session files: what a reference-written session holds
+    monkeypatch.setenv("ORIGIN_TPU_STORE_INT16", "0")
+    monkeypatch.setenv("ORIGIN_TPU_STORE_SPARSE", "0")
+    monkeypatch.setenv("ORIGIN_TPU_STORE_RECIPES", "0")
+
+    orig = ORIGIN.init(minicube[0], name="refsess", path=str(tmp_path),
+                       loglevel="INFO")
+    orig.step01_preprocessing()
+    orig.step02_areas()
+    orig.step03_compute_PCA_threshold()
+    thres = [float(t) for t in orig.thresO2]
+    orig.write()
+    orig.close_logfile()
+
+    # re-dump the params file in the reference's python-tagged dialect,
+    # with a missing-but-packaged profile dictionary path
+    yfile = tmp_path / "refsess" / "refsess.yaml"
+    param = yaml.safe_load(yfile.read_text())
+    for val in param.values():
+        if isinstance(val, dict) and "status" in val:
+            val["status"] = _RefStatusTag(val["status"])
+    param["profiles"] = "/nonexistent/elsewhere/Dico_3FWHM.fits"
+    yfile.write_text(yaml.dump(param, Dumper=_RefDumper))
+    assert compat.looks_like_reference_yaml(yfile.read_text())
+
+    orig2 = ORIGIN.load(str(tmp_path / "refsess"))
+    try:
+        assert orig2.steps["compute_PCA_threshold"].status is Status.DUMPED
+        assert [float(t) for t in orig2.thresO2] == thres
+        # the packaged dictionary replaced the dead absolute path
+        import os
+
+        assert os.path.isfile(orig2.param["profiles"])
+        # resuming from the translated session proves the products load
+        orig2.step04_compute_greedy_PCA()
+        assert orig2.cube_faint is not None
+    finally:
+        orig2.close_logfile()
