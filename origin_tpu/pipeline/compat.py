@@ -51,10 +51,11 @@ def _status_name(arg):
         if arg in _STATUS_NAMES:
             return arg
     if isinstance(arg, (int, np.integer)):
-        # defensive: some dumpers persist the member by ordinal
+        # defensive: some dumpers persist the member by ordinal.  Enum
+        # auto() ordinals are 1-based (NOTRUN=1 .. FAILED=4).
         names = ["NOTRUN", "RUN", "DUMPED", "FAILED"]
-        if 0 <= int(arg) < len(names):
-            return names[int(arg)]
+        if 1 <= int(arg) <= len(names):
+            return names[int(arg) - 1]
     raise ValueError(f"unrecognized reference Status payload: {arg!r}")
 
 
@@ -79,7 +80,29 @@ def _numpy_scalar(args):
     return np.frombuffer(payload, dtype=dt)[0].item()
 
 
-def _apply(suffix, args, state):
+def _numpy_array(args, state):
+    """Decode ``numpy[._]core.multiarray._reconstruct`` payloads.
+
+    ``ndarray.__reduce__`` splits the array across the apply node:
+    ``args = (subtype, (0,), b'b')`` and
+    ``state = (version, shape, dtype, is_fortran, data)``.
+    """
+    if not state or len(state) < 5:
+        raise ValueError("ndarray payload without a 5-tuple state")
+    _, shape, dt, isfortran, payload = state[:5]
+    if not isinstance(dt, np.dtype):
+        dt = np.dtype(dt)
+    if isinstance(payload, str):
+        payload = base64.b64decode(payload)
+    if isinstance(payload, (list, tuple)):
+        # object arrays carry their elements as a list
+        arr = np.array(payload, dtype=object)
+    else:
+        arr = np.frombuffer(payload, dtype=dt).copy()
+    return arr.reshape(tuple(shape), order="F" if isfortran else "C")
+
+
+def _apply(suffix, args, state, listitems=None, dictitems=None):
     """Best-effort evaluation of a ``python/object/apply:<suffix>`` node."""
     if suffix.endswith(".Status"):
         return _status_name(args[0])
@@ -87,22 +110,37 @@ def _apply(suffix, args, state):
         return _numpy_dtype(args, state)
     if suffix.endswith("multiarray.scalar"):
         return _numpy_scalar(args)
+    if suffix.endswith("multiarray._reconstruct"):
+        return _numpy_array(args, state)
     if suffix in ("builtins.tuple", "__builtin__.tuple"):
         return tuple(args[0]) if args else ()
     if suffix in ("builtins.list", "__builtin__.list"):
-        return list(args[0]) if args else []
-    if suffix in ("builtins.dict", "__builtin__.dict"):
-        return dict(args[0]) if args else {}
-    if suffix == "collections.OrderedDict":
-        return dict(args[0]) if args else {}
+        if args:
+            return list(args[0])
+        return list(listitems) if listitems else []
+    if suffix in ("builtins.dict", "__builtin__.dict",
+                  "collections.OrderedDict"):
+        # PyYAML < 5.1 dumps OrderedDict through represent_object, whose
+        # contents arrive as listitems of (key, value) pairs
+        if args:
+            return dict(args[0])
+        if dictitems:
+            return dict(dictitems)
+        return dict(listitems) if listitems else {}
     if suffix in ("builtins.set", "__builtin__.set"):
-        return list(args[0]) if args else []
+        if args:
+            return list(args[0])
+        return list(listitems) if listitems else []
     logger.warning(
         "reference session: unknown python tag %r degraded to its payload",
         suffix,
     )
     if state is not None:
         return state
+    if dictitems:
+        return dict(dictitems)
+    if listitems:
+        return list(listitems)
     if len(args) == 1:
         return args[0]
     return args or None
@@ -115,15 +153,17 @@ class _RefLoader(yaml.SafeLoader):
 def _construct_apply(loader, suffix, node):
     if isinstance(node, yaml.SequenceNode):
         args = loader.construct_sequence(node, deep=True)
-        state = None
+        state = listitems = dictitems = None
     elif isinstance(node, yaml.MappingNode):
         m = loader.construct_mapping(node, deep=True)
         args = m.get("args", [])
         state = m.get("state")
+        listitems = m.get("listitems")
+        dictitems = m.get("dictitems")
     else:
         args = [loader.construct_scalar(node)]
-        state = None
-    return _apply(suffix, args, state)
+        state = listitems = dictitems = None
+    return _apply(suffix, args, state, listitems, dictitems)
 
 
 def _construct_object(loader, suffix, node):
@@ -153,6 +193,30 @@ _RefLoader.add_multi_constructor(
     "tag:yaml.org,2002:python/name:", _construct_name)
 _RefLoader.add_constructor(
     "tag:yaml.org,2002:python/tuple", _construct_tuple)
+def _construct_python_other(loader, suffix, node):
+    """Catch-all for python tags with no dedicated decoder: degrade to
+    the plain YAML payload with a warning (never refuse the file)."""
+    if suffix == "complex":
+        try:
+            return complex(loader.construct_scalar(node).strip("()"))
+        except ValueError:
+            pass
+    logger.warning(
+        "reference session: unsupported tag python/%s degraded to its "
+        "payload", suffix,
+    )
+    if isinstance(node, yaml.MappingNode):
+        return loader.construct_mapping(node, deep=True)
+    if isinstance(node, yaml.SequenceNode):
+        return loader.construct_sequence(node, deep=True)
+    return loader.construct_scalar(node)
+
+
+# registered LAST: multi-constructor prefixes match in insertion order,
+# so the specific handlers above keep precedence
+_RefLoader.add_multi_constructor(
+    "tag:yaml.org,2002:python/", _construct_python_other)
+
 for _t, _c in (
     ("python/str", yaml.SafeLoader.construct_yaml_str),
     ("python/unicode", yaml.SafeLoader.construct_yaml_str),

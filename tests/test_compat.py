@@ -86,9 +86,66 @@ def test_status_payload_forms():
 
     assert _status_name("dumped outputs") == "DUMPED"
     assert _status_name("DUMPED") == "DUMPED"
-    assert _status_name(2) == "DUMPED"
+    # Enum auto() ordinals are 1-based: RUN=2, FAILED=4
+    assert _status_name(2) == "RUN"
+    assert _status_name(4) == "FAILED"
     with pytest.raises(ValueError):
         _status_name("nonsense")
+    with pytest.raises(ValueError):
+        _status_name(0)
+
+
+def test_old_pyyaml_ordereddict_listitems():
+    # PyYAML < 5.1 had no OrderedDict representer: represent_object emits
+    # an apply node whose CONTENTS ride in `listitems` (pairs), not args
+    text = (
+        "preprocessing: !!python/object/apply:collections.OrderedDict\n"
+        "  listitems:\n"
+        "  - [status, dumped]\n"
+        "  - [runtime, 9.62]\n"
+    )
+    param = compat.loads_params(text)
+    assert param["preprocessing"] == {"status": "dumped", "runtime": 9.62}
+
+
+def test_ndarray_param_decodes():
+    # an array-valued param (e.g. FWHM PSF as an ndarray) dumps through
+    # multiarray._reconstruct with the data in the state tuple
+    arr = np.array([1.5, 2.5, 3.25])
+    payload = base64.b64encode(arr.tobytes()).decode()
+    text = (
+        "fwhm: !!python/object/apply:numpy.core.multiarray._reconstruct\n"
+        "  args:\n"
+        "  - !!python/name:numpy.ndarray ''\n"
+        "  - !!python/tuple [0]\n"
+        "  - !!binary |\n"
+        "    Yg==\n"
+        "  state: !!python/tuple\n"
+        "  - 1\n"
+        "  - !!python/tuple [3]\n"
+        "  - !!python/object/apply:numpy.dtype\n"
+        "    args: [f8, 0, 1]\n"
+        "    state: !!python/tuple [3, <, null, null, null, -1, -1, 0]\n"
+        "  - false\n"
+        "  - !!binary |\n"
+        f"    {payload}\n"
+    )
+    param = compat.loads_params(text)
+    assert param["fwhm"] == [1.5, 2.5, 3.25]
+
+
+def test_unregistered_python_tags_degrade():
+    # bare python tags outside the registered set must degrade with a
+    # warning, never refuse the whole file
+    text = (
+        "c: !!python/complex 3.0+4.0j\n"
+        "m: !!python/module:some.module ''\n"
+        "obj: !!python/object/new:some.Thing {args: [7]}\n"
+    )
+    param = compat.loads_params(text)
+    assert param["c"] == complex(3.0, 4.0)
+    assert param["m"] == ""  # degraded to its (empty scalar) payload
+    assert param["obj"] == 7
 
 
 class _RefStatusTag:
