@@ -219,10 +219,18 @@ class DeferredCube(Cube):
         """Pull the host copy (or its Quant16 wire) off device; lock held."""
         if self._host is None and self._wire is None:
             if self._future is not None:
-                arr = self._future.result()
-                self._future = None
+                # clear BEFORE joining: a transient transfer failure must
+                # not poison the product — the next access retries from
+                # the still-held source (_dev / _fetch)
+                fut, self._future = self._future, None
+                arr = fut.result()
             elif self._fetch is not None:
                 arr = self._fetch()
+            elif self._dev is None:
+                raise RuntimeError(
+                    "product content was discarded before materialization "
+                    "(engine.release() on an abandoned session)"
+                )
             elif self._sparse:
                 arr = _sparse_fetch(self._dev, quant=self._post is None)
             else:
@@ -265,12 +273,32 @@ class DeferredCube(Cube):
 
         Safe only for cubes with a host copy, a wire, or a rebuild
         ``fetch`` (recipe-backed products): later ``.data`` access then
-        rebuilds on host instead of downloading.  No-op otherwise."""
+        rebuilds on host instead of downloading.  No-op otherwise.
+        (For a LINK-fetch cube the content stays reachable through the
+        fetch closure, which keeps its own device reference — so this
+        does not actually free that HBM; :meth:`discard` does.)"""
         with self._lock:
             if (self._dev is not None and self._future is None
                     and (self._host is not None or self._wire is not None
                          or self._fetch is not None)):
                 self._dev = None
+
+    def discard(self):
+        """Hard-free the device copy, even when that loses content.
+
+        For an abandoned field (survey continuing past a failure,
+        benchmark teardown) the HBM must be returned NOW: wire-fetch
+        closures release the device array they pin, so a cube that was
+        never materialized loses its content — a later access raises a
+        clear RuntimeError instead of re-downloading.  Materialized or
+        parked state is unaffected; an in-flight transfer is left to
+        finish (its closure releases itself)."""
+        with self._lock:
+            self._dev = None
+            rel = getattr(self._fetch, "release", None)
+            if rel is not None and self._future is None:
+                rel()
+                self._fetch = None
 
     @property
     def data(self):
@@ -283,9 +311,26 @@ class DeferredCube(Cube):
 
     @data.setter
     def data(self, val):
-        self._host = np.asarray(val)
-        self._wire = None  # replaced content: the old wire is stale
-        self._dev = None
+        val = np.asarray(val)
+        with self._lock:
+            if self._future is not None:
+                # join (ignoring failure) so a mid-flight materialization
+                # cannot overwrite the assigned content afterwards
+                fut, self._future = self._future, None
+                try:
+                    fut.result()
+                except Exception:
+                    pass
+            rel = getattr(self._fetch, "release", None)
+            if rel is not None:
+                rel()  # unpin the wire closure's device array
+            self._host = val
+            # replaced content: every derived/source form is stale now
+            self._wire = None
+            self._dev = None
+            self._fetch = None
+            self._recipe_save = None
+            self.__dict__.pop("_std_scalar", None)
 
     @property
     def shape(self):
@@ -435,7 +480,16 @@ def _upload_cached(arr):
     if dev is not None and not dev.is_deleted():
         _upload_cache.move_to_end(key)  # LRU: a hit is a use
         return dev
+    # purge deleted entries (backend teardown, donated buffers): they
+    # hold no HBM but would distort the byte accounting and, on a key
+    # hit, re-insert at a stale LRU position
+    for k in [k for k, v in _upload_cache.items() if v.is_deleted()]:
+        del _upload_cache[k]
     budget = _upload_cache_bytes()
+    if int(arr.nbytes) > budget:
+        # an over-budget array can never fit: upload it uncached instead
+        # of flushing the whole cache to make room it won't use
+        return jnp.asarray(arr)
     total = sum(int(v.nbytes) for v in _upload_cache.values())
     while _upload_cache and (
         len(_upload_cache) >= _UPLOAD_CACHE_MAX
@@ -535,11 +589,6 @@ def _extract_above_body(arr, extras, threshold, cap):
 _extract_above = partial(jax.jit, static_argnames=("cap",))(
     _extract_above_body
 )
-
-
-@jax.jit
-def _count_above_pair(a1, t1, a2, t2):
-    return jnp.sum(a1 > t1), jnp.sum(a2 > t2)
 
 
 #: speculative per-cube line capacity of step 07's single-round-trip
@@ -803,13 +852,15 @@ def _packed_wire_fetch(dev, bits):
     nx = int(dev.shape[-1])
 
     def fetch():
-        d, box[0] = box[0], None
+        d = box[0]
         packed = _pack_bits(d, bits)
         del d
         with _lane_timer("wire:packed", nbytes=int(np.prod(packed.shape))):
             packed = np.asarray(packed)
+        box[0] = None  # success: release the pinned device array
         return _unpack_bits(packed, bits, nx, np.uint8)
 
+    fetch.release = lambda: box.__setitem__(0, None)
     return fetch
 
 
@@ -826,18 +877,20 @@ def _int16_wire_fetch(dev):
     box = [dev]
 
     def fetch():
-        d, box[0] = box[0], None
+        d = box[0]
         q, scale = _encode_i16(d)
         del d
         s = float(scale)
         with _lane_timer("wire:int16", nbytes=2 * int(q.size)):
             q = np.asarray(q)
+        box[0] = None  # success: release the pinned device array
         if _store_int16():
             return Quant16(q, s)
         arr = q.astype(np.float32)
         arr *= np.float32(s)
         return arr
 
+    fetch.release = lambda: box.__setitem__(0, None)
     return fetch
 
 
@@ -1343,9 +1396,13 @@ class DeviceEngine:
         """Drop every device allocation this session's engine holds.
 
         Multi-field processes (survey CLI, benchmarks) call this once a
-        field is finished: the session<->engine reference cycle otherwise
-        keeps the raw-input device arrays alive until a GC pass, which on
-        a small-HBM chip can OOM the NEXT field's programs."""
+        field is finished (everything parked) or abandoned after a
+        failure: the session<->engine reference cycle otherwise keeps
+        the raw-input device arrays alive until a GC pass, which on a
+        small-HBM chip can OOM the NEXT field's programs.  An abandoned
+        field's never-materialized device-only products lose their
+        content (:meth:`DeferredCube.discard`) — freeing the HBM is the
+        point here."""
         self._inputs.clear()
         self._inputs_future = None
         self._mini_cache.clear()
@@ -1353,7 +1410,7 @@ class DeviceEngine:
         for name, owner in owners.items():
             val = owner.store.peek(name)
             if isinstance(val, DeferredCube):
-                val.drop_device()
+                val.discard()
 
     def std_scalar(self, name):
         """Standard deviation of a session cube (device when resident).
@@ -1594,13 +1651,11 @@ class DeviceEngine:
         """
 
         def fetch():
+            from .recipes import apply_pca_factors
+
             std = self.orig.cube_std.data  # joins the std rebuild
             with _lane_timer("rebuild:cube_faint"):
-                std = np.array(std, dtype=np.float32)
-                flat = std.reshape(std.shape[0], -1)
-                for idx, u_mat, c_mat in factors:
-                    flat[:, idx] -= u_mat @ c_mat
-                return std
+                return apply_pca_factors(std, factors)
 
         return fetch
 

@@ -224,14 +224,22 @@ def load_recipe(path, orig=None):
         return Cube(data=data, wcs=wcs, wave=wave, mask=False, copy=False)
     if kind == "pca_faint":
         factors = _read_pca_payload(hdus, int(phdr.get("RENFACT", 0)))
-        if orig is not None:
-            std_cube = orig.cube_std  # fetch (recipe-aware via the store)
+        # fetch from the session (recipe-aware via the store) when it
+        # still holds the product; a session whose cube_std file was
+        # deleted falls back to the recipe's own directory like the
+        # session-less path
+        std_cube = orig.cube_std if orig is not None else None
+        if std_cube is not None:
             std = std_cube.data
             wcs, wave = orig.wcs, orig.wave
         else:
-            std_cube = load_cube(
-                os.path.join(os.path.dirname(path), "cube_std.fits")
-            )
+            std_path = os.path.join(os.path.dirname(path), "cube_std.fits")
+            if not os.path.isfile(std_path):
+                raise OSError(
+                    f"pca_faint recipe rebuild needs cube_std ({std_path!r}"
+                    " not found in the session directory)"
+                )
+            std_cube = load_cube(std_path, orig=orig)
             std = std_cube.data
             wcs, wave = std_cube.wcs, std_cube.wave
         return Cube(data=apply_pca_factors(std, factors), wcs=wcs,

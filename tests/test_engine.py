@@ -159,16 +159,108 @@ def test_upload_cache_dedupes_and_evicts():
         for i in range(eng._UPLOAD_CACHE_MAX + 2):
             eng._upload_cached(np.full((2, 2), i, np.float32))
         assert len(eng._upload_cache) <= eng._UPLOAD_CACHE_MAX
-        # a deleted device buffer is re-uploaded, not returned stale
+        # a deleted device buffer is re-uploaded, not returned stale,
+        # and the stale entry no longer occupies its old LRU position
         b = np.ones((3, 3), np.float32)
         d3 = eng._upload_cached(b)
         d3.delete()
         d4 = eng._upload_cached(b)
         assert not d4.is_deleted()
         np.testing.assert_array_equal(np.asarray(d4), b)
+        assert next(reversed(eng._upload_cache)) is not None  # at LRU end
+        key_b = next(reversed(eng._upload_cache))
+        assert eng._upload_cache[key_b] is d4
     finally:
         eng._upload_cache.clear()
         eng._upload_cache.update(saved)
+
+
+def test_upload_cache_oversize_bypasses(monkeypatch):
+    import origin_tpu.pipeline.engine as eng
+
+    saved = dict(eng._upload_cache)
+    eng._upload_cache.clear()
+    monkeypatch.setenv("ORIGIN_TPU_UPLOAD_CACHE_BYTES", "1000")
+    try:
+        small = np.ones((5, 5), np.float32)  # 100 B: cached
+        eng._upload_cached(small)
+        assert len(eng._upload_cache) == 1
+        big = np.ones((64, 64), np.float32)  # 16 kB > budget
+        dev = eng._upload_cached(big)
+        np.testing.assert_array_equal(np.asarray(dev), big)
+        # the oversize array was uploaded UNCACHED and did not flush
+        # the cache to make room it can never fit in
+        assert len(eng._upload_cache) == 1
+        assert eng._upload_cached(small) is not None
+        assert len(eng._upload_cache) == 1
+    finally:
+        eng._upload_cache.clear()
+        eng._upload_cache.update(saved)
+
+
+def test_deferred_cube_failed_transfer_retries(problem):
+    """One transient fetch failure must not poison the product."""
+    cube, _, _ = problem
+    calls = {"n": 0}
+
+    def flaky_fetch():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient link failure")
+        return cube.copy()
+
+    d = DeferredCube(jnp.asarray(cube), fetch=flaky_fetch)
+    d.prefetch()
+    with pytest.raises(OSError):
+        d.materialize()
+    # retry succeeds from the still-held fetch
+    np.testing.assert_array_equal(d.data, cube)
+    assert calls["n"] == 2
+
+
+def test_deferred_cube_data_setter_invalidates(problem):
+    """Assigning .data must deactivate the recipe/fetch/std state so a
+    later write() stores the NEW content, not the stale generator."""
+    cube, _, _ = problem
+    recipe_calls = []
+
+    d = DeferredCube(
+        jnp.asarray(cube),
+        fetch=lambda: cube.copy(),
+        recipe_save=lambda path: recipe_calls.append(path),
+    )
+    d._std_scalar = 123.0
+    new = np.full_like(cube, 7.0)
+    d.data = new
+    assert not d.recipe_active
+    assert getattr(d, "_std_scalar", None) is None
+    np.testing.assert_array_equal(d.data, new)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        fn = os.path.join(tmp, "x.fits")
+        d.write(fn)
+        assert recipe_calls == []  # the stale recipe was NOT written
+        from origin_tpu.core import Cube as _Cube
+        np.testing.assert_allclose(_Cube(fn).data, new)
+
+
+def test_deferred_cube_discard_frees_and_raises(problem):
+    """discard() releases the wire-fetch closure's pinned device array;
+    a later access raises instead of fabricating content."""
+    from origin_tpu.pipeline.engine import _int16_wire_fetch
+
+    cube, _, _ = problem
+    dev = jnp.asarray(cube)
+    d = DeferredCube(dev, fetch=_int16_wire_fetch(dev), fetch_link=True)
+    d.discard()
+    assert d.device is None and d._fetch is None
+    with pytest.raises(RuntimeError, match="discarded"):
+        _ = d.data
+    # a materialized cube keeps its content through discard
+    d2 = DeferredCube(jnp.asarray(cube))
+    np.testing.assert_array_equal(d2.data, cube)
+    d2.discard()
+    np.testing.assert_array_equal(d2.data, cube)
 
 
 def test_minicubes_match_host_extraction(problem):
@@ -563,10 +655,13 @@ def test_upload_cache_lru_and_byte_budget(monkeypatch):
         # b was evicted: re-upload yields a fresh handle
         db2 = eng._upload_cached(b)
         np.testing.assert_array_equal(np.asarray(db2), b)
-        # an entry larger than the budget still caches (evicts the rest)
+        # an entry larger than the whole budget uploads UNCACHED and
+        # leaves the cache intact (it could never fit anyway)
+        n_before = len(eng._upload_cache)
         big = np.zeros(1024, np.float32)  # 4096 bytes > budget
-        eng._upload_cached(big)
-        assert len(eng._upload_cache) == 1
+        dev_big = eng._upload_cached(big)
+        np.testing.assert_array_equal(np.asarray(dev_big), big)
+        assert len(eng._upload_cache) == n_before
     finally:
         eng._upload_cache.clear()
         eng._upload_cache.update(saved)

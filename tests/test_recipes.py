@@ -79,6 +79,32 @@ def test_refetched_recipe_not_rewritten(front_session):
     assert is_recipe_file(path) == "dct_std"
 
 
+def test_pca_recipe_session_missing_std(front_session, tmp_path):
+    """A session whose cube_std product is gone must fall back to the
+    recipe directory's cube_std (and fail with a clear OSError when that
+    is gone too), not crash on None."""
+    import shutil
+
+    from origin_tpu.pipeline.recipes import load_recipe
+
+    folder, refs = front_session
+    work = str(tmp_path / "rec")  # keep the basename: <name>.yaml lookup
+    shutil.copytree(folder, work)
+    orig2 = ORIGIN.load(work, loglevel="ERROR")
+    # simulate a partially copied session: the product file vanished, so
+    # the session fetch returns None — but the ORIGINAL directory passed
+    # to load_recipe still holds it
+    os.remove(os.path.join(work, "cube_std.fits"))
+    faint = load_recipe(os.path.join(folder, "cube_faint.fits"), orig=orig2)
+    np.testing.assert_array_equal(faint.data, refs["cube_faint"])
+    # no cube_std anywhere near the recipe: a clear error, not a crash
+    shutil.copy(os.path.join(folder, "cube_faint.fits"),
+                str(tmp_path / "cube_faint.fits"))
+    with pytest.raises(OSError, match="cube_std"):
+        load_recipe(str(tmp_path / "cube_faint.fits"), orig=orig2)
+    orig2.close_logfile()
+
+
 def test_recipes_optout(tmp_path, monkeypatch):
     """ORIGIN_TPU_STORE_RECIPES=0 restores dense float32 session files."""
     monkeypatch.setenv("ORIGIN_TPU_STORE_RECIPES", "0")
