@@ -131,6 +131,10 @@ class Header:
 
 def _format_value(value):
     """Format a python value into the 20-char FITS value field."""
+    if value is None:
+        # undefined card: blank value field (round-trips the None that
+        # _parse_value returns for it, instead of the string 'None')
+        return " " * 20
     if isinstance(value, (bool, np.bool_)):
         return ("T" if value else "F").rjust(20)
     if isinstance(value, (int, np.integer)):
@@ -405,11 +409,22 @@ def _write_bintable(columns, header):
                 a = a.astype(np.int64)
             else:
                 a = a.astype(f"i{a.dtype.itemsize * 2}")
+        # vector column (nrows, n): TFORM carries the repeat count so
+        # NAXIS1 and the declared row layout agree (readers reconstruct
+        # the width from it, _tform_to_dtype above)
+        rep = int(np.prod(a.shape[1:])) if a.ndim > 1 else 1
         if a.dtype.kind == "b":
-            tforms.append("L")
+            tforms.append("L" if rep == 1 else f"{rep}L")
             a = np.where(a, ord("T"), ord("F")).astype("u1")
         else:
-            tforms.append(_dtype_to_tform(a.dtype, name))
+            tf = _dtype_to_tform(a.dtype, name)
+            if rep != 1:
+                if tf.endswith("A"):
+                    raise ValueError(
+                        f"vector string column {name!r} is not supported"
+                    )
+                tf = f"{rep}{tf}"
+            tforms.append(tf)
             a = a.astype(a.dtype.newbyteorder(">"))
         arrays.append(a)
     nrows = len(arrays[0]) if arrays else 0
@@ -438,6 +453,7 @@ def _write_bintable(columns, header):
                 continue
             hdr.set(k, v, header.comment(k) or None)
         hdr.history.extend(header.history)
+        hdr.comments_raw.extend(header.comments_raw)
     return hdr, rec.tobytes()
 
 
@@ -617,10 +633,13 @@ def write(filename, hdus, overwrite=True):
                 parts.append(_header_bytes(Header(), True, None))
                 primary = False
             thdr, raw = _write_bintable(data, hdu.header)
-            cards = []
             text_cards = [
                 _format_card(k, v, thdr.comment(k) or None) for k, v in thdr.items()
             ]
+            for t in thdr.history:
+                text_cards.append(_format_card("HISTORY", t))
+            for t in thdr.comments_raw:
+                text_cards.append(_format_card("COMMENT", t))
             text_cards.append("END".ljust(CARDLEN))
             text = "".join(text_cards)
             pad = (-len(text)) % BLOCK

@@ -177,8 +177,17 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None, chunk=None):
         import os
 
         chunk = int(os.environ.get("ORIGIN_TPU_SPECTRA_CHUNK", "8"))
+    # upload the (Nz, m, m) weight cube ONCE: every chunk shares the same
+    # device reference (jnp.asarray never dedups host uploads, so doing
+    # this per chunk would re-send megabytes of identical bytes per chunk)
+    m = jobs[0]["objm"].shape[0]
+    has_psf = wcube is not None
+    if not has_psf:
+        wcube = np.zeros((pd.shape[0], m, m), np.float32)
+    wdev = jnp.asarray(np.asarray(wcube, np.float32))
     pending = [
-        _dispatch_spectra_chunk(pd, pv, pm, jobs[i:i + chunk], wcube)
+        _dispatch_spectra_chunk(pd, pv, pm, jobs[i:i + chunk], wdev,
+                                has_psf)
         for i in range(0, len(jobs), chunk)
     ]
     # ONE batched transfer for every chunk's outputs (async prefetch,
@@ -190,9 +199,10 @@ def batched_source_spectra(pd, pv, pm, jobs, wcube=None, chunk=None):
     return out
 
 
-def _dispatch_spectra_chunk(pd, pv, pm, jobs, wcube):
+def _dispatch_spectra_chunk(pd, pv, pm, jobs, wdev, has_psf):
     """Enqueue one chunk's kernel; returns (device outputs, jobs, ljobs,
-    has_psf) without blocking on the transfer."""
+    has_psf) without blocking on the transfer.  ``wdev`` is the shared
+    device-resident PSF weight cube (zeros when ``has_psf`` is False)."""
     m = jobs[0]["objm"].shape[0]
     nb = len(jobs)
     cap = _bucket4(nb)
@@ -213,13 +223,9 @@ def _dispatch_spectra_chunk(pd, pv, pm, jobs, wcube):
     for k, (i, _num, w) in enumerate(ljobs):
         lsrc[k] = i
         lw[k] = w
-    has_psf = wcube is not None
-    if not has_psf:
-        wcube = np.zeros((pd.shape[0], m, m), np.float32)
     res = source_spectra_kernel(
         pd, pv, pm, jnp.asarray(y0), jnp.asarray(x0),
-        jnp.asarray(objm), jnp.asarray(skym),
-        jnp.asarray(np.asarray(wcube, np.float32)),
+        jnp.asarray(objm), jnp.asarray(skym), wdev,
         jnp.asarray(lsrc), jnp.asarray(lw), m, has_psf,
     )
     # slice most of the padding off on device before the fetch (the

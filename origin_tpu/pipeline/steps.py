@@ -155,13 +155,25 @@ class Step:
     def status(self, val):
         self.meta["status"] = val
 
-    def _record_params(self, kwargs):
+    def _record_params(self, args, kwargs):
         """Capture the call's effective parameters into the session schema
-        (the run signature doubles as the parameter documentation)."""
-        for pname, p in inspect.signature(self.run).parameters.items():
+        (the run signature doubles as the parameter documentation).
+
+        Binds positional arguments too, so the recorded values are the
+        ones the run actually uses, not the signature defaults."""
+        sig = inspect.signature(self.run)
+        try:
+            bound = sig.bind(None, *args, **kwargs)  # None stands for orig
+        except TypeError:
+            bound = None  # run() itself will raise the clearer error
+        for pname, p in sig.parameters.items():
             if pname == "orig":
                 continue
-            self.param[pname] = value = kwargs.get(pname, p.default)
+            if bound is not None and pname in bound.arguments:
+                value = bound.arguments[pname]
+            else:
+                value = p.default
+            self.param[pname] = value
             if value is not p.empty:
                 self.logger.debug("   %s = %r", pname, value)
 
@@ -177,7 +189,7 @@ class Step:
     def __call__(self, *args, **kwargs):
         self.logger.info("Step %02d - %s", self.idx, self.desc)
         self._t0 = t0 = time.perf_counter()
-        self._record_params(kwargs)
+        self._record_params(args, kwargs)
         self._check_dependencies()
         try:
             self.run(self.orig, *args, **kwargs)
@@ -578,6 +590,15 @@ class Detection(Step):
             orig.threshold_correl = threshold
         if threshold_std is not None:
             orig.threshold_std = threshold_std
+        if orig.threshold_correl is None or orig.threshold_std is None:
+            # same workflow as the reference (its Detection declares no
+            # require so user thresholds can bypass step 06), but fail
+            # with a clear message instead of formatting None
+            raise RuntimeError(
+                "no detection thresholds available: run "
+                "step06_compute_purity_threshold first, or pass "
+                "threshold= and threshold_std="
+            )
 
         self.logger.info(
             "thresholding correl local maxima (> %.2f)", orig.threshold_correl
@@ -877,6 +898,18 @@ class SaveSources(Step):
             nb_fwhm=2, expmap_filename=None, overwrite=True):
         from ..artifacts.source_creation import create_all_sources
 
+        # like the reference, this step declares no hard `require` —
+        # but fail up front with actionable messages instead of a
+        # KeyError mid-build when prerequisites are missing
+        if getattr(orig, "Cat3_sources", None) is None:
+            raise RuntimeError(
+                "no source catalog: run step09_clean_results first"
+            )
+        if "mask_filename_tpl" not in orig.param:
+            raise RuntimeError(
+                "no source/sky masks: run step10_create_masks first"
+            )
+
         if path is None:
             outpath = orig.outpath
         else:
@@ -1106,7 +1139,7 @@ class SaveSources(Step):
             if not zjobs:
                 continue  # host path for line-less sources (defensive)
             img_jobs.setdefault((comp, m), []).append((sid, x, y, zjobs))
-            meta[sid] = (m, y0, x0, objm, skym, zjobs)
+            meta[sid] = (m, y0, x0, objm, skym, zjobs, comp)
 
         if not meta:
             return None, None
@@ -1135,7 +1168,7 @@ class SaveSources(Step):
                     m, m, float(step_arc), fwhm_fsf, beta_fsf
                 )
 
-        for sid, (m, y0, x0, objm, skym, zjobs) in meta.items():
+        for sid, (m, y0, x0, objm, skym, zjobs, _comp) in meta.items():
             jobs_by_size.setdefault(m, []).append(dict(
                 key=sid, y0=y0, x0=x0, objm=objm, skym=skym,
                 lines=[(num, line_images_pre[(sid, num)])
@@ -1152,8 +1185,7 @@ class SaveSources(Step):
             from ..ops.spectra import _bucket4
 
             groups = {}
-            for sid, (m, y0, x0, objm, _skym, _zjobs) in meta.items():
-                comp = int(cat[np.asarray(cat["ID"]) == sid]["comp"][0])
+            for sid, (m, y0, x0, objm, _skym, _zjobs, comp) in meta.items():
                 groups.setdefault((comp, m), []).append(
                     (sid, y0, x0, objm)
                 )

@@ -88,6 +88,48 @@ def test_fits_bintable_roundtrip(tmp_path):
     assert back[1].header["CAT3_TS"] == "2026-01-01T00:00:00"
 
 
+def test_fits_bintable_vector_columns(tmp_path):
+    """Vector (2-D) columns declare their repeat count in TFORM so the
+    row layout matches NAXIS1; values round-trip exactly."""
+    fn = str(tmp_path / "vec.fits")
+    cols = OrderedDict(
+        [
+            ("ID", np.arange(4, dtype=np.int32)),
+            ("vec", np.arange(12, dtype=np.float32).reshape(4, 3)),
+            ("flags", np.array([[True, False]] * 4)),
+        ]
+    )
+    fitsio.write(fn, [fitsio.HDU(), fitsio.HDU(data=cols)])
+    back = fitsio.read(fn)
+    hdr = back[1].header
+    tforms = {hdr[f"TTYPE{i}"]: hdr[f"TFORM{i}"] for i in (1, 2, 3)}
+    assert tforms["vec"] == "3E" and tforms["flags"] == "2L"
+    assert int(hdr["NAXIS1"]) == 4 + 12 + 2
+    tab = back[1].data
+    np.testing.assert_array_equal(tab["ID"], cols["ID"])
+    np.testing.assert_array_equal(tab["vec"], cols["vec"])
+    np.testing.assert_array_equal(tab["flags"], cols["flags"])
+
+
+def test_fits_header_none_and_table_history(tmp_path):
+    """An undefined card (None) round-trips as None, not 'None'; table
+    HDU headers keep their HISTORY/COMMENT cards."""
+    fn = str(tmp_path / "none.fits")
+    hdr = fitsio.Header()
+    hdr["UNDEF"] = None
+    hdr.add_history("made by test")
+    hdr.comments_raw.append("a raw comment")
+    cols = OrderedDict([("x", np.arange(3, dtype=np.int32))])
+    fitsio.write(fn, [fitsio.HDU(header=hdr),
+                      fitsio.HDU(data=cols, header=hdr)])
+    back = fitsio.read(fn)
+    for ext in (0, 1):
+        h = back[ext].header
+        assert h["UNDEF"] is None
+        assert "made by test" in h.history
+        assert "a raw comment" in h.comments_raw
+
+
 def test_fits_block_alignment(tmp_path):
     # file sizes must be multiples of 2880
     fn = str(tmp_path / "align.fits")

@@ -35,6 +35,27 @@ def test_attrs(minicube, tmp_path):
         orig.foo_bar_baz
 
 
+def test_positional_params_recorded(minicube, tmp_path):
+    """Parameters passed positionally must be recorded with the values
+    actually used, not the signature defaults."""
+    orig = ORIGIN.init(minicube[0], name="orig", path=str(tmp_path))
+    orig.step01_preprocessing(9)  # dct_order positionally
+    assert orig.param["preprocessing"]["params"]["dct_order"] == 9
+    orig.close_logfile()
+
+
+def test_missing_prerequisites_raise_clearly(minicube, tmp_path):
+    """Detection and SaveSources (which, like the reference, declare no
+    hard require) must fail with actionable messages, not TypeError or
+    KeyError mid-run."""
+    orig = ORIGIN.init(minicube[0], name="orig", path=str(tmp_path))
+    with pytest.raises(RuntimeError, match="threshold"):
+        orig.step07_detection()
+    with pytest.raises(RuntimeError, match="clean_results"):
+        orig.step11_save_sources("x")
+    orig.close_logfile()
+
+
 def test_init_load(minicube, tmp_path):
     orig = ORIGIN.init(minicube[0], name="orig", path=str(tmp_path))
     orig.write()
