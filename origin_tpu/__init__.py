@@ -68,6 +68,14 @@ _REF_PARITY = {
     "gen_source_mask": ("artifacts", "gen_source_mask"),
     "create_source": ("artifacts", "create_source"),
     "create_all_sources": ("artifacts", "create_all_sources"),
+    # catalog-editing utilities (reference source_update.py lists these in
+    # __all__ but never imports the module in its __init__ — an opt-in
+    # import there; exported here as a convenience beyond the reference)
+    "merge_sources": ("artifacts.source_update", "merge_sources"),
+    "split_source": ("artifacts.source_update", "split_source"),
+    "update_masks": ("artifacts.source_update", "update_masks"),
+    "update_sources": ("artifacts.source_update", "update_sources"),
+    "update_source_table": ("artifacts.source_update", "update_source_table"),
 }
 
 
