@@ -204,7 +204,11 @@ def _create_source(
     if cube_ori is None:
         from ..pipeline.recipes import load_cube
 
-        cube_ori = load_cube(cube_std_filename if comp else cube_cor_filename)
+        # lazy: a recipe-stored cube_std rebuilds only this source's
+        # window instead of the full field (update_sources re-runs cut
+        # one cutout per call)
+        cube_ori = load_cube(cube_std_filename if comp
+                             else cube_cor_filename, lazy=True)
     ori_tag = "ORI_SNCUBE" if comp else "ORI_CORREL"
     if cube_ori.shape[1:] == (mask_size, mask_size):
         source.cubes[ori_tag] = cube_ori
@@ -439,10 +443,11 @@ def create_all_sources(
         cube_cor = Cube(cube_cor_filename)
     if cube_std is None and 1 in comps.values():
         # recipe-aware: a session checkpoint stores cube_std as its
-        # generator file (pipeline.recipes) by default
+        # generator file (pipeline.recipes) by default; lazy, so the
+        # comp=1 cutouts below rebuild O(window), not the full field
         from ..pipeline.recipes import load_cube
 
-        cube_std = load_cube(cube_std_filename)
+        cube_std = load_cube(cube_std_filename, lazy=True)
 
     def _precut(cube, source_id, size):
         from ..pipeline.engine import _lane_timer

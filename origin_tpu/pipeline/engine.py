@@ -260,6 +260,14 @@ class DeferredCube(Cube):
 
         return self._recipe_save is not None and recipes_enabled()
 
+    @property
+    def window_rebuildable(self):
+        """True when window reads rebuild O(window) on host without the
+        device copy — so consumers cutting a few cutouts need not force
+        (or prefetch) the full-cube materialization."""
+        return getattr(self._fetch, "region", None) is not None \
+            and not self._fetch_link
+
     def write(self, filename, **kwargs):
         """Park the product: its tiny generator file when one exists
         (recipes.py), the dense cube otherwise."""
@@ -383,6 +391,13 @@ class DeferredCube(Cube):
                 # count: with recipe checkpointing it may never be
                 # needed, so windows slice on device instead)
                 return None
+            if (self._dev is None and self._future is None
+                    and getattr(self._fetch, "region", None) is not None
+                    and not self._fetch_link):
+                # dropped device, window-capable host rebuild: cutouts
+                # go through _region's O(window) rebuild — forcing the
+                # full materialization here would defeat it
+                return None
             self._materialize_locked()
             return self._wire
 
@@ -409,6 +424,37 @@ class DeferredCube(Cube):
             # materialized as a Quant16 wire: decode only the window
             # instead of forcing the full float32 decode through .data
             return w.decode((zsl, ysl, xsl)), None, None
+        region_fn = getattr(self._fetch, "region", None)
+        if (host is None and dev is None and future is None
+                and region_fn is not None and not self._fetch_link
+                and not any(isinstance(sl, slice)
+                            and sl.step not in (None, 1)
+                            for sl in (zsl, ysl, xsl))):
+            # device copy dropped, only a host REBUILD fetch left (tight
+            # recipe products): rebuild just the window — O(window) host
+            # work instead of the full-cube rebuild a .data access pays
+            nz, ny, nx = self._shape
+            squeeze_z = not isinstance(zsl, slice)
+            if squeeze_z:
+                zsl = slice(int(zsl), int(zsl) + 1)
+            squeeze_y = not isinstance(ysl, slice)
+            if squeeze_y:
+                ysl = slice(int(ysl), int(ysl) + 1)
+            squeeze_x = not isinstance(xsl, slice)
+            if squeeze_x:
+                xsl = slice(int(xsl), int(xsl) + 1)
+            block = region_fn(slice(*zsl.indices(nz)[:2]),
+                              slice(*ysl.indices(ny)[:2]),
+                              slice(*xsl.indices(nx)[:2]))
+            if self._post is not None:
+                block = self._post(block)
+            if squeeze_x:
+                block = block[..., 0]
+            if squeeze_y:
+                block = block[:, 0] if block.ndim > 1 else block
+            if squeeze_z:
+                block = block[0]
+            return block, None, None
         if (host is not None or dev is None or future is not None
                 or (self._fetch is not None and self._fetch_link)):
             return super()._region(zsl, ysl, xsl)
@@ -1564,6 +1610,37 @@ class DeviceEngine:
             with _lane_timer("rebuild:cube_std"):
                 return _rebuild_both()["std"]
 
+        # windowed rebuilds: a per-source cutout of a dropped-device
+        # product costs O(window) host work instead of the full-cube
+        # rebuild (DeferredCube._region dispatches here).  Bit-equal to
+        # the corresponding window of the full rebuild
+        # (recipes.rebuild_std_cont_region), and served from the full
+        # rebuild's arrays when one already ran.
+        def _region_both(zsl, ysl, xsl):
+            with shared_lock:
+                if "std" in shared:
+                    return {k: shared[k][zsl, ysl, xsl]
+                            for k in ("std", "cont_dct")}
+                if "d0" not in shared:
+                    from ..ops.dct import dctmat
+
+                    shared["d0"] = dctmat(
+                        orig.cube_raw.shape[0], order, dtype=np.float32)
+                d0 = shared["d0"]
+            from .recipes import rebuild_std_cont_region
+
+            with _lane_timer("rebuild:window"):
+                std_w, cont_w = rebuild_std_cont_region(
+                    orig.cube_raw, orig.var, orig.mask, coef, mean_z,
+                    zsl, ysl, xsl, d0,
+                )
+            return {"std": std_w, "cont_dct": cont_w}
+
+        fetch_cube_std.region = lambda zsl, ysl, xsl: \
+            _region_both(zsl, ysl, xsl)["std"]
+        fetch_cont_dct.region = lambda zsl, ysl, xsl: \
+            _region_both(zsl, ysl, xsl)["cont_dct"]
+
         return dict(cube_std=fetch_cube_std, cont_dct=fetch_cont_dct)
 
     # -- step 04 -----------------------------------------------------------
@@ -1632,7 +1709,7 @@ class DeviceEngine:
                     (idx, u_mat[:, used], np.ascontiguousarray(
                         c_mat[used][:, :npx]))
                 )
-        faint_fetch = self._make_faint_fetch(factors)
+        faint_fetch = self._make_faint_fetch(factors, spatial_shape)
         if getattr(self.orig, "cube", None) is not None:
             from .recipes import write_pca_recipe
 
@@ -1641,7 +1718,7 @@ class DeviceEngine:
                 path, factors, cubename)
         return flat.reshape(cube_std.shape), mapO2, nstop, faint_fetch
 
-    def _make_faint_fetch(self, factors):
+    def _make_faint_fetch(self, factors, spatial_shape):
         """Host rebuild of cube_faint from cube_std + the PCA factors.
 
         ~MBs of factors replace a full-cube transfer; the rebuild agrees
@@ -1657,6 +1734,26 @@ class DeviceEngine:
             with _lane_timer("rebuild:cube_faint"):
                 return apply_pca_factors(std, factors)
 
+        def region(zsl, ysl, xsl):
+            # windowed faint rebuild: the cube_std window (itself served
+            # by whichever source is cheapest — device slice, wire
+            # window, windowed host rebuild) minus the factor columns
+            # that fall inside the window.  Per-voxel arithmetic matches
+            # apply_pca_factors, so the window is bit-equal to slicing
+            # the full rebuild.
+            from .recipes import subtract_factors_region
+
+            std_w, _, _ = self.orig.cube_std._region(zsl, ysl, xsl)
+            faint = np.array(std_w, dtype=np.float32)
+            ny, nx = spatial_shape
+            y0, y1, _ = ysl.indices(ny)
+            x0, x1, _ = xsl.indices(nx)
+            with _lane_timer("rebuild:faint_window"):
+                subtract_factors_region(
+                    faint, factors, nx, zsl, y0, y1, x0, x1)
+            return faint
+
+        fetch.region = region
         return fetch
 
     # -- step 05 -----------------------------------------------------------

@@ -41,7 +41,10 @@ __all__ = [
     "write_dct_recipe",
     "write_pca_recipe",
     "rebuild_std_cont",
+    "rebuild_std_cont_region",
     "apply_pca_factors",
+    "subtract_factors_region",
+    "LazyRecipeCube",
     "load_recipe",
     "load_cube",
 ]
@@ -110,17 +113,11 @@ def write_pca_recipe(path, factors, cubename):
     fitsio.write(path, hdus)
 
 
-def rebuild_std_cont(raw, var, mask, coef, mean_z, order):
-    """Re-derive (cube_std, cont_dct) from the DCT recipe payload.
-
-    The arithmetic order matches the device program's host mirror
-    (engine._make_std_fetches._rebuild_both) EXACTLY: on the CPU backend
-    the result is bit-equal to the device arrays, which the tight-memory
-    greedy-PCA path depends on (its O2 threshold is a hard comparison).
-    """
-    nz = raw.shape[0]
-    d0 = dctmat(nz, order, dtype=np.float32)
-    cont = np.tensordot(d0, np.asarray(coef, np.float32), axes=([1], [0]))
+def _standardize(raw, var, mask, cont, mean_z):
+    """The shared tail of every std/cont rebuild: standardize ``raw``
+    against the continuum ``cont`` and turn ``cont`` into cont_dct
+    (in place).  Purely elementwise, so full-cube and windowed rebuilds
+    running through it agree bit-for-bit on the overlapping voxels."""
     sigma = np.sqrt(var)
     data = raw - cont
     data -= np.asarray(mean_z, np.float32)[:, None, None]
@@ -134,6 +131,42 @@ def rebuild_std_cont(raw, var, mask, coef, mean_z, order):
     return data, cont
 
 
+def rebuild_std_cont(raw, var, mask, coef, mean_z, order):
+    """Re-derive (cube_std, cont_dct) from the DCT recipe payload.
+
+    The arithmetic order matches the device program's host mirror
+    (engine._make_std_fetches._rebuild_both) EXACTLY: on the CPU backend
+    the result is bit-equal to the device arrays, which the tight-memory
+    greedy-PCA path depends on (its O2 threshold is a hard comparison).
+    """
+    nz = raw.shape[0]
+    d0 = dctmat(nz, order, dtype=np.float32)
+    cont = np.tensordot(d0, np.asarray(coef, np.float32), axes=([1], [0]))
+    return _standardize(raw, var, mask, cont, mean_z)
+
+
+def rebuild_std_cont_region(raw, var, mask, coef, mean_z, zsl, ysl, xsl,
+                            d0):
+    """Windowed (cube_std, cont_dct) rebuild — only the requested region.
+
+    Every output voxel is an independent length-(order+1) dot plus
+    elementwise math, so slicing the INPUTS commutes with the rebuild:
+    the window is bit-equal to the same window of
+    :func:`rebuild_std_cont`.  A per-source cutout then costs
+    O(window), not O(cube) — on a full MUSE field the difference is
+    ~30 s of host CPU per session (the dominant cost left in the
+    tight-memory step 11).  ``d0`` is the full (Nz, order+1) DCT basis,
+    memoized by the caller across windows.
+    """
+    coef_w = np.asarray(coef, np.float32)[:, ysl, xsl]
+    cont = np.tensordot(d0[zsl], coef_w, axes=([1], [0]))
+    return _standardize(
+        raw[zsl, ysl, xsl], var[zsl, ysl, xsl],
+        np.asarray(mask)[zsl, ysl, xsl], cont,
+        np.asarray(mean_z, np.float32)[zsl],
+    )
+
+
 def apply_pca_factors(std, factors):
     """``cube_faint`` from a (copy of) cube_std and the rank-1 factors."""
     faint = np.array(std, dtype=np.float32)
@@ -141,6 +174,25 @@ def apply_pca_factors(std, factors):
     for idx, u_mat, c_mat in factors:
         flat[:, idx] -= u_mat @ c_mat
     return faint
+
+
+def subtract_factors_region(faint_w, factors, nx, zsl, y0, y1, x0, x1):
+    """In-place windowed factor subtraction: the columns of each rank-1
+    factor group that fall inside ``[y0:y1, x0:x1]`` are removed from the
+    (already windowed) ``faint_w``.  Per-voxel arithmetic matches
+    :func:`apply_pca_factors`, so the result is bit-equal to slicing the
+    full rebuild.  ``nx`` is the FULL field's x extent (the factor
+    indices are flat spatial positions)."""
+    flat = faint_w.reshape(faint_w.shape[0], -1)
+    for idx, u_mat, c_mat in factors:
+        iy, ix = np.divmod(np.asarray(idx), nx)
+        inside = (iy >= y0) & (iy < y1) & (ix >= x0) & (ix < x1)
+        if not inside.any():
+            continue
+        (cols,) = np.nonzero(inside)
+        wflat = (iy[cols] - y0) * (x1 - x0) + (ix[cols] - x0)
+        flat[:, wflat] -= u_mat[zsl] @ c_mat[:, cols]
+    return faint_w
 
 
 def _read_dct_payload(hdus):
@@ -202,14 +254,134 @@ class _RawContext:
         return raw, var, mask, cube.wcs, cube.wave
 
 
-def load_recipe(path, orig=None):
+class LazyRecipeCube(Cube):
+    """A recipe-file cube product that materializes on demand.
+
+    Window reads (per-source cutouts, mask generation, catalog-editing
+    re-runs) rebuild only the requested region — O(window) host work —
+    while a full ``.data`` access computes and caches the dense cube.
+    Resumed sessions and :func:`origin_tpu.artifacts.update_sources`
+    style re-runs then never pay a full-field rebuild for a handful of
+    25x25 cutouts.
+    """
+
+    def __init__(self, path, kind, payload, std_source, ctx):
+        import threading
+
+        self.filename = path
+        self.primary_header = fitsio.Header()
+        self.data_header = fitsio.Header()
+        self.var = None
+        self.mask = None
+        self._data_arr = None
+        self._kind = kind
+        self._payload = payload  # (coef, mean_z, order) | factors
+        self._std_source = std_source  # pca_faint: the cube_std provider
+        self._ctx = ctx
+        self._rc_lock = threading.Lock()
+        self._d0 = None
+        # raw views are host-resident already (live session) or read once
+        # from the recipe's recorded cube path: the rebuild needs them
+        # for ANY access, and they carry shape/wcs/wave
+        raw, var, mask, wcs, wave = ctx.views()
+        self._views = (raw, var, mask)
+        self._shape = raw.shape
+        self.wcs = wcs
+        self.wave = wave
+        self._sync_coord_shapes()
+
+    @property
+    def shape(self):
+        return self._shape if self._data_arr is None else \
+            self._data_arr.shape
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float32) if self._data_arr is None else \
+            self._data_arr.dtype
+
+    def _rebuild_full(self):
+        raw, var, mask = self._views
+        if self._kind in ("dct_std", "dct_cont"):
+            coef, mean_z, order = self._payload
+            std, cont = rebuild_std_cont(raw, var, mask, coef, mean_z,
+                                         order)
+            return std if self._kind == "dct_std" else cont
+        return apply_pca_factors(self._std_source.data, self._payload)
+
+    def _rebuild_region(self, zsl, ysl, xsl):
+        raw, var, mask = self._views
+        if self._kind in ("dct_std", "dct_cont"):
+            coef, mean_z, order = self._payload
+            if self._d0 is None:
+                self._d0 = dctmat(raw.shape[0], order, dtype=np.float32)
+            std_w, cont_w = rebuild_std_cont_region(
+                raw, var, mask, coef, mean_z, zsl, ysl, xsl, self._d0)
+            return std_w if self._kind == "dct_std" else cont_w
+        faint = np.array(self._std_source._region(zsl, ysl, xsl)[0],
+                         dtype=np.float32)
+        nx = self._shape[2]
+        return subtract_factors_region(
+            faint, self._payload, nx, zsl,
+            *ysl.indices(self._shape[1])[:2],
+            *xsl.indices(nx)[:2],
+        )
+
+    @property
+    def data(self):
+        with self._rc_lock:
+            if self._data_arr is None:
+                self._data_arr = self._rebuild_full()
+            return self._data_arr
+
+    @data.setter
+    def data(self, val):
+        self._data_arr = np.asarray(val)
+
+    def _region(self, zsl, ysl, xsl):
+        with self._rc_lock:
+            arr = self._data_arr
+        if arr is not None:
+            return arr[zsl, ysl, xsl], None, None
+        if any(isinstance(sl, slice) and sl.step not in (None, 1)
+               for sl in (zsl, ysl, xsl)):
+            return super()._region(zsl, ysl, xsl)  # rare: full rebuild
+        nz, ny, nx = self._shape
+        squeeze_z = not isinstance(zsl, slice)
+        if squeeze_z:
+            zsl = slice(int(zsl), int(zsl) + 1)
+        squeeze_y = not isinstance(ysl, slice)
+        if squeeze_y:
+            ysl = slice(int(ysl), int(ysl) + 1)
+        squeeze_x = not isinstance(xsl, slice)
+        if squeeze_x:
+            xsl = slice(int(xsl), int(xsl) + 1)
+        block = self._rebuild_region(slice(*zsl.indices(nz)[:2]),
+                                     slice(*ysl.indices(ny)[:2]),
+                                     slice(*xsl.indices(nx)[:2]))
+        if squeeze_x:
+            block = block[..., 0]
+        if squeeze_y:
+            block = block[:, 0] if block.ndim > 1 else block
+        if squeeze_z:
+            block = block[0]
+        return block, None, None
+
+
+def load_recipe(path, orig=None, lazy=False):
     """Materialize the dense Cube a recipe file stands for.
 
     ``orig`` (an ORIGIN session) provides the raw-data views without
     re-reading the cube file; without it the recipe's recorded cube path
     is read from disk.  ``pca_faint`` recipes resolve ``cube_std`` from
     the same directory (recipe-aware, so either storage mode works) —
-    or from the live session when one is given.
+    or from the live session when one is given.  With ``lazy=True`` the
+    dense rebuild is deferred: window reads rebuild O(window)
+    (:class:`LazyRecipeCube`), a full ``.data`` access rebuilds once.
     """
     hdus = fitsio.read(path)
     phdr = hdus[0].header
@@ -217,9 +389,12 @@ def load_recipe(path, orig=None):
     ctx = _RawContext(orig, phdr.get("RECUBE"))
     if kind in ("dct_std", "dct_cont"):
         coef, mean_z = _read_dct_payload(hdus)
+        order = int(phdr["REORDER"])
+        if lazy:
+            return LazyRecipeCube(path, kind, (coef, mean_z, order),
+                                  None, ctx)
         raw, var, mask, wcs, wave = ctx.views()
-        std, cont = rebuild_std_cont(raw, var, mask, coef, mean_z,
-                                     int(phdr["REORDER"]))
+        std, cont = rebuild_std_cont(raw, var, mask, coef, mean_z, order)
         data = std if kind == "dct_std" else cont
         return Cube(data=data, wcs=wcs, wave=wave, mask=False, copy=False)
     if kind == "pca_faint":
@@ -229,26 +404,28 @@ def load_recipe(path, orig=None):
         # deleted falls back to the recipe's own directory like the
         # session-less path
         std_cube = orig.cube_std if orig is not None else None
-        if std_cube is not None:
-            std = std_cube.data
-            wcs, wave = orig.wcs, orig.wave
-        else:
+        if std_cube is None:
             std_path = os.path.join(os.path.dirname(path), "cube_std.fits")
             if not os.path.isfile(std_path):
                 raise OSError(
                     f"pca_faint recipe rebuild needs cube_std ({std_path!r}"
                     " not found in the session directory)"
                 )
-            std_cube = load_cube(std_path, orig=orig)
-            std = std_cube.data
+            std_cube = load_cube(std_path, orig=orig, lazy=lazy)
+        if lazy:
+            return LazyRecipeCube(path, kind, factors, std_cube, ctx)
+        std = std_cube.data
+        if orig is not None:
+            wcs, wave = orig.wcs, orig.wave
+        else:
             wcs, wave = std_cube.wcs, std_cube.wave
         return Cube(data=apply_pca_factors(std, factors), wcs=wcs,
                     wave=wave, mask=False, copy=False)
     raise OSError(f"unknown recipe kind {kind!r} in {path}")
 
 
-def load_cube(path, orig=None):
+def load_cube(path, orig=None, lazy=False):
     """Read a session cube product, dense or recipe-form."""
     if is_recipe_file(path):
-        return load_recipe(path, orig=orig)
+        return load_recipe(path, orig=orig, lazy=lazy)
     return Cube(path)

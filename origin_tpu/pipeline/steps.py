@@ -133,7 +133,9 @@ class Step:
 
         if not is_recipe_file(path):
             return None
-        cube = load_recipe(path, orig=self.orig)
+        # lazy: window consumers (per-source cutouts on resume) rebuild
+        # O(window); the dense cube is only computed on a full access
+        cube = load_recipe(path, orig=self.orig, lazy=True)
         cube._recipe_source = path  # park skips rewriting this file
         return cube
 
@@ -364,10 +366,20 @@ class CreateAreas(Step):
             )
             self.logger.debug("convex closure of the source areas")
             convex = area_segmentation_convex_fusion(fused, src)
-            self.logger.debug("growing areas over the exposed field")
-            grown = area_growing(convex, nexpmap)
-            self.logger.debug("absorbing undersized areas")
-            areamap = area_segmentation_final(grown, min_size2, max_size2)
+            if len(convex) == 0:
+                # nothing survived the source fusion (e.g. a field whose
+                # continuum segmentation is empty): fall back to one area
+                # covering the exposure, as the nb_subcube == 1 branch does
+                self.logger.info(
+                    "no source areas found; using a single area"
+                )
+                areamap = nexpmap
+            else:
+                self.logger.debug("growing areas over the exposed field")
+                grown = area_growing(convex, nexpmap)
+                self.logger.debug("absorbing undersized areas")
+                areamap = area_segmentation_final(
+                    grown, min_size2, max_size2)
         else:
             areamap = nexpmap
 
@@ -969,7 +981,10 @@ class SaveSources(Step):
                 comps = getattr(orig, "Cat3_sources", None)
                 if comps is not None and len(comps) and (
                         np.asarray(comps["comp"]) == 1).any():
-                    return False  # host path cuts std cutouts: rebuild
+                    # host path cuts std cutouts: prefetch the full
+                    # rebuild only when windows cannot rebuild O(window)
+                    # on their own (engine.DeferredCube._region)
+                    return getattr(obj, "window_rebuildable", False)
             return True
 
         orig.engine.prefetch(*[n for n in names if not _skip_rebuild(n)])

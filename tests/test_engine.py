@@ -902,3 +902,60 @@ def test_foreground_gate_defers_background_writes(monkeypatch):
         t.start()
         t.join(10)
         assert done == [1]
+
+
+def test_windowed_rebuild_matches_full(tmp_path):
+    """Window reads of a dropped-device recipe product (cube_std /
+    cont_dct / cube_faint) rebuild O(window) on host — without forcing
+    the full-cube materialization — and are bit-equal to the same window
+    of the full rebuild (the per-voxel arithmetic is window-independent,
+    recipes.rebuild_std_cont_region)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_minicube import make_minicube
+
+    from origin_tpu import ORIGIN
+
+    cube_fn = str(tmp_path / "c.fits")
+    make_minicube(cube_fn, nz=80, ny=40, nx=40)
+    orig = ORIGIN.init(cube_fn, name="w", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing(dct_order=6)
+    orig.step02_areas(minsize=20, maxsize=40)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+
+    objs = {n: getattr(orig, n)
+            for n in ("cube_std", "cont_dct", "cube_faint")}
+    for name, obj in objs.items():
+        obj.drop_device()
+        assert obj.device is None, name
+        assert obj.window_rebuildable, name
+
+    win = (slice(10, 40), slice(3, 9), slice(2, 8))
+    blocks = {}
+    for name, obj in objs.items():
+        blocks[name] = np.array(obj._region(*win)[0])
+        # the window must NOT have forced the full materialization
+        assert obj._host is None and obj._wire is None, name
+
+    # subcube (the per-source cutout path) also stays windowed
+    sub = objs["cube_std"].subcube(center=(9.0, 8.0), size=5)
+    assert objs["cube_std"]._host is None
+    assert sub.shape == (80, 5, 5)
+
+    # integer z index squeezes like numpy
+    plane = objs["cube_std"]._region(7, slice(3, 9), slice(2, 8))[0]
+    assert plane.shape == (6, 6)
+
+    for name, obj in objs.items():
+        full = obj.data  # full host rebuild
+        np.testing.assert_array_equal(blocks[name], full[win], err_msg=name)
+    np.testing.assert_array_equal(plane, objs["cube_std"].data[7, 3:9, 2:8])
+
+    # once materialized, windows serve from the host copy
+    again = objs["cube_faint"]._region(*win)[0]
+    np.testing.assert_array_equal(again, blocks["cube_faint"])
+    orig.close_logfile()

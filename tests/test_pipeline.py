@@ -570,3 +570,25 @@ def test_fresh_session_overwrites_stale_instrument_files(minicube,
     orig.write()
     assert os.path.getmtime(str(stale)) == t0
     orig.close_logfile()
+
+
+def test_step02_empty_source_fusion_falls_back(tmp_path):
+    """A gridded field whose source fusion leaves no convex areas must
+    fall back to a single area instead of crashing in area_growing
+    (regression: AxisError on an empty label stack)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_minicube import make_minicube
+
+    cube_fn = str(tmp_path / "c.fits")
+    make_minicube(cube_fn, nz=80, ny=20, nx=18)
+    orig = ORIGIN.init(cube_fn, name="empty2", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing(dct_order=6)
+    # minsize small enough to force the gridded branch on this tiny field
+    orig.step02_areas(minsize=8, maxsize=16)
+    nb = orig.param["nbareas"]
+    assert nb >= 1
+    assert set(np.unique(orig.areamap.data)) - {0} == set(range(1, nb + 1))
+    orig.close_logfile()

@@ -122,3 +122,39 @@ def test_recipes_optout(tmp_path, monkeypatch):
     arr = fitsio.getdata(path)
     assert arr.dtype == np.float32
     np.testing.assert_array_equal(np.nan_to_num(arr), ref)
+
+
+def test_lazy_recipe_windows_match_eager(front_session):
+    """Lazy recipe loading serves window reads without the full rebuild,
+    bit-equal to the eagerly-rebuilt cube; a restored session's products
+    come back lazy."""
+    from origin_tpu.pipeline.recipes import LazyRecipeCube
+
+    folder, refs = front_session
+    win = (slice(50, 200), slice(5, 20), slice(4, 18))
+    for name, ref in refs.items():
+        path = os.path.join(folder, name + ".fits")
+        lazycube = load_cube(path, lazy=True)
+        assert isinstance(lazycube, LazyRecipeCube)
+        assert lazycube.shape == ref.shape
+        assert lazycube.dtype == np.float32
+        block = np.array(lazycube._region(*win)[0])
+        assert lazycube._data_arr is None, name  # no full rebuild
+        np.testing.assert_array_equal(block, ref[win], err_msg=name)
+        # subcube (the per-source cutout path) stays windowed too
+        sub = lazycube.subcube(center=(12.0, 11.0), size=7)
+        assert lazycube._data_arr is None, name
+        assert sub.shape == (ref.shape[0], 7, 7)
+        # full access materializes once and windows then serve from it
+        np.testing.assert_array_equal(lazycube.data, ref, err_msg=name)
+        np.testing.assert_array_equal(
+            lazycube._region(*win)[0], ref[win], err_msg=name)
+
+    # a restored session resolves recipe products lazily
+    orig2 = ORIGIN.load(folder, loglevel="ERROR")
+    obj = orig2.cube_std
+    assert isinstance(obj, LazyRecipeCube)
+    np.testing.assert_array_equal(
+        np.array(obj._region(*win)[0]), refs["cube_std"][win])
+    assert obj._data_arr is None
+    orig2.close_logfile()
