@@ -192,8 +192,19 @@ class _Base:
         out[bad] = fill_value
         return out
 
+    def _dense_cls(self):
+        """Container class for derived results (copy/abs).
+
+        Keyed on dimensionality like :meth:`_binop`: subclasses with
+        non-standard constructors (device-resident ``DeferredCube``,
+        recipe-backed ``LazyRecipeCube``, wire-carrying ``QuantCube``)
+        produce plain dense containers instead of trying to re-invoke
+        their own ``__init__`` with ``data=``.
+        """
+        return {3: Cube, 2: Image, 1: Spectrum}.get(self.ndim, type(self))
+
     def copy(self):
-        new = type(self)(
+        new = self._dense_cls()(
             data=self.data, var=self.var, mask=self.mask,
             wcs=self._copy_wcs(), wave=self._copy_wave(), copy=True,
         )
@@ -214,8 +225,9 @@ class _Base:
                          shape=self.wave.shape)
 
     def abs(self):
-        return type(self)(data=np.abs(self.data), var=self.var, mask=self.mask,
-                          wcs=self._copy_wcs(), wave=self._copy_wave(), copy=False)
+        return self._dense_cls()(
+            data=np.abs(self.data), var=self.var, mask=self.mask,
+            wcs=self._copy_wcs(), wave=self._copy_wave(), copy=False)
 
     # -- arithmetic ------------------------------------------------------------
     def _binop(self, other, op):
@@ -452,6 +464,16 @@ def _norm_slice(sl, n):
     if isinstance(sl, slice):
         return sl
     return slice(sl, sl + 1)
+
+
+def int_window(i, n):
+    """A length-1 slice covering integer index ``i`` of an axis of size
+    ``n``, with numpy's negative-index semantics (``-1`` is the last
+    element, not an empty window — ``slice(-1, 0)`` would be)."""
+    i = int(i)
+    if i < 0:
+        i += n
+    return slice(i, i + 1)
 
 
 def cutout_window(y, x, size):

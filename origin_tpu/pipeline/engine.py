@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import fitsio
-from ..core.containers import Cube, Quant16
+from ..core.containers import Cube, Quant16, int_window
 from ..ops import compute_local_max, o2test, standardize
 from ..ops.dct import dct_residual
 from ..ops.convolve import fft2_shape
@@ -436,13 +436,13 @@ class DeferredCube(Cube):
             nz, ny, nx = self._shape
             squeeze_z = not isinstance(zsl, slice)
             if squeeze_z:
-                zsl = slice(int(zsl), int(zsl) + 1)
+                zsl = int_window(zsl, nz)
             squeeze_y = not isinstance(ysl, slice)
             if squeeze_y:
-                ysl = slice(int(ysl), int(ysl) + 1)
+                ysl = int_window(ysl, ny)
             squeeze_x = not isinstance(xsl, slice)
             if squeeze_x:
-                xsl = slice(int(xsl), int(xsl) + 1)
+                xsl = int_window(xsl, nx)
             block = region_fn(slice(*zsl.indices(nz)[:2]),
                               slice(*ysl.indices(ny)[:2]),
                               slice(*xsl.indices(nx)[:2]))
@@ -468,11 +468,13 @@ class DeferredCube(Cube):
         nz, ny, nx = dev.shape
         squeeze_z = not isinstance(zsl, slice)
         if squeeze_z:
-            zsl = slice(int(zsl), int(zsl) + 1)
-        if not isinstance(ysl, slice):
-            ysl = slice(int(ysl), int(ysl) + 1)
-        if not isinstance(xsl, slice):
-            xsl = slice(int(xsl), int(xsl) + 1)
+            zsl = int_window(zsl, nz)
+        squeeze_y = not isinstance(ysl, slice)
+        if squeeze_y:
+            ysl = int_window(ysl, ny)
+        squeeze_x = not isinstance(xsl, slice)
+        if squeeze_x:
+            xsl = int_window(xsl, nx)
         # slice.indices gives numpy's None-default and out-of-range clamping
         z0, z1 = zsl.indices(nz)[:2]
         y0, y1 = ysl.indices(ny)[:2]
@@ -483,10 +485,16 @@ class DeferredCube(Cube):
                 max(0, z1 - z0), max(0, y1 - y0), max(0, x1 - x0),
             )
         )
-        if squeeze_z:
-            block = block[0]
         if self._post is not None:
             block = self._post(block)
+        # integer indices collapse their axis, matching the base class's
+        # numpy indexing (same call must not change shape with residency)
+        if squeeze_x:
+            block = block[..., 0]
+        if squeeze_y:
+            block = block[:, 0] if block.ndim > 1 else block
+        if squeeze_z:
+            block = block[0]
         return block, None, None
 
 

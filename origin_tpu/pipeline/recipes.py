@@ -31,7 +31,7 @@ import os
 import numpy as np
 
 from .. import fitsio
-from ..core.containers import Cube
+from ..core.containers import Cube, int_window
 from ..ops.dct import dctmat
 
 __all__ = [
@@ -151,8 +151,10 @@ def rebuild_std_cont_region(raw, var, mask, coef, mean_z, zsl, ysl, xsl,
 
     Every output voxel is an independent length-(order+1) dot plus
     elementwise math, so slicing the INPUTS commutes with the rebuild:
-    the window is bit-equal to the same window of
-    :func:`rebuild_std_cont`.  A per-source cutout then costs
+    the window matches the same window of :func:`rebuild_std_cont`
+    bit-for-bit for cutout-sized windows (degenerate single-spaxel
+    windows can differ by float32 round-off — BLAS selects a different
+    micro-kernel for the tiny contraction).  A per-source cutout then costs
     O(window), not O(cube) — on a full MUSE field the difference is
     ~30 s of host CPU per session (the dominant cost left in the
     tight-memory step 11).  ``d0`` is the full (Nz, order+1) DCT basis,
@@ -224,34 +226,74 @@ def _read_pca_payload(hdus, nfact):
 class _RawContext:
     """Raw-data views for a rebuild: a session when available, else the
     cube file named in the recipe (same fill semantics as the session's
-    ``cube_raw`` / ``var`` / ``mask`` properties)."""
+    ``cube_raw`` / ``var`` / ``mask`` properties).
+
+    Sessionless contexts cache their views: N windowed rebuilds against
+    the same context (per-source cutouts in ``update_sources`` re-runs)
+    read and fill the raw cube once, not once per access."""
 
     def __init__(self, orig=None, cubename=None):
+        import threading
+
         self.orig = orig
         self.cubename = cubename
-        self._cube = None
-
-    def _load(self):
-        if self._cube is None:
-            if not self.cubename or not os.path.isfile(self.cubename):
-                raise OSError(
-                    f"recipe rebuild needs the raw cube ({self.cubename!r} "
-                    "not found) — pass the session or fix the path"
-                )
-            self._cube = Cube(self.cubename)
-        return self._cube
+        self._views = None
+        self._lock = threading.Lock()
 
     def views(self):
         if self.orig is not None:
             o = self.orig
             return o.cube_raw, o.var, o.mask, o.wcs, o.wave
-        cube = self._load()
-        raw = cube.filled(0).astype(np.float32)
-        var = cube.var_filled(np.inf)
-        var = (np.ones(cube.shape, np.float32) if var is None
-               else var.astype(np.float32))
-        mask = cube.masked_invalid()
-        return raw, var, mask, cube.wcs, cube.wave
+        with self._lock:
+            if self._views is None:
+                if not self.cubename or not os.path.isfile(self.cubename):
+                    raise OSError(
+                        f"recipe rebuild needs the raw cube "
+                        f"({self.cubename!r} not found) — pass the session "
+                        "or fix the path"
+                    )
+                cube = Cube(self.cubename)
+                raw = cube.filled(0).astype(np.float32)
+                var = cube.var_filled(np.inf)
+                var = (np.ones(cube.shape, np.float32) if var is None
+                       else var.astype(np.float32))
+                mask = cube.masked_invalid()
+                self._views = (raw, var, mask, cube.wcs, cube.wave)
+            return self._views
+
+
+from collections import OrderedDict as _OrderedDict
+
+_CTX_CACHE = _OrderedDict()
+_CTX_CACHE_MAX = 2
+
+
+def _shared_context(cubename):
+    """Sessionless rebuild contexts, shared per raw-cube file.
+
+    ``create_source``/``update_sources`` re-runs build one
+    :class:`LazyRecipeCube` per source; without sharing, each would read
+    and fill the full raw cube for its one 25x25 window.  Keyed on
+    (realpath, mtime, size) so a rewritten cube is re-read; bounded to
+    the two most recent cubes so a survey over many fields cannot pin
+    every raw cube in host RAM."""
+    if not cubename:
+        return _RawContext(None, cubename)
+    try:
+        st = os.stat(cubename)
+    except OSError:
+        # missing file: the error surfaces on first use, as before
+        return _RawContext(None, cubename)
+    key = (os.path.realpath(cubename), st.st_mtime_ns, st.st_size)
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        ctx = _RawContext(None, cubename)
+        _CTX_CACHE[key] = ctx
+        while len(_CTX_CACHE) > _CTX_CACHE_MAX:
+            _CTX_CACHE.popitem(last=False)
+    else:
+        _CTX_CACHE.move_to_end(key)
+    return ctx
 
 
 class LazyRecipeCube(Cube):
@@ -280,15 +322,65 @@ class LazyRecipeCube(Cube):
         self._ctx = ctx
         self._rc_lock = threading.Lock()
         self._d0 = None
-        # raw views are host-resident already (live session) or read once
-        # from the recipe's recorded cube path: the rebuild needs them
-        # for ANY access, and they carry shape/wcs/wave
-        raw, var, mask, wcs, wave = ctx.views()
-        self._views = (raw, var, mask)
-        self._shape = raw.shape
-        self.wcs = wcs
-        self.wave = wave
+        self._views_cache = None
+        # shape comes from the payload (dct: the coefficient planes and
+        # channel means span the cube) or the cube_std provider (pca) —
+        # the raw cube is NOT read here: a pca_faint rebuild never needs
+        # it, and for dct kinds a sessionless read is deferred to the
+        # first rebuild, so metadata access stays O(recipe file)
+        if kind == "pca_faint":
+            self._shape = tuple(std_source.shape)
+        else:
+            coef, mean_z, _ = payload
+            self._shape = (int(np.shape(mean_z)[0]),
+                           int(np.shape(coef)[-2]), int(np.shape(coef)[-1]))
+        self._wcs = self._wave = None
+        self._have_coords = False
+        if ctx.orig is not None:
+            self._wcs, self._wave = ctx.orig.wcs, ctx.orig.wave
+            self._have_coords = True
+            self._sync_coord_shapes()
+
+    def _load_coords(self):
+        if self._kind == "pca_faint":
+            # the cube_std provider carries the same grid (it may itself
+            # be lazy; its own coords load then)
+            self._wcs = self._std_source.wcs
+            self._wave = self._std_source.wave
+        else:
+            self._raw_views()  # sets coords from the raw cube
+        self._have_coords = True
         self._sync_coord_shapes()
+
+    @property
+    def wcs(self):
+        if self._wcs is None and not self._have_coords:
+            self._load_coords()
+        return self._wcs
+
+    @wcs.setter
+    def wcs(self, value):
+        self._wcs = value
+
+    @property
+    def wave(self):
+        if self._wave is None and not self._have_coords:
+            self._load_coords()
+        return self._wave
+
+    @wave.setter
+    def wave(self, value):
+        self._wave = value
+
+    def _raw_views(self):
+        """(raw, var, mask) for the dct rebuilds, read/filled once."""
+        if self._views_cache is None:
+            raw, var, mask, wcs, wave = self._ctx.views()
+            self._views_cache = (raw, var, mask)
+            if not self._have_coords:
+                self._wcs, self._wave = wcs, wave
+                self._have_coords = True
+        return self._views_cache
 
     @property
     def shape(self):
@@ -305,8 +397,8 @@ class LazyRecipeCube(Cube):
             self._data_arr.dtype
 
     def _rebuild_full(self):
-        raw, var, mask = self._views
         if self._kind in ("dct_std", "dct_cont"):
+            raw, var, mask = self._raw_views()
             coef, mean_z, order = self._payload
             std, cont = rebuild_std_cont(raw, var, mask, coef, mean_z,
                                          order)
@@ -314,8 +406,8 @@ class LazyRecipeCube(Cube):
         return apply_pca_factors(self._std_source.data, self._payload)
 
     def _rebuild_region(self, zsl, ysl, xsl):
-        raw, var, mask = self._views
         if self._kind in ("dct_std", "dct_cont"):
+            raw, var, mask = self._raw_views()
             coef, mean_z, order = self._payload
             if self._d0 is None:
                 self._d0 = dctmat(raw.shape[0], order, dtype=np.float32)
@@ -353,13 +445,13 @@ class LazyRecipeCube(Cube):
         nz, ny, nx = self._shape
         squeeze_z = not isinstance(zsl, slice)
         if squeeze_z:
-            zsl = slice(int(zsl), int(zsl) + 1)
+            zsl = int_window(zsl, nz)
         squeeze_y = not isinstance(ysl, slice)
         if squeeze_y:
-            ysl = slice(int(ysl), int(ysl) + 1)
+            ysl = int_window(ysl, ny)
         squeeze_x = not isinstance(xsl, slice)
         if squeeze_x:
-            xsl = slice(int(xsl), int(xsl) + 1)
+            xsl = int_window(xsl, nx)
         block = self._rebuild_region(slice(*zsl.indices(nz)[:2]),
                                      slice(*ysl.indices(ny)[:2]),
                                      slice(*xsl.indices(nx)[:2]))
@@ -386,7 +478,9 @@ def load_recipe(path, orig=None, lazy=False):
     hdus = fitsio.read(path)
     phdr = hdus[0].header
     kind = phdr.get(RECIPE_KEY)
-    ctx = _RawContext(orig, phdr.get("RECUBE"))
+    cubename = phdr.get("RECUBE")
+    ctx = (_RawContext(orig, cubename) if orig is not None
+           else _shared_context(cubename))
     if kind in ("dct_std", "dct_cont"):
         coef, mean_z = _read_dct_payload(hdus)
         order = int(phdr["REORDER"])

@@ -368,11 +368,15 @@ class CreateAreas(Step):
             convex = area_segmentation_convex_fusion(fused, src)
             if len(convex) == 0:
                 # nothing survived the source fusion (e.g. a field whose
-                # continuum segmentation is empty): fall back to one area
-                # covering the exposure, as the nb_subcube == 1 branch does
+                # continuum segmentation is empty): keep the square
+                # segmentation as the seed instead of collapsing to one
+                # whole-field area — the minsize/maxsize zoning is what
+                # bounds step 04's per-zone gather
                 self.logger.info(
-                    "no source areas found; using a single area"
+                    "no source areas found; growing the grid segmentation"
                 )
+                convex = np.asarray(fused)
+            if len(convex) == 0:  # no squares either: one area
                 areamap = nexpmap
             else:
                 self.logger.debug("growing areas over the exposed field")
@@ -694,8 +698,21 @@ class Detection(Step):
         cat.add_column(ids, name="ID", index=0)
         cat.sort("ID")
 
-        self.logger.info("per-line purity estimation")
-        cat = purity_estimation(cat, orig.Pval, orig.Pval_comp)
+        pval, pval_comp = orig.Pval, orig.Pval_comp
+        if pval is None or pval_comp is None:
+            # explicit thresholds without step 06: there is no purity
+            # curve to interpolate (the reference crashes here,
+            # reference steps.py:1036 with Pval=None) — keep the catalog
+            # schema stable with NaN purity instead
+            self.logger.warning(
+                "no purity curves (step 06 not run): per-line purity "
+                "set to NaN"
+            )
+            cat["purity"] = np.full(len(cat), np.nan)
+            cat.set_format("purity", ".3f")
+        else:
+            self.logger.info("per-line purity estimation")
+            cat = purity_estimation(cat, pval, pval_comp)
 
         cat_comp = cat[np.asarray(cat["comp"]) == 1]
         ns = len(set(np.asarray(cat["ID"])))

@@ -959,3 +959,29 @@ def test_windowed_rebuild_matches_full(tmp_path):
     again = objs["cube_faint"]._region(*win)[0]
     np.testing.assert_array_equal(again, blocks["cube_faint"])
     orig.close_logfile()
+
+
+def test_deferred_region_int_indices_match_numpy(problem):
+    """Integer (and negative) indices collapse their axis identically on
+    both serving branches — device-resident and host — so a caller's
+    shapes never depend on residency (review: the device branch kept
+    size-1 y/x axes, and slice(-1, 0) turned negative indices into empty
+    windows)."""
+    cube, _, _ = problem
+    d = DeferredCube(jnp.asarray(cube))
+    # device branch
+    np.testing.assert_array_equal(
+        d._region(-1, slice(0, 5), slice(0, 4))[0], cube[-1, 0:5, 0:4])
+    got = d._region(slice(0, 10), 3, slice(2, 8))[0]
+    assert got.shape == (10, 6)
+    np.testing.assert_array_equal(got, cube[0:10, 3, 2:8])
+    np.testing.assert_array_equal(
+        d._region(slice(0, 10), -2, -1)[0], cube[0:10, -2, -1])
+    # host branch (after materialization) agrees
+    _ = d.data
+    np.testing.assert_array_equal(
+        d._region(-1, slice(0, 5), slice(0, 4))[0], cube[-1, 0:5, 0:4])
+    got = d._region(slice(0, 10), 3, slice(2, 8))[0]
+    assert got.shape == (10, 6)
+    np.testing.assert_array_equal(
+        d._region(slice(0, 10), -2, -1)[0], cube[0:10, -2, -1])

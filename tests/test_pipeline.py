@@ -574,8 +574,9 @@ def test_fresh_session_overwrites_stale_instrument_files(minicube,
 
 def test_step02_empty_source_fusion_falls_back(tmp_path):
     """A gridded field whose source fusion leaves no convex areas must
-    fall back to a single area instead of crashing in area_growing
-    (regression: AxisError on an empty label stack)."""
+    keep running (regression: AxisError on an empty label stack) — it
+    now grows the square segmentation instead (see
+    test_step02_empty_fusion_keeps_grid_zoning)."""
     import sys
 
     sys.path.insert(0, os.path.dirname(__file__))
@@ -591,4 +592,53 @@ def test_step02_empty_source_fusion_falls_back(tmp_path):
     nb = orig.param["nbareas"]
     assert nb >= 1
     assert set(np.unique(orig.areamap.data)) - {0} == set(range(1, nb + 1))
+    orig.close_logfile()
+
+
+def test_detection_without_step06_sets_nan_purity(minicube, tmp_path):
+    """Explicit thresholds bypass step 06 (the reference's Detection
+    declares no require either) — but then there is no purity curve to
+    interpolate, so per-line purity is NaN with a warning instead of the
+    reference's TypeError on Pval=None (reference steps.py:1036)."""
+    cube_fn, seg_fn = minicube
+    orig = ORIGIN.init(cube_fn, name="nopur", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing()
+    orig.step02_areas(minsize=30, maxsize=60)
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    orig.step05_compute_TGLR(ncpu=1)
+    orig.step07_detection(threshold=4.8, threshold_std=5.5, segmap=seg_fn)
+    assert orig.Pval is None  # step 06 really did not run
+    cat = orig.Cat1
+    assert len(cat) > 0
+    assert "purity" in cat.colnames
+    assert np.all(np.isnan(np.asarray(cat["purity"])))
+    orig.close_logfile()
+
+
+def test_step02_empty_fusion_keeps_grid_zoning(tmp_path):
+    """A large gridded field whose source fusion leaves no convex areas
+    keeps the square segmentation (grown over the exposure) instead of
+    collapsing to one whole-field area — the minsize/maxsize zoning is
+    what bounds step 04's per-zone gather (review follow-up to the
+    AxisError fallback)."""
+    from origin_tpu.core.containers import Image
+
+    cube_fn = str(tmp_path / "c.fits")
+    make_minicube(cube_fn, nz=80, ny=48, nx=48)
+    orig = ORIGIN.init(cube_fn, name="grid", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing(dct_order=6)
+    # force an empty continuum segmentation so the source fusion finds
+    # nothing to attach
+    orig.steps["preprocessing"].put(
+        "segmap_merged",
+        Image(data=np.zeros((48, 48)), wcs=orig.wcs, copy=False),
+    )
+    orig.step02_areas(minsize=12, maxsize=24)
+    nb = orig.param["nbareas"]
+    assert nb > 1, "grid zoning lost: collapsed to a single area"
+    labels = set(np.unique(orig.areamap.data)) - {0}
+    assert labels == set(range(1, nb + 1))
     orig.close_logfile()

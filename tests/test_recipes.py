@@ -158,3 +158,70 @@ def test_lazy_recipe_windows_match_eager(front_session):
         np.array(obj._region(*win)[0]), refs["cube_std"][win])
     assert obj._data_arr is None
     orig2.close_logfile()
+
+
+def test_lazy_recipe_copy_and_negative_index(front_session):
+    """Derived-container ops inherited from the base class (copy)
+    materialize to plain dense containers, and negative integer indices
+    follow numpy semantics on the windowed path (review regressions:
+    ``copy()`` raised TypeError re-invoking the lazy constructor with
+    ``data=``; ``slice(-1, 0)`` made negative indices empty windows)."""
+    from origin_tpu.core.containers import Cube
+
+    folder, refs = front_session
+    path = os.path.join(folder, "cube_std.fits")
+    lazycube = load_cube(path, lazy=True)
+    got = lazycube.copy()
+    assert type(got) is Cube
+    np.testing.assert_array_equal(got.data, refs["cube_std"])
+
+    lazy2 = load_cube(path, lazy=True)
+    plane = lazy2._region(-1, slice(0, 6), slice(2, 8))[0]
+    assert lazy2._data_arr is None  # still windowed
+    np.testing.assert_array_equal(plane, refs["cube_std"][-1, 0:6, 2:8])
+    col = lazy2._region(slice(3, 9), -2, -1)[0]
+    assert lazy2._data_arr is None
+    # single-spaxel windows route the DCT contraction through a different
+    # BLAS micro-kernel, so this degenerate shape is round-off-equal, not
+    # bit-equal, to the full rebuild
+    np.testing.assert_allclose(col, refs["cube_std"][3:9, -2, -1],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_pca_lazy_needs_no_raw_cube(front_session, tmp_path):
+    """pca_faint rebuilds never read the raw cube: a recipe whose
+    recorded raw-cube path is stale still loads lazily as long as
+    cube_std is resolvable (review: the lazy path hard-failed on the
+    stale path where the eager path did not)."""
+    from origin_tpu import fitsio
+    from origin_tpu.core.containers import Cube
+    from origin_tpu.pipeline.recipes import (_read_pca_payload,
+                                             write_pca_recipe)
+
+    folder, refs = front_session
+    Cube(data=refs["cube_std"], mask=False).write(
+        str(tmp_path / "cube_std.fits"))
+    hdus = fitsio.read(os.path.join(folder, "cube_faint.fits"))
+    factors = _read_pca_payload(hdus, int(hdus[0].header["RENFACT"]))
+    write_pca_recipe(str(tmp_path / "cube_faint.fits"), factors,
+                     "/nonexistent/raw.fits")
+
+    lazyf = load_cube(str(tmp_path / "cube_faint.fits"), lazy=True)
+    assert lazyf.shape == refs["cube_faint"].shape
+    win = (slice(10, 30), slice(2, 9), slice(3, 8))
+    np.testing.assert_array_equal(
+        np.array(lazyf._region(*win)[0]), refs["cube_faint"][win])
+    np.testing.assert_array_equal(lazyf.data, refs["cube_faint"])
+
+
+def test_sessionless_contexts_shared(front_session):
+    """Sessionless lazy loads against the same raw cube share one
+    rebuild context, so N per-source re-runs (update_sources) read and
+    fill the raw cube once per process, not once per source."""
+    folder, refs = front_session
+    a = load_cube(os.path.join(folder, "cube_std.fits"), lazy=True)
+    b = load_cube(os.path.join(folder, "cont_dct.fits"), lazy=True)
+    assert a._ctx is b._ctx
+    a._region(slice(0, 5), slice(0, 5), slice(0, 5))
+    # the shared context now carries the views for BOTH products
+    assert b._ctx._views is not None
