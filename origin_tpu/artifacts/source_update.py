@@ -143,17 +143,26 @@ def update_sources(
 ):
     """Recreate the source files for a list of source IDs."""
     source_ts = datetime.now().isoformat()
-    for source_id in source_idlist:
-        logger.debug("Creating source %d", source_id)
-        source_lines = cat3_lines[np.asarray(cat3_lines["ID"]) == source_id]
-        create_source(
-            source_id, cat3_sources, source_lines, origin_params,
-            cube_cor_filename, cube_std_filename,
-            mask_filename_tpl % source_id, skymask_filename_tpl % source_id,
-            spectra_fits_filename, segmaps, version, source_ts, profile_fwhm,
-            author=author, nb_fwhm=nb_fwhm, expmap_filename=expmap_filename,
-            save_to=out_tpl % source_id,
-        )
+    try:
+        for source_id in source_idlist:
+            logger.debug("Creating source %d", source_id)
+            source_lines = cat3_lines[
+                np.asarray(cat3_lines["ID"]) == source_id]
+            create_source(
+                source_id, cat3_sources, source_lines, origin_params,
+                cube_cor_filename, cube_std_filename,
+                mask_filename_tpl % source_id,
+                skymask_filename_tpl % source_id,
+                spectra_fits_filename, segmaps, version, source_ts,
+                profile_fwhm, author=author, nb_fwhm=nb_fwhm,
+                expmap_filename=expmap_filename, save_to=out_tpl % source_id,
+            )
+    finally:
+        # per-source lazy loads shared rebuild contexts pinning the full
+        # raw views in host RAM; drop them now that the batch is done
+        from ..pipeline.recipes import clear_rebuild_contexts
+
+        clear_rebuild_contexts()
 
 
 def update_source_table(source_id, source_table, source_lines):

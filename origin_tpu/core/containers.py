@@ -129,6 +129,15 @@ class _Base:
         # half-size engine re-uploads; see _load)
         if getattr(self, "_wire16", None) is not None:
             self._wire16 = None
+        # ... and a recipe-file provenance stamp: the generator file no
+        # longer describes this content, so a session write() must park
+        # it as a dense file (products._recipe_current) instead of
+        # skipping the save
+        if getattr(self, "_recipe_source", None) is not None:
+            self._recipe_source = None
+        # content generation: lets ProductStore.park_dirty distinguish a
+        # replaced product from a plain re-read on a resumed session
+        self._gen = getattr(self, "_gen", 0) + 1
 
     @property
     def shape(self):
@@ -461,9 +470,11 @@ class _Base:
 
 
 def _norm_slice(sl, n):
+    """``sl`` as a slice: passed through, or an integer's length-1 window
+    (numpy negative-index semantics, via :func:`int_window`)."""
     if isinstance(sl, slice):
         return sl
-    return slice(sl, sl + 1)
+    return int_window(sl, n)
 
 
 def int_window(i, n):
@@ -532,9 +543,23 @@ class Cube(_Base):
             item = (item,)
         item = item + (slice(None),) * (3 - len(item))
         zsl, ysl, xsl = item
-        data = self.data[zsl, ysl, xsl]
-        var = self.var[zsl, ysl, xsl] if self.var is not None else None
-        mask = self.mask[zsl, ysl, xsl] if self.mask is not None else None
+        if all(isinstance(sl, (int, np.integer, slice))
+               for sl in (zsl, ysl, xsl)):
+            # the windowed serving path: device-resident and lazy-recipe
+            # cubes fetch/rebuild only the requested window instead of
+            # materializing the full cube for an indexed cutout
+            data, var, mask = self._region(zsl, ysl, xsl)
+            if var is None and self.var is not None:
+                var = self.var[zsl, ysl, xsl]
+            if mask is None and self.mask is not None:
+                mask = self.mask[zsl, ysl, xsl]
+        else:
+            # fancy (array/boolean) indexing: plain numpy semantics on
+            # the dense arrays
+            data = self.data[zsl, ysl, xsl]
+            var = self.var[zsl, ysl, xsl] if self.var is not None else None
+            mask = (self.mask[zsl, ysl, xsl]
+                    if self.mask is not None else None)
         if data.ndim == 3:
             wave = self.wave[_norm_slice(zsl, self.shape[0])] if (
                 self.wave is not None and isinstance(zsl, slice)) else self.wave
@@ -677,12 +702,17 @@ class Cube(_Base):
             z2 = int(self.wave.pixel(z2, nearest=True))
         z1 = max(0, int(z1))
         z2 = min(self.shape[0] - 1, int(z2))
-        sub = self.data[z1 : z2 + 1]
+        # windowed serving: a narrow band over a device-resident or
+        # lazy-recipe cube fetches/rebuilds only those channels
+        sub, _, msub = self._region(
+            slice(z1, z2 + 1), slice(None), slice(None))
+        if msub is None and self.mask is not None:
+            msub = self.mask[z1 : z2 + 1]
         import warnings
 
         func = {"sum": np.nansum, "mean": np.nanmean, "max": np.nanmax}[method]
-        if self.mask is not None:
-            sub = np.where(self.mask[z1 : z2 + 1], np.nan, sub)
+        if msub is not None:
+            sub = np.where(msub, np.nan, sub)
         with np.errstate(invalid="ignore"), warnings.catch_warnings():
             warnings.simplefilter("ignore", category=RuntimeWarning)
             img = func(sub, axis=0)
@@ -725,6 +755,9 @@ class QuantCube(Cube):
     def data(self, val):
         self._decoded = np.asarray(val)
         self._wire = None  # replaced content: the wire is stale
+        self._gen = getattr(self, "_gen", 0) + 1
+        if getattr(self, "_recipe_source", None) is not None:
+            self._recipe_source = None
 
     @property
     def shape(self):

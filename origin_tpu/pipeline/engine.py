@@ -183,6 +183,7 @@ class DeferredCube(Cube):
         # the host-rebuild workers
         self._fetch_link = fetch_link
         self._future = None
+        self._gen = 0  # bumped by the data setter; guards window reads
         self._lock = threading.Lock()
         self._sync_coord_shapes()
 
@@ -338,6 +339,8 @@ class DeferredCube(Cube):
             self._dev = None
             self._fetch = None
             self._recipe_save = None
+            self._recipe_source = None
+            self._gen += 1
             self.__dict__.pop("_std_scalar", None)
 
     @property
@@ -417,16 +420,21 @@ class DeferredCube(Cube):
         """
         with self._lock:
             # snapshot the state once: a background park's materialization
-            # can null _dev between an unlocked guard and its use
-            w, host, dev, future = self._wire, self._host, self._dev, \
-                self._future
+            # can null _dev between an unlocked guard and its use, and a
+            # concurrent data assignment swaps every source form (the
+            # generation counter re-check below catches that case after
+            # the unlocked window fetch/rebuild)
+            w, host, dev, future, fetch, fetch_link, gen = (
+                self._wire, self._host, self._dev, self._future,
+                self._fetch, self._fetch_link, self._gen)
+        orig_idx = (zsl, ysl, xsl)
         if w is not None and host is None:
             # materialized as a Quant16 wire: decode only the window
             # instead of forcing the full float32 decode through .data
             return w.decode((zsl, ysl, xsl)), None, None
-        region_fn = getattr(self._fetch, "region", None)
+        region_fn = getattr(fetch, "region", None)
         if (host is None and dev is None and future is None
-                and region_fn is not None and not self._fetch_link
+                and region_fn is not None and not fetch_link
                 and not any(isinstance(sl, slice)
                             and sl.step not in (None, 1)
                             for sl in (zsl, ysl, xsl))):
@@ -446,6 +454,13 @@ class DeferredCube(Cube):
             block = region_fn(slice(*zsl.indices(nz)[:2]),
                               slice(*ysl.indices(ny)[:2]),
                               slice(*xsl.indices(nx)[:2]))
+            with self._lock:
+                stale = self._gen != gen
+            if stale:
+                # content replaced while the window rebuilt: serve the
+                # now-current data (host path) instead of the stale
+                # recipe rebuild
+                return super()._region(*orig_idx)
             if self._post is not None:
                 block = self._post(block)
             if squeeze_x:
@@ -456,7 +471,7 @@ class DeferredCube(Cube):
                 block = block[0]
             return block, None, None
         if (host is not None or dev is None or future is not None
-                or (self._fetch is not None and self._fetch_link)):
+                or (fetch is not None and fetch_link)):
             return super()._region(zsl, ysl, xsl)
         if any(
             isinstance(sl, slice) and sl.step not in (None, 1)
@@ -485,6 +500,12 @@ class DeferredCube(Cube):
                 max(0, z1 - z0), max(0, y1 - y0), max(0, x1 - x0),
             )
         )
+        with self._lock:
+            stale = self._gen != gen
+        if stale:
+            # a concurrent data assignment replaced the content while the
+            # device window was in flight: serve the current host data
+            return super()._region(*orig_idx)
         if self._post is not None:
             block = self._post(block)
         # integer indices collapse their axis, matching the base class's

@@ -150,6 +150,7 @@ class ProductStore:
         self.spec = dict(spec)
         self._slots = {}
         self._pending = {}  # name -> (Future, path) of an async park
+        self._clean = {}  # name -> (id, gen) recorded at fetch time
         # optional context-aware loader for cube products: recipe files
         # (recipes.py) rebuild against the owning session's raw data;
         # returns None for a plain dense file
@@ -173,6 +174,7 @@ class ProductStore:
         if name not in self.spec:
             raise KeyError(f"{name} is not a declared product")
         self._slots[name] = value
+        self._clean.pop(name, None)  # a stashed object is new content
 
     def fetch(self, name):
         """Materialize a product, reading its session file if parked."""
@@ -186,6 +188,9 @@ class ProductStore:
             if loaded is None:
                 loaded = FORMATS[self.spec[name]].load(value.path)
             self._slots[name] = value = loaded
+            # freshly read == file content; data setters bump _gen, so
+            # park_dirty can tell replaced content from a plain re-read
+            self._clean[name] = (id(value), getattr(value, "_gen", None))
         return value
 
     def park_async(self, directory):
@@ -254,6 +259,34 @@ class ProductStore:
             if not self._recipe_current(value, path):
                 _timed_save(FORMATS[kind].save, name, value, path)
             self._slots[name] = Parked(path)
+            self._clean.pop(name, None)
+
+    def park_dirty(self, directory):
+        """Write live products whose content was replaced since they were
+        read from the session — an object assigned via the data setter,
+        or a new object stashed onto an already-dumped step — leaving
+        untouched fetches alone.
+
+        This is what lets ``write()`` on a RESUMED session persist user
+        edits: the reference silently drops them (its dump only covers
+        RUN steps, reference steps.py:301-307); here a dumped step still
+        re-parks exactly the replaced products.  In-place mutation of a
+        fetched array remains undetectable, as in the reference.
+        """
+        self._join_pending()
+        for name, kind in self.spec.items():
+            value = self._slots.get(name)
+            if value is None or isinstance(value, Parked):
+                continue
+            rec = self._clean.get(name)
+            if (rec is not None and rec[0] == id(value)
+                    and rec[1] == getattr(value, "_gen", None)):
+                continue  # unmodified fetch: the session file is current
+            path = self.file_for(name, directory)
+            if not self._recipe_current(value, path):
+                _timed_save(FORMATS[kind].save, name, value, path)
+            self._slots[name] = Parked(path)
+            self._clean.pop(name, None)
 
     def point_at(self, directory):
         """Mark every product as parked in ``directory`` (used on session

@@ -27,6 +27,7 @@ coefficients rather than the cube).
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -47,6 +48,7 @@ __all__ = [
     "LazyRecipeCube",
     "load_recipe",
     "load_cube",
+    "clear_rebuild_contexts",
 ]
 
 RECIPE_KEY = "ORITPURE"
@@ -266,6 +268,19 @@ from collections import OrderedDict as _OrderedDict
 
 _CTX_CACHE = _OrderedDict()
 _CTX_CACHE_MAX = 2
+_CTX_CACHE_LOCK = threading.Lock()
+
+
+def clear_rebuild_contexts():
+    """Release the sessionless rebuild contexts (and the filled raw-cube
+    views they carry — several GB per full MUSE field).
+
+    Batch drivers (:func:`origin_tpu.artifacts.update_sources`) call
+    this when their per-source loop finishes, so a long-lived process
+    does not keep the raw views pinned after the last consumer is gone.
+    The next sessionless lazy load simply re-reads the cube."""
+    with _CTX_CACHE_LOCK:
+        _CTX_CACHE.clear()
 
 
 def _shared_context(cubename):
@@ -276,7 +291,8 @@ def _shared_context(cubename):
     and fill the full raw cube for its one 25x25 window.  Keyed on
     (realpath, mtime, size) so a rewritten cube is re-read; bounded to
     the two most recent cubes so a survey over many fields cannot pin
-    every raw cube in host RAM."""
+    every raw cube in host RAM (and releasable early via
+    :func:`clear_rebuild_contexts`)."""
     if not cubename:
         return _RawContext(None, cubename)
     try:
@@ -285,15 +301,16 @@ def _shared_context(cubename):
         # missing file: the error surfaces on first use, as before
         return _RawContext(None, cubename)
     key = (os.path.realpath(cubename), st.st_mtime_ns, st.st_size)
-    ctx = _CTX_CACHE.get(key)
-    if ctx is None:
-        ctx = _RawContext(None, cubename)
-        _CTX_CACHE[key] = ctx
-        while len(_CTX_CACHE) > _CTX_CACHE_MAX:
-            _CTX_CACHE.popitem(last=False)
-    else:
-        _CTX_CACHE.move_to_end(key)
-    return ctx
+    with _CTX_CACHE_LOCK:
+        ctx = _CTX_CACHE.get(key)
+        if ctx is None:
+            ctx = _RawContext(None, cubename)
+            _CTX_CACHE[key] = ctx
+            while len(_CTX_CACHE) > _CTX_CACHE_MAX:
+                _CTX_CACHE.popitem(last=False)
+        else:
+            _CTX_CACHE.move_to_end(key)
+        return ctx
 
 
 class LazyRecipeCube(Cube):
@@ -308,8 +325,6 @@ class LazyRecipeCube(Cube):
     """
 
     def __init__(self, path, kind, payload, std_source, ctx):
-        import threading
-
         self.filename = path
         self.primary_header = fitsio.Header()
         self.data_header = fitsio.Header()
@@ -321,6 +336,7 @@ class LazyRecipeCube(Cube):
         self._std_source = std_source  # pca_faint: the cube_std provider
         self._ctx = ctx
         self._rc_lock = threading.Lock()
+        self._gen = 0  # bumped by the data setter; guards window reads
         self._d0 = None
         self._views_cache = None
         # shape comes from the payload (dct: the coefficient planes and
@@ -432,16 +448,23 @@ class LazyRecipeCube(Cube):
 
     @data.setter
     def data(self, val):
-        self._data_arr = np.asarray(val)
+        with self._rc_lock:
+            self._data_arr = np.asarray(val)
+            self._gen += 1
+            # the recipe file no longer describes this content: a
+            # session write() must park it densely instead of skipping
+            # the save (products._recipe_current)
+            self._recipe_source = None
 
     def _region(self, zsl, ysl, xsl):
         with self._rc_lock:
-            arr = self._data_arr
+            arr, gen = self._data_arr, self._gen
         if arr is not None:
             return arr[zsl, ysl, xsl], None, None
         if any(isinstance(sl, slice) and sl.step not in (None, 1)
                for sl in (zsl, ysl, xsl)):
             return super()._region(zsl, ysl, xsl)  # rare: full rebuild
+        orig_idx = (zsl, ysl, xsl)
         nz, ny, nx = self._shape
         squeeze_z = not isinstance(zsl, slice)
         if squeeze_z:
@@ -455,6 +478,12 @@ class LazyRecipeCube(Cube):
         block = self._rebuild_region(slice(*zsl.indices(nz)[:2]),
                                      slice(*ysl.indices(ny)[:2]),
                                      slice(*xsl.indices(nx)[:2]))
+        with self._rc_lock:
+            if self._gen != gen:
+                # content replaced while the window rebuilt: serve the
+                # now-current dense data instead of the stale recipe
+                return (self._data_arr[orig_idx[0], orig_idx[1],
+                                       orig_idx[2]], None, None)
         if squeeze_x:
             block = block[..., 0]
         if squeeze_y:

@@ -241,6 +241,11 @@ class Step:
             self.logger.debug("parking %s products", self.method_name)
             self.store.park_all(outpath)
             self.status = Status.DUMPED
+        elif self.status is Status.DUMPED:
+            # already-dumped step on a resumed session: persist exactly
+            # the products whose content was replaced since their fetch
+            # (the reference silently drops such edits on write)
+            self.store.park_dirty(outpath)
 
     def park_background(self, outpath):
         """Start writing this step's live products in the background.

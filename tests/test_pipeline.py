@@ -642,3 +642,43 @@ def test_step02_empty_fusion_keeps_grid_zoning(tmp_path):
     labels = set(np.unique(orig.areamap.data)) - {0}
     assert labels == set(range(1, nb + 1))
     orig.close_logfile()
+
+
+def test_resumed_session_persists_replaced_products(minicube, tmp_path):
+    """write() on a RESUMED session persists products whose content was
+    replaced — a data-setter assignment on a fetched product and a new
+    object put() onto a dumped step — while untouched fetches keep their
+    files unrewritten.  (The reference silently drops both: its dump
+    only covers RUN steps, reference steps.py:301-307.)"""
+    from origin_tpu.core.containers import Image
+
+    cube_fn, _ = minicube
+    orig = ORIGIN.init(cube_fn, name="dirty", path=str(tmp_path),
+                       loglevel="ERROR")
+    orig.step01_preprocessing()
+    orig.write()
+    orig.close_logfile()
+
+    folder = str(tmp_path / "dirty")
+    orig2 = ORIGIN.load(folder, loglevel="ERROR")
+    # untouched fetch: the session file must NOT be rewritten
+    _ = orig2.ima_std.data
+    ima_path = os.path.join(folder, "ima_std.fits")
+    before = (os.path.getmtime(ima_path), os.path.getsize(ima_path))
+    # setter assignment on a fetched dense product
+    replaced = np.full(orig2.ima_dct.shape, 3.25, dtype=np.float32)
+    orig2.ima_dct.data = replaced
+    # wholesale put() of a new object on the dumped step
+    seg_new = np.zeros(orig2.ima_white.shape, dtype=np.float32)
+    seg_new[4:9, 4:9] = 2.0
+    orig2.steps["preprocessing"].put(
+        "segmap_merged", Image(data=seg_new, wcs=orig2.wcs, copy=False))
+    orig2.write()
+    orig2.close_logfile()
+
+    assert (os.path.getmtime(ima_path),
+            os.path.getsize(ima_path)) == before, "clean fetch rewritten"
+    orig3 = ORIGIN.load(folder, loglevel="ERROR")
+    np.testing.assert_array_equal(orig3.ima_dct.data, replaced)
+    np.testing.assert_array_equal(orig3.segmap_merged.data, seg_new)
+    orig3.close_logfile()

@@ -225,3 +225,65 @@ def test_sessionless_contexts_shared(front_session):
     a._region(slice(0, 5), slice(0, 5), slice(0, 5))
     # the shared context now carries the views for BOTH products
     assert b._ctx._views is not None
+
+
+def test_assigned_data_survives_write(front_session, tmp_path):
+    """Assigning new content to a recipe-backed product then writing the
+    session must park it densely — NOT skip the save because the recipe
+    file still exists (review: _recipe_current silently dropped the
+    assignment, losing the checkpoint)."""
+    folder, refs = front_session
+    import shutil
+
+    work = str(tmp_path / "rec")  # basename must stay the session name
+    shutil.copytree(folder, work)
+    orig2 = ORIGIN.load(work, loglevel="ERROR")
+    replaced = np.full(refs["cube_std"].shape, 7.5, dtype=np.float32)
+    cube = orig2.cube_std
+    cube.data = replaced  # lazy recipe cube: setter must drop the stamp
+    orig2.write()
+    orig2.close_logfile()
+    path = os.path.join(work, "cube_std.fits")
+    assert is_recipe_file(path) is None, "recipe file not replaced"
+    orig3 = ORIGIN.load(work, loglevel="ERROR")
+    np.testing.assert_array_equal(orig3.cube_std.data, replaced)
+    orig3.close_logfile()
+
+
+def test_getitem_windows_lazy_recipe(front_session):
+    """Indexing a lazy recipe cube (the natural user-facing API) routes
+    through the windowed rebuild instead of materializing the full cube
+    (review: __getitem__/get_image read .data directly)."""
+    folder, refs = front_session
+    lazycube = load_cube(os.path.join(folder, "cube_std.fits"), lazy=True)
+    sub = lazycube[0:4, 1:7, 2:9]
+    assert lazycube._data_arr is None, "__getitem__ forced a full rebuild"
+    np.testing.assert_array_equal(sub.data, refs["cube_std"][0:4, 1:7, 2:9])
+    img = lazycube[2]
+    assert lazycube._data_arr is None
+    np.testing.assert_array_equal(img.data, refs["cube_std"][2])
+    nb = lazycube.get_image((5, 9), method="sum")
+    assert lazycube._data_arr is None, "get_image forced a full rebuild"
+    ref = np.nansum(refs["cube_std"][5:10], axis=0)
+    np.testing.assert_allclose(nb.data, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_clear_rebuild_contexts(front_session):
+    """clear_rebuild_contexts releases the shared raw-view contexts; the
+    next sessionless load builds a fresh one."""
+    from origin_tpu.pipeline.recipes import (_CTX_CACHE,
+                                             clear_rebuild_contexts)
+
+    folder, refs = front_session
+    a = load_cube(os.path.join(folder, "cube_std.fits"), lazy=True)
+    assert len(_CTX_CACHE) >= 1
+    clear_rebuild_contexts()
+    assert len(_CTX_CACHE) == 0
+    b = load_cube(os.path.join(folder, "cont_dct.fits"), lazy=True)
+    assert b._ctx is not a._ctx
+    # both still serve correct windows from their own contexts
+    win = (slice(0, 3), slice(0, 5), slice(0, 5))
+    np.testing.assert_array_equal(a._region(*win)[0],
+                                  refs["cube_std"][win])
+    np.testing.assert_array_equal(b._region(*win)[0],
+                                  refs["cont_dct"][win])
