@@ -985,3 +985,43 @@ def test_deferred_region_int_indices_match_numpy(problem):
     assert got.shape == (10, 6)
     np.testing.assert_array_equal(
         d._region(slice(0, 10), -2, -1)[0], cube[0:10, -2, -1])
+
+def test_region_guard_serves_replaced_content(problem):
+    """A data assignment landing while a windowed host rebuild is in
+    flight must not let the stale recipe window escape: the generation
+    guard (DeferredCube._region) detects the bump and re-serves the
+    window from the replaced content."""
+    import threading
+
+    cube, _, _ = problem
+    started = threading.Event()
+    proceed = threading.Event()
+
+    def fetch():
+        return cube.copy()
+
+    def region(zsl, ysl, xsl):
+        started.set()
+        assert proceed.wait(10), "test orchestration stalled"
+        return cube[zsl, ysl, xsl]
+
+    fetch.region = region
+    d = DeferredCube(jnp.asarray(cube), fetch=fetch)
+    d.drop_device()
+    assert d.device is None and d.window_rebuildable
+
+    win = (slice(5, 25), slice(1, 6), slice(2, 7))
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.setdefault("w", np.array(d._region(*win)[0]))
+    )
+    t.start()
+    assert started.wait(10)
+    new = cube + 1.0
+    d.data = new  # replaces content mid-rebuild (bumps the generation)
+    proceed.set()
+    t.join(10)
+    assert not t.is_alive()
+    np.testing.assert_array_equal(out["w"], new[win])
+    # and a later read serves the replaced content directly
+    np.testing.assert_array_equal(np.array(d._region(*win)[0]), new[win])
