@@ -287,13 +287,21 @@ def estimation_line_arrays(
         has_w = True
         wmaps = np.stack([np.asarray(w, dtype=np.float32) for w in weights])
     use_engine = engine is not None and not has_w
-    if not use_engine:
-        raw = np.asarray(raw, dtype=np.float32)
-        var_arr = np.asarray(var, dtype=np.float32)
-
     g = int(size_grid)
     sg = size + 2 * g
     n = len(x0)
+    if (use_engine and not engine.inputs_resident()
+            and n * sg * sg < ny * nx):
+        # a tight-memory session dropped the raw device inputs after
+        # step 01: the device gather would re-upload the whole field
+        # (2*Nz*Ny*Nx floats — tens of seconds at north-star scale on a
+        # slow link) for a handful of windows.  Cut the windows from the
+        # host raw data and upload just them (2*n*Nz*sg^2 floats)
+        # whenever that moves fewer bytes.
+        use_engine = False
+    if not use_engine:
+        raw = np.asarray(raw, dtype=np.float32)
+        var_arr = np.asarray(var, dtype=np.float32)
     d0 = None
     if order_dct is not None:
         d0 = jnp.asarray(dctmat(nl, order_dct))
@@ -325,10 +333,14 @@ def estimation_line_arrays(
             red_dat, red_var = engine.minicubes(xs_p, ys_p, sg)
             red_wgt = None
         else:
-            red_dat = np.zeros((batch, nl, sg, sg), dtype=np.float32)
-            red_var = np.full((batch, nl, sg, sg), np.inf, dtype=np.float32)
+            # host-cut windows: build only the b real ones and pad the
+            # chunk ON DEVICE — the pad rows are all-zero/inf and would
+            # otherwise cross the link as dead bytes (and cost a host
+            # memset of a chunk-sized buffer)
+            red_dat = np.zeros((b, nl, sg, sg), dtype=np.float32)
+            red_var = np.full((b, nl, sg, sg), np.inf, dtype=np.float32)
             red_wgt = (
-                np.zeros((batch, psf_arr.shape[0], sg, sg), np.float32)
+                np.zeros((b, psf_arr.shape[0], sg, sg), np.float32)
                 if has_w else None
             )
             h = sg // 2
@@ -347,6 +359,13 @@ def estimation_line_arrays(
                     red_wgt[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = wmaps[
                         :, sy0:sy1, sx0:sx1
                     ]
+            if pad:
+                bp = ((0, pad), (0, 0), (0, 0), (0, 0))
+                red_dat = jnp.pad(jnp.asarray(red_dat), bp)
+                red_var = jnp.pad(jnp.asarray(red_var), bp,
+                                  constant_values=np.inf)
+                if has_w:
+                    red_wgt = jnp.pad(jnp.asarray(red_wgt), bp)
         out = grid_analysis_batch(
             jnp.asarray(red_dat),
             jnp.asarray(red_var),
@@ -369,4 +388,8 @@ def estimation_line_arrays(
         pending = (out, b)
     if pending is not None:
         collect(*pending)
+    if use_engine and engine.tight_memory:
+        # the gather's re-uploaded raw field must not linger on a tight
+        # chip (no later step reads it on device in tight mode)
+        engine.drop_inputs("cube", "var")
     return {k: np.concatenate(v) if n else np.empty(0) for k, v in results.items()}

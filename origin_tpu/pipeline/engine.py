@@ -627,7 +627,46 @@ def _dyn_region(dev, z0, y0, x0, zl, h, w):
 
 
 @partial(jax.jit, static_argnames=("sg",))
-def _gather_minicubes(pd, pv, ys, xs, sg):
+def _gather_minicubes(cube, var, ys, xs, sg):
+    """(B, Nz, sg, sg) windows centred at (ys, xs), pad-free.
+
+    Each window is cut at a clipped start from the UNPADDED arrays,
+    rotated into the requested alignment, and its out-of-field cells are
+    filled with the padded-extraction convention (data 0, variance inf)
+    — bit-equal to slicing whole-field padded copies (the reference's
+    overlap_slices + zero-pad extraction, reference
+    lib_origin.py:1860-1893) without materializing them.  Requires
+    ny >= sg and nx >= sg (callers fall back to the padded path below
+    otherwise).
+    """
+    nl, ny, nx = cube.shape
+    h = sg // 2
+    ii = jnp.arange(sg)
+
+    def one(yc, xc):
+        y0 = yc - h  # requested window start (may be out of field)
+        x0 = xc - h
+        ya = jnp.clip(y0, 0, ny - sg)  # clipped in-field start
+        xa = jnp.clip(x0, 0, nx - sg)
+        d = jax.lax.dynamic_slice(cube, (0, ya, xa), (nl, sg, sg))
+        v = jax.lax.dynamic_slice(var, (0, ya, xa), (nl, sg, sg))
+        # requested row y0+i sits at clipped index y0+i-ya:
+        # roll(d, s)[i] = d[i-s], so s = ya-y0 aligns the window
+        d = jnp.roll(jnp.roll(d, ya - y0, axis=1), xa - x0, axis=2)
+        v = jnp.roll(jnp.roll(v, ya - y0, axis=1), xa - x0, axis=2)
+        infield = (((y0 + ii >= 0) & (y0 + ii < ny))[:, None]
+                   & ((x0 + ii >= 0) & (x0 + ii < nx))[None, :])
+        return (jnp.where(infield, d, jnp.float32(0.0)),
+                jnp.where(infield, v, jnp.float32(jnp.inf)))
+
+    return jax.vmap(one)(ys, xs)
+
+
+@partial(jax.jit, static_argnames=("sg",))
+def _gather_minicubes_padded(pd, pv, ys, xs, sg):
+    """Window gather over pre-padded (by sg//2) copies — the fallback
+    for fields smaller than the window, where the clipped-slice gather
+    above cannot run."""
     nl = pd.shape[0]
 
     def one(y0, x0):
@@ -1304,6 +1343,16 @@ class DeviceEngine:
         for n in names:
             self._inputs.pop(n, None)
 
+    def inputs_resident(self):
+        """Raw cube/variance device copies resident (or uploading).
+
+        False once a tight-memory session dropped them (after step 01):
+        a consumer needing only a few windows should then cut them from
+        the host raw data instead of re-uploading the whole field
+        (ops.lines.estimation_line_arrays weighs the bytes both ways).
+        """
+        return "cube" in self._inputs or self._inputs_future is not None
+
     @staticmethod
     def _use_pallas():
         """Fused Pallas kernels on TPU backends (ORIGIN_TPU_PALLAS=0 off)."""
@@ -1930,14 +1979,24 @@ class DeviceEngine:
     def minicubes(self, xs, ys, sg):
         """Gather (B, Nz, sg, sg) detection minicubes on device.
 
-        The raw cube / variance are padded once (data 0, variance inf —
-        matching the host extraction's out-of-field convention) and sliced
-        per detection under vmap; nothing cube-sized crosses the link.
+        Windows are cut straight from the resident raw cube / variance
+        (clipped `dynamic_slice` + roll-into-alignment + out-of-field
+        fill: data 0, variance inf — matching the host extraction's
+        convention); nothing cube-sized crosses the link and no padded
+        copy of the field is ever materialized (the previous
+        whole-field pads were ~11 GB of transient HBM at north-star
+        scale).  Fields smaller than the window fall back to one padded
+        copy (`_mini_cache`).
         """
+        cube = self.input_cube()
+        var = self.input_var()
+        _, ny, nx = cube.shape
+        ys = jnp.asarray(np.asarray(ys, np.int32))
+        xs = jnp.asarray(np.asarray(xs, np.int32))
+        if ny >= sg and nx >= sg:
+            return _gather_minicubes(cube, var, ys, xs, sg)
         if sg not in self._mini_cache:
             h = sg // 2
-            cube = self.input_cube()
-            var = self.input_var()
             pd = jnp.pad(cube, ((0, 0), (h, h), (h, h)))
             pv = jnp.pad(var, ((0, 0), (h, h), (h, h)),
                          constant_values=np.inf)
@@ -1948,10 +2007,7 @@ class DeviceEngine:
             if self.tight_memory:
                 self.drop_inputs("cube", "var")
         pd, pv = self._mini_cache[sg]
-        return _gather_minicubes(
-            pd, pv, jnp.asarray(np.asarray(ys, np.int32)),
-            jnp.asarray(np.asarray(xs, np.int32)), sg
-        )
+        return _gather_minicubes_padded(pd, pv, ys, xs, sg)
 
     # -- step 11 -----------------------------------------------------------
     def source_spectra(self, jobs_by_size, wcube_fn=None):

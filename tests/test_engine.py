@@ -1025,3 +1025,38 @@ def test_region_guard_serves_replaced_content(problem):
     np.testing.assert_array_equal(out["w"], new[win])
     # and a later read serves the replaced content directly
     np.testing.assert_array_equal(np.array(d._region(*win)[0]), new[win])
+
+def test_minicubes_large_window_and_small_field_fallback(problem):
+    """The pad-free gather survives windows nearly as large as the field
+    (clipped starts pin to 0), and a field SMALLER than the window takes
+    the padded fallback — both match the host zero/inf-pad extraction."""
+    cube, var, mask = problem
+    nz, ny, nx = cube.shape  # (50, 8, 9)
+
+    def host_window(y0c, x0c, sg):
+        h = sg // 2
+        exp = np.zeros((nz, sg, sg), np.float32)
+        expv = np.full((nz, sg, sg), np.inf, np.float32)
+        yy0, xx0 = y0c - h, x0c - h
+        sy0, sy1 = max(0, yy0), min(ny, yy0 + sg)
+        sx0, sx1 = max(0, xx0), min(nx, xx0 + sg)
+        exp[:, sy0 - yy0:sy1 - yy0, sx0 - xx0:sx1 - xx0] = \
+            cube[:, sy0:sy1, sx0:sx1]
+        expv[:, sy0 - yy0:sy1 - yy0, sx0 - xx0:sx1 - xx0] = \
+            var[:, sy0:sy1, sx0:sx1]
+        return exp, expv
+
+    for sg in (7, 11):  # 7 <= min(ny, nx): pad-free; 11 > both: fallback
+        orig = FakeOrig(cube, var, mask)
+        eng = DeviceEngine(orig)
+        xs = np.array([0, nx - 1, nx // 2, 1])
+        ys = np.array([ny - 1, 0, ny // 2, ny - 2])
+        dat, varr = eng.minicubes(xs, ys, sg)
+        used_fallback = sg in eng._mini_cache
+        assert used_fallback == (sg > min(ny, nx)), sg
+        for j, (x0c, y0c) in enumerate(zip(xs, ys)):
+            exp, expv = host_window(y0c, x0c, sg)
+            np.testing.assert_allclose(np.asarray(dat)[j], exp,
+                                       err_msg=f"sg={sg} j={j}")
+            np.testing.assert_allclose(np.asarray(varr)[j], expv,
+                                       err_msg=f"sg={sg} j={j}")

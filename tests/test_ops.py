@@ -850,3 +850,44 @@ def test_window_ori_stats_kernel_matches_host():
             if hmax.mask is not None else np.asarray(hmax.data)
         np.testing.assert_allclose(np.asarray(maxmaps[i]), hdata,
                                    rtol=2e-5, atol=1e-6)
+
+def test_estimation_line_host_cut_when_inputs_dropped():
+    """A tight-memory session that dropped the raw device inputs must
+    NOT re-upload the whole field for a few lines: estimation_line
+    weighs the bytes and cuts the windows host-side.  Results match the
+    device-gather path exactly (same windows, same kernel)."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_engine import FakeOrig
+    from origin_tpu.pipeline.engine import DeviceEngine
+
+    nl, s = 60, 9
+    data, var, psf, line = _line_minicube(nl=nl, s=s)
+    ny = nx = 21
+    rng = np.random.default_rng(46)
+    raw = rng.normal(scale=0.3, size=(nl, ny, nx)).astype(np.float32)
+    raw[:, 6:15, 6:15] = data
+    varfield = np.full((nl, ny, nx), 0.09, np.float32)
+
+    xs, ys, zs = np.array([10]), np.array([10]), np.array([30])
+    ref = estimation_line_arrays(xs, ys, zs, raw, varfield, psf,
+                                 size_grid=0)
+
+    eng = DeviceEngine(FakeOrig(raw, varfield,
+                                np.zeros_like(raw, dtype=bool)))
+    eng.drop_inputs("cube", "var")
+    assert not eng.inputs_resident()
+    # 1 line x 81 window px < 441 field px: the host-cut path is chosen
+    out = estimation_line_arrays(xs, ys, zs, raw, varfield, psf,
+                                 size_grid=0, engine=eng)
+    assert not eng.inputs_resident(), "field was re-uploaded"
+    for k in ("flux", "residual", "y", "x", "z"):
+        np.testing.assert_allclose(out[k], ref[k], err_msg=k)
+
+    # with the inputs resident the device gather is used and agrees
+    eng2 = DeviceEngine(FakeOrig(raw, varfield,
+                                 np.zeros_like(raw, dtype=bool)))
+    eng2.input_cube()
+    out2 = estimation_line_arrays(xs, ys, zs, raw, varfield, psf,
+                                  size_grid=0, engine=eng2)
+    np.testing.assert_allclose(out2["flux"], ref["flux"], rtol=1e-5)
