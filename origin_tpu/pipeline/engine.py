@@ -357,6 +357,7 @@ class DeviceEngine:
         self._inputs_future = None
         self._mini_cache = {}
         self._recipes = {}  # product name -> recipe saver (see recipes.py)
+        self._spec_det = None  # in-flight step-07 speculative fetch
         self._tight = None
         # decide the memory mode NOW, before pipeline state accumulates,
         # so every step of this session sees one consistent mode
@@ -630,6 +631,7 @@ class DeviceEngine:
         self._inputs.clear()
         self._inputs_future = None
         self._mini_cache.clear()
+        self._spec_det = None
         owners = getattr(self.orig, "_product_owner", {})
         for name, owner in owners.items():
             val = owner.store.peek(name)
@@ -1178,6 +1180,43 @@ class DeviceEngine:
         res = jax.device_get(_extract_above(arr, extras, threshold, cap))
         return self._unpack_sparse(res, n, arr.shape, len(gather))
 
+    @staticmethod
+    def _det_pair_key(spec1, spec2):
+        (n1, t1, g1), (n2, t2, g2) = spec1, spec2
+        return (n1, float(t1), tuple(g1), n2, float(t2), tuple(g2))
+
+    def speculate_detections(self, spec1, spec2):
+        """Dispatch step 07's speculative fetch ahead of the step.
+
+        Called by step 06 the moment the thresholds are known: the
+        count+compact program runs NOW and its (small) result starts
+        crossing the link in the background, so a following
+        :meth:`detections_above_pair` with the same specs joins an
+        in-flight — usually already-arrived — transfer instead of paying
+        a fresh round-trip at the top of step 07.  On a high-latency
+        host link that round-trip IS most of the warm step-07 time (the
+        reference's step does two in-memory ``np.where`` scans,
+        reference steps.py:958-974, so it never pays one).  Best-effort:
+        any failure just leaves the normal fetch path to run.
+        """
+        try:
+            (name1, thr1, g1), (name2, thr2, g2) = spec1, spec2
+            a1 = self.get(name1)
+            a2 = self.get(name2)
+            e1 = tuple(self.get(g) for g in g1)
+            e2 = tuple(self.get(g) for g in g2)
+            out = _count_extract_above_pair(
+                a1, e1, thr1, min(_SPEC_CAP, a1.size),
+                a2, e2, thr2, min(_SPEC_CAP, a2.size),
+            )
+        except Exception:  # pragma: no cover - defensive (missing product)
+            self._spec_det = None
+            return
+        self._spec_det = (
+            self._det_pair_key(spec1, spec2),
+            _copy_pool().submit(jax.device_get, out),
+        )
+
     def detections_above_pair(self, spec1, spec2):
         """Sparse detections from two cubes in ONE device round-trip.
 
@@ -1188,7 +1227,10 @@ class DeviceEngine:
         cube) pays a second, exact-bucket fetch.  The device compute is
         microseconds — on a high-latency host link the round-trips ARE
         the step time (reference builds the same catalogs from two
-        in-memory ``np.where`` scans, reference steps.py:958-974).
+        in-memory ``np.where`` scans, reference steps.py:958-974).  When
+        step 06 pre-dispatched the same specs
+        (:meth:`speculate_detections`), even that round-trip is already
+        in flight and this just joins it.
         """
         name1, thr1, g1 = spec1
         name2, thr2, g2 = spec2
@@ -1203,9 +1245,19 @@ class DeviceEngine:
         # back to the exact-bucket pair fetch below
         sc1 = min(_SPEC_CAP, a1.size)
         sc2 = min(_SPEC_CAP, a2.size)
-        n1, n2, r1, r2 = jax.device_get(
-            _count_extract_above_pair(a1, e1, thr1, sc1, a2, e2, thr2, sc2)
-        )
+        res = None
+        stash, self._spec_det = self._spec_det, None
+        if stash is not None and stash[0] == self._det_pair_key(spec1, spec2):
+            try:
+                res = stash[1].result()
+            except Exception:  # transfer failed: retry with a fresh fetch
+                res = None
+        if res is None:
+            res = jax.device_get(
+                _count_extract_above_pair(
+                    a1, e1, thr1, sc1, a2, e2, thr2, sc2)
+            )
+        n1, n2, r1, r2 = res
         n1, n2 = int(n1), int(n2)
         if n1 <= sc1 and n2 <= sc2:
             return (

@@ -583,6 +583,14 @@ class ComputePurityThreshold(Step):
         self.logger.info(
             "std threshold %.2f for purity %.2f", threshold_std, purity_std
         )
+        # pre-dispatch step 07's detection fetch at these thresholds: the
+        # compaction result crosses the link while the host finishes this
+        # step, so the warm step 07 joins an arrived transfer instead of
+        # paying its round-trip (engine.speculate_detections)
+        eng.speculate_detections(
+            ("cube_local_max", threshold, ("cube_profile",)),
+            ("cube_std_local_max", threshold_std, ()),
+        )
 
 
 class Detection(Step):

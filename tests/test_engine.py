@@ -140,6 +140,47 @@ def test_detections_above_pair_matches_two_calls(problem):
     assert len(r1[0][0]) == 0 and len(r2[0][0]) == 0
 
 
+def test_speculate_detections_joined_by_pair_fetch(problem):
+    """step 06's pre-dispatched fetch is consumed by step 07's call and
+    yields results identical to the direct path (key hit, key miss, and
+    stash-consumed-once semantics)."""
+    cube, var, mask = problem
+    orig = FakeOrig(cube, var, mask)
+    eng = DeviceEngine(orig)
+    arr1 = cube * 3.0
+    arr2 = (cube * -2.0).astype(np.float32)
+    extra = (cube * 7).astype(np.float32)
+    orig._store["cube_local_max"] = DeferredCube(jnp.asarray(arr1))
+    orig._store["cube_std_local_max"] = DeferredCube(jnp.asarray(arr2))
+    orig._store["cube_profile"] = DeferredCube(jnp.asarray(extra))
+    spec1 = ("cube_local_max", 2.5, ("cube_profile",))
+    spec2 = ("cube_std_local_max", 1.5, ())
+
+    baseline = eng.detections_above_pair(spec1, spec2)
+
+    eng.speculate_detections(spec1, spec2)
+    assert eng._spec_det is not None
+    got = eng.detections_above_pair(spec1, spec2)
+    assert eng._spec_det is None  # consumed exactly once
+    for b, g in zip(baseline, got):
+        np.testing.assert_array_equal(np.stack(b[0]), np.stack(g[0]))
+        np.testing.assert_array_equal(b[1], g[1])
+        for be, ge in zip(b[2], g[2]):
+            np.testing.assert_array_equal(be, ge)
+
+    # key miss (different threshold): the stash is discarded, the fresh
+    # fetch still returns the exact result for the asked thresholds
+    eng.speculate_detections(spec1, spec2)
+    r1, _ = eng.detections_above_pair(
+        ("cube_local_max", 3.5, ("cube_profile",)), spec2
+    )
+    assert eng._spec_det is None
+    ez, ey, ex = np.where(arr1 > 3.5)
+    np.testing.assert_array_equal(r1[0][0], ez)
+    np.testing.assert_array_equal(r1[0][1], ey)
+    np.testing.assert_array_equal(r1[0][2], ex)
+
+
 def test_upload_cache_dedupes_and_evicts():
     import origin_tpu.pipeline.engine as eng
 
