@@ -28,7 +28,13 @@ import logging
 import numpy as np
 import yaml
 
-__all__ = ["load_params", "loads_params", "looks_like_reference_yaml"]
+__all__ = [
+    "dumps_reference_params",
+    "export_reference_session",
+    "load_params",
+    "loads_params",
+    "looks_like_reference_yaml",
+]
 
 logger = logging.getLogger(__name__)
 
@@ -260,3 +266,153 @@ def load_params(path):
     """Read a reference-written ``<name>.yaml`` session parameter file."""
     with open(path) as f:
         return loads_params(f.read())
+
+
+# -- reference-readable session EXPORT ----------------------------------------
+#
+# The inverse direction: write a session directory the reference package's
+# ``ORIGIN.load`` (reference origin.py:345-455) accepts — dense standard
+# FITS per product under the reference's file names, the testO2/histO2/
+# binO2 text arrays, and a params YAML in the reference's python-tagged
+# dialect (its loader calls ``yaml.unsafe_load``, origin.py:25-31, and its
+# ``Step.load`` only restores steps whose status IS the ``Status.DUMPED``
+# enum instance, reference steps.py:235,344-347 — a plain string would
+# silently skip every step).
+
+_STATUS_TO_REF = {v: k for k, v in _REF_STATUS_VALUES.items()}
+
+
+class _RefStatus:
+    """Marker dumped as the reference's python-tagged Status enum."""
+
+    def __init__(self, name):
+        self.value = _STATUS_TO_REF[name]
+
+
+def _repr_ref_status(dumper, data):
+    return dumper.represent_sequence(
+        "tag:yaml.org,2002:python/object/apply:muse_origin.steps.Status",
+        [data.value],
+    )
+
+
+class _RefDumper(yaml.SafeDumper):
+    """SafeDumper plus exactly the python tags the reference dialect needs."""
+
+
+_RefDumper.add_representer(_RefStatus, _repr_ref_status)
+
+
+def dumps_reference_params(param, step_names, dumped_steps=()):
+    """Serialize a param tree in the reference's YAML dialect.
+
+    ``step_names`` lists the per-step sub-dict keys; each one's
+    ``status`` string becomes the python-tagged Status enum node.  Steps
+    named in ``dumped_steps`` are forced to 'dumped outputs' (their
+    product files exist in the export, so the reference must load them;
+    our RUN-but-unparked state has no reference equivalent).
+    """
+    import copy
+
+    p = copy.deepcopy(param)
+    for sname in step_names:
+        meta = p.get(sname)
+        if isinstance(meta, dict) and "status" in meta:
+            status = meta["status"]
+            status = getattr(status, "name", status)  # live enum or name
+            if sname in dumped_steps and status in ("RUN", "DUMPED"):
+                status = "DUMPED"
+            meta["status"] = _RefStatus(status)
+    # the reference's load indexes param["PSF"] unconditionally
+    # (origin.py:384): default to the non-file sentinel that routes it to
+    # the cube_psf.fits discovery path
+    p.setdefault("PSF", "")
+    return yaml.dump(p, Dumper=_RefDumper, default_flow_style=False)
+
+
+def export_reference_session(orig, folder):
+    """Write ``orig`` as a session directory the reference can load.
+
+    Every product of a RUN/DUMPED step is serialized as a dense standard
+    FITS/txt file under the reference's name (recipe files, sparse
+    extrema tables and scaled-int16 images are decoded first), the
+    instrument files (cube_psf/wfield/ima_white) and O2 diagnostic
+    arrays are written as the reference's ``write`` does
+    (origin.py:685-725), and ``<name>.yaml`` uses the reference dialect
+    above.  The directory remains loadable by origin_tpu too (our
+    loader sniffs the dialect), so this round-trips:
+    ``ORIGIN.load(folder)`` after ``write(compat='reference')`` sees
+    identical params and products.
+    """
+    import os
+
+    from ..core.containers import Cube, Image
+    from .spectra_io import save_spectra
+    from .steps import Status
+
+    os.makedirs(folder, exist_ok=True)
+    name = os.path.basename(os.path.normpath(folder))
+
+    def _dense(arr):
+        arr = np.asarray(arr)
+        return arr.astype(np.float32) if arr.dtype == np.float64 else arr
+
+    # instrument files (reference origin.py:685-700)
+    if getattr(orig, "PSF", None) is not None:
+        psfs = orig.PSF if isinstance(orig.PSF, list) else [orig.PSF]
+        for i, psf in enumerate(psfs):
+            fn = ("cube_psf_%02d.fits" % i if isinstance(orig.PSF, list)
+                  else "cube_psf.fits")
+            Cube(data=_dense(psf), mask=False).write(os.path.join(folder, fn))
+    if getattr(orig, "wfields", None) is not None:
+        for i, wf in enumerate(orig.wfields):
+            Image(data=_dense(np.asarray(wf)), mask=False).write(
+                os.path.join(folder, "wfield_%02d.fits" % i))
+    if getattr(orig, "ima_white", None) is not None:
+        w = orig.ima_white
+        Image(data=_dense(w.data), wcs=w.wcs).write(
+            os.path.join(folder, "ima_white.fits"))
+
+    dumped = []
+    for step in orig.steps.values():
+        if step.status not in (Status.RUN, Status.DUMPED):
+            continue
+        wrote = False
+        for pname, kind in step.store.spec.items():
+            val = step.store.fetch(pname)
+            if val is None:
+                continue
+            path = step.store.file_for(pname, folder)
+            if kind == "cube":
+                var = getattr(val, "var", None)
+                Cube(data=_dense(val.data),
+                     var=None if var is None else _dense(var),
+                     wcs=val.wcs, wave=val.wave).write(path)
+            elif kind == "image":
+                Image(data=_dense(val.data), wcs=val.wcs).write(path)
+            elif kind == "table":
+                val.write(path, overwrite=True)
+            elif kind == "array":
+                np.savetxt(path, np.atleast_1d(val))
+            elif kind == "spectra":
+                save_spectra(val, path)
+            wrote = True
+        if wrote:
+            dumped.append(step.name)
+
+    # per-area O2 diagnostics (reference origin.py:710-725)
+    if getattr(orig, "nbAreas", None):
+        for attr in ("testO2", "histO2", "binO2"):
+            values = getattr(orig, attr, None)
+            if values is not None:
+                for area in range(1, orig.nbAreas + 1):
+                    np.savetxt("%s/%s_%d.txt" % (folder, attr, area),
+                               values[area - 1])
+
+    from .session import _sanitize
+
+    text = dumps_reference_params(
+        _sanitize(orig.param), list(orig.steps), dumped)
+    with open(os.path.join(folder, f"{name}.yaml"), "w") as f:
+        f.write(text)
+    return folder

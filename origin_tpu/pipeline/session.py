@@ -507,8 +507,27 @@ class ORIGIN(PlotMixin):
         self.param["LBDA FWHM PSF"] = np.asarray(self.LBDA_FWHM_PSF).tolist()
 
     # -- checkpointing ------------------------------------------------------------
-    def write(self, path=None, erase=False):
-        """Dump the whole session (every step product + parameters)."""
+    def write(self, path=None, erase=False, compat=None):
+        """Dump the whole session (every step product + parameters).
+
+        With ``compat='reference'`` the session is instead exported in
+        the reference package's on-disk dialect — dense standard FITS
+        products and its python-tagged params YAML — into
+        ``<path or self.path>/<self.name>`` (see
+        :func:`origin_tpu.pipeline.compat.export_reference_session`).
+        The exported directory loads in BOTH packages; origin_tpu's own
+        richer forms (recipe files, sparse tables, scaled-int16 images)
+        are decoded to dense in the process.
+        """
+        if compat is not None:
+            from . import compat as compat_mod
+
+            if compat != "reference":
+                raise ValueError(f"unknown compat dialect: {compat!r}")
+            folder = os.path.join(path or self.path, self.name)
+            self.logger.info("Exporting reference-dialect session to %s",
+                             folder)
+            return compat_mod.export_reference_session(self, folder)
         self.logger.info("Writing...")
         if path is not None and path != self.path:
             if not os.path.exists(path):

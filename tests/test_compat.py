@@ -179,6 +179,100 @@ def minicube(tmp_path_factory):
     return cube_fn, seg_fn
 
 
+def test_export_reference_session_round_trip(minicube, tmp_path):
+    """write(compat='reference') produces dense standard files + the
+    reference's python-tagged YAML, and the export round-trips through
+    our own loader with identical params and products."""
+    import os
+
+    orig = ORIGIN.init(minicube[0], name="exp", path=str(tmp_path),
+                       loglevel="WARNING")
+    orig.step01_preprocessing()
+    orig.step02_areas()
+    orig.step03_compute_PCA_threshold()
+    orig.step04_compute_greedy_PCA()
+    orig.step05_compute_TGLR()
+    orig.step06_compute_purity_threshold(purity=0.8)
+    orig.step07_detection()
+    orig.step08_compute_spectra()
+    orig.step09_clean_results()
+    cube_std = np.array(orig.cube_std.data, copy=True)
+    cat1_len = len(orig.Cat1)
+    thresholds = (orig.param["threshold"], orig.param["threshold_std"])
+
+    exp_dir = tmp_path / "export"
+    os.makedirs(exp_dir, exist_ok=True)
+    out = orig.write(path=str(exp_dir), compat="reference")
+    orig.close_logfile()
+    folder = str(exp_dir / "exp")
+    assert out == folder
+
+    # every dumped product is a dense standard file: no recipe
+    # (ORITPURE) or sparse-table (ORITPUSP) forms anywhere
+    from origin_tpu import fitsio
+
+    fits_files = [f for f in os.listdir(folder) if f.endswith(".fits")]
+    assert "cube_std.fits" in fits_files and "cube_correl.fits" in fits_files
+    assert "spectra.fits" in fits_files and "Cat1.fits" in fits_files
+    for f in fits_files:
+        hdus = fitsio.read(os.path.join(folder, f))
+        hdr = hdus[0].header
+        assert "ORITPURE" not in hdr, f
+        for h in hdus:
+            assert "ORITPUSP" not in h.header, f
+    # float cubes are BITPIX -32 (no scaled-int16 images in the dialect)
+    hdus = fitsio.read(os.path.join(folder, "cube_correl.fits"))
+    datah = next(h for h in hdus if h.data is not None and h.data.ndim == 3)
+    assert datah.data.dtype == np.float32
+    # instrument + O2 files, as the reference writes them
+    assert os.path.isfile(os.path.join(folder, "cube_psf.fits"))
+    assert os.path.isfile(os.path.join(folder, "ima_white.fits"))
+    assert os.path.isfile(os.path.join(folder, "testO2_1.txt"))
+
+    # the YAML is the reference dialect: python-tagged Status enums that
+    # the reference's unsafe_load reconstructs as real enum members
+    text = (exp_dir / "exp" / "exp.yaml").read_text()
+    assert compat.looks_like_reference_yaml(text)
+    import enum
+    import sys
+    import types
+
+    fake_steps = types.ModuleType("muse_origin.steps")
+
+    class RefStatus(enum.Enum):
+        NOTRUN = "not run yet"
+        RUN = "run"
+        DUMPED = "dumped outputs"
+        FAILED = "failed"
+
+    fake_steps.Status = RefStatus
+    fake_pkg = types.ModuleType("muse_origin")
+    fake_pkg.steps = fake_steps
+    sys.modules["muse_origin"] = fake_pkg
+    sys.modules["muse_origin.steps"] = fake_steps
+    try:
+        param = yaml.unsafe_load(text)
+    finally:
+        del sys.modules["muse_origin"], sys.modules["muse_origin.steps"]
+    assert param["preprocessing"]["status"] is RefStatus.DUMPED
+    assert param["detection"]["status"] is RefStatus.DUMPED
+    assert "PSF" in param  # reference load indexes it unconditionally
+
+    # round-trip through our own loader (structural proxy for the real
+    # package, which is not installable here)
+    orig2 = ORIGIN.load(folder)
+    try:
+        assert orig2.steps["compute_spectra"].status is Status.DUMPED
+        assert (orig2.param["threshold"],
+                orig2.param["threshold_std"]) == thresholds
+        np.testing.assert_allclose(np.asarray(orig2.cube_std.data), cube_std,
+                                   atol=1e-6)
+        assert len(orig2.Cat1) == cat1_len
+        assert len(orig2.spectra) > 0
+    finally:
+        orig2.close_logfile()
+
+
 def test_load_reference_session(minicube, tmp_path, monkeypatch):
     # dense float32 session files: what a reference-written session holds
     monkeypatch.setenv("ORIGIN_TPU_STORE_INT16", "0")

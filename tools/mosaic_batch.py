@@ -22,6 +22,69 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def load_fields(batch_paths):
+    """(cubes, variances, masks) stacks for one dp-sized batch of FITS."""
+    from origin_tpu.core import Cube
+
+    cubes, variances, masks = [], [], []
+    for p in batch_paths:
+        c = Cube(p)
+        cubes.append(c.filled(0).astype(np.float32))
+        v = c.var_filled(np.inf)
+        variances.append(
+            v.astype(np.float32) if v is not None
+            else np.ones_like(cubes[-1])
+        )
+        masks.append(c.masked_invalid())
+    return np.stack(cubes), np.stack(variances), np.stack(masks)
+
+
+def run_batches(pipe, paths, dp, on_event=None):
+    """Drive the overlapped ingest/compute loop over ``paths``.
+
+    ``pipe`` is a ShardedPipeline whose mesh has ``dp`` data-parallel
+    slots; fields are grouped into dp-sized batches, the next batch's
+    FITS ingest runs on a host thread while the current batch computes,
+    and the last batch is padded by repeating its first field (padded
+    results discarded).  Returns ``[(path, counts_max_vector), ...]``
+    in input order.  ``on_event(kind, index, t)`` (optional) receives
+    ('ingest_start'|'ingest_done', batch_index, perf_counter) and
+    ('compute_start'|'compute_done', batch_index, perf_counter) — the
+    test suite uses it to assert the ingest of batch N+1 overlaps the
+    compute of batch N.
+    """
+    def note(kind, idx):
+        if on_event is not None:
+            on_event(kind, idx, time.perf_counter())
+
+    def load_batch(idx, batch_paths):
+        note("ingest_start", idx)
+        out = load_fields(batch_paths)
+        note("ingest_done", idx)
+        return out
+
+    batches = [paths[i: i + dp] for i in range(0, len(paths), dp)]
+    # pad the last batch by repeating its first field (results discarded)
+    pad_last = dp - len(batches[-1])
+    batches[-1] = batches[-1] + batches[-1][:1] * pad_last
+
+    results = []
+    with ThreadPoolExecutor(max_workers=1) as ingest:
+        nxt = ingest.submit(load_batch, 0, batches[0])
+        for bi, batch_paths in enumerate(batches):
+            cubes, variances, masks = nxt.result()
+            if bi + 1 < len(batches):
+                nxt = ingest.submit(load_batch, bi + 1, batches[bi + 1])
+            note("compute_start", bi)
+            lmax, lmin, cmax, cmin = pipe(cubes, variances, masks)
+            cmax = np.asarray(cmax)  # blocks on the device result
+            note("compute_done", bi)
+            keep = dp if bi + 1 < len(batches) else dp - pad_last
+            for j in range(keep):
+                results.append((batch_paths[j], cmax[j]))
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fields", default="3x3", help="grid, e.g. 3x3")
@@ -47,7 +110,7 @@ def main():
             ).strip()
         jax.config.update("jax_platforms", "cpu")
 
-    from origin_tpu.core import Cube, MoffatFSF
+    from origin_tpu.core import MoffatFSF
     from origin_tpu.core.profiles import gaussian_profile
     from origin_tpu.parallel import ShardedPipeline, make_mesh
 
@@ -83,39 +146,8 @@ def main():
     pipe = ShardedPipeline(mesh, args.nz, args.ny, args.nx, psf, profiles,
                            thresholds=np.linspace(1.0, 8.0, 20))
 
-    def load_batch(batch_paths):
-        cubes, variances, masks = [], [], []
-        for p in batch_paths:
-            c = Cube(p)
-            cubes.append(c.filled(0).astype(np.float32))
-            v = c.var_filled(np.inf)
-            variances.append(
-                v.astype(np.float32) if v is not None
-                else np.ones_like(cubes[-1])
-            )
-            masks.append(c.masked_invalid())
-        return np.stack(cubes), np.stack(variances), np.stack(masks)
-
-    batches = [paths[i : i + dp] for i in range(0, nfields, dp)]
-    # pad the last batch by repeating its first field (results discarded)
-    pad_last = dp - len(batches[-1])
-    batches[-1] = batches[-1] + batches[-1][:1] * pad_last
-
     t0 = time.perf_counter()
-    results = []
-    with ThreadPoolExecutor(max_workers=1) as ingest:
-        nxt = ingest.submit(load_batch, batches[0])
-        for bi, batch_paths in enumerate(batches):
-            cubes, variances, masks = nxt.result()
-            if bi + 1 < len(batches):
-                nxt = ingest.submit(load_batch, batches[bi + 1])
-            lmax, lmin, cmax, cmin = pipe(cubes, variances, masks)
-            keep = dp if bi + 1 < len(batches) else dp - pad_last
-            for j in range(keep):
-                counts = np.asarray(cmax)[j]
-                results.append((batch_paths[j], counts))
-            print(f"batch {bi}: counts_max[0][:4] = "
-                  f"{np.asarray(cmax)[0][:4].tolist()}")
+    results = run_batches(pipe, paths, dp)
     dt = time.perf_counter() - t0
     vox = nfields * args.nz * args.ny * args.nx / 1e6
     print(f"{nfields} fields in {dt:.1f}s "
