@@ -33,13 +33,14 @@ BASELINE_MVOX_S = (NZ * NY * NX / 1e6) / 11.57
 E2E_TIMEBOX_S = 600
 
 
-def _run_session_steps(cube_fn, seg_fn, name, path):
+def _run_session_steps(cube_fn, seg_fn, name, path, areas_kw=None):
     from origin_tpu import ORIGIN
 
     orig = ORIGIN.init(cube_fn, name=name, path=path, loglevel="ERROR")
+    areas_kw = {"minsize": 30, "maxsize": 60} if areas_kw is None else areas_kw
     steps = [
         ("step01", lambda: orig.step01_preprocessing()),
-        ("step02", lambda: orig.step02_areas(minsize=30, maxsize=60)),
+        ("step02", lambda: orig.step02_areas(**areas_kw)),
         ("step03", lambda: orig.step03_compute_PCA_threshold()),
         ("step04", lambda: orig.step04_compute_greedy_PCA()),
         ("step05", lambda: orig.step05_compute_TGLR(ncpu=1)),
@@ -56,12 +57,19 @@ def _run_session_steps(cube_fn, seg_fn, name, path):
         ("write", lambda: orig.write()),
     ]
     times = {}
+    cpus = {}
     for sname, fn in steps:
         t0 = time.perf_counter()
+        c0 = time.process_time()
         fn()
+        # process_time sums every thread's CPU: the link-weather-
+        # INDEPENDENT per-step cost on this host
+        cpus[sname] = round(time.process_time() - c0, 3)
         times[sname] = round(time.perf_counter() - t0, 3)
     orig.close_logfile()
-    return times
+    if "engine" in orig.__dict__:
+        orig.engine.release()
+    return times, cpus
 
 
 def _time_boxed(fn, seconds):
@@ -127,7 +135,7 @@ def e2e_step_times():
             out = None
             for run in range(2):
                 lane_stats_reset()  # record the WARM run's lanes only
-                out = _run_session_steps(cube_fn, seg_fn, f"b{run}", tmp)
+                out, _ = _run_session_steps(cube_fn, seg_fn, f"b{run}", tmp)
             lanes = {k: round(v[1], 3) for k, v in sorted(
                 LANE_STATS.items(), key=lambda kv: -kv[1][1])
                 if v[1] >= 0.01}
@@ -141,7 +149,7 @@ def e2e_step_times():
             # a budget below the ~24-cube headroom forces tight mode
             os.environ["ORIGIN_TPU_HBM_BYTES"] = "2e8"
             try:
-                return _run_session_steps(cube_fn, seg_fn, "btight", tmp)
+                return _run_session_steps(cube_fn, seg_fn, "btight", tmp)[0]
             finally:
                 os.environ["ORIGIN_TPU_HBM_BYTES"] = saved
 
@@ -150,6 +158,78 @@ def e2e_step_times():
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return times, tight, lanes
+
+
+NOTEBOOK_TIMEBOX_S = 1200
+
+
+def notebook_step_times():
+    """Per-step wall AND host-CPU times at the reference notebook's scale.
+
+    One full 11-step pipeline pass on the 3681x100x200 synthetic field
+    (tools/bench_e2e.make_field — the configuration whose reference
+    record is 61.97 s of step time, docs/example.ipynb cell 79), with
+    the warm per-lane host-CPU dump.  The CPU totals are link-weather
+    independent, so they regression-guard the notebook-scale e2e result
+    even when the host-device tunnel is congested; wall times ride along
+    for context.  Skipped under BENCH_SKIP_E2E / BENCH_SKIP_NOTEBOOK or
+    when the time box expires (a congested-link day: the record then
+    simply lacks the notebook keys rather than carrying garbage).
+
+    Returns (times, cpus, lanes, stat_line) or (None, None, None, None).
+    """
+    if os.environ.get("BENCH_SKIP_E2E") or os.environ.get(
+            "BENCH_SKIP_NOTEBOOK"):
+        return None, None, None, None
+    import shutil
+    import tempfile
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from bench_e2e import make_field
+
+    saved = os.environ.get("ORIGIN_TPU_HBM_BYTES")
+    # the notebook field needs the real chip budget (the minicube pass
+    # pinned a small one); 16e9 = one v5-lite chip
+    os.environ["ORIGIN_TPU_HBM_BYTES"] = os.environ.get(
+        "BENCH_NOTEBOOK_HBM", "16e9")
+    tmp = tempfile.mkdtemp(prefix="bench_nb_")
+    out = (None, None, None, None)
+    try:
+        cube, _ = make_field(3681, 100, 200, seed=7)
+        cube_fn = os.path.join(tmp, "field.fits")
+        cube.write(cube_fn)
+        del cube
+
+        def run():
+            from origin_tpu.pipeline.engine import (LANE_STATS,
+                                                    lane_stats_reset)
+
+            lane_stats_reset()
+            times, cpus = _run_session_steps(cube_fn, None, "nb", tmp,
+                                             areas_kw={})
+            lanes = {k: round(v[1], 3) for k, v in sorted(
+                LANE_STATS.items(), key=lambda kv: -kv[1][1])
+                if v[1] >= 0.01}
+            return times, cpus, lanes
+
+        got = _time_boxed(run, NOTEBOOK_TIMEBOX_S)
+        if got is not None:
+            times, cpus, lanes = got
+            out = (times, cpus, lanes,
+                   "3681x100x200 synthetic field (reference notebook "
+                   "geometry), single in-process run; step11 includes "
+                   "the session write.  Wall times through a dev tunnel "
+                   "swing with congestion — regression-guard on "
+                   "steps_notebook_cpu / lanes_cpu_notebook")
+    finally:
+        if saved is None:
+            os.environ.pop("ORIGIN_TPU_HBM_BYTES", None)
+        else:
+            os.environ["ORIGIN_TPU_HBM_BYTES"] = saved
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def link_bandwidth(mbytes=32):
@@ -339,6 +419,19 @@ def main():
         "unit": "Mvoxels/s/chip",
         "vs_baseline": round(mvox_s / BASELINE_MVOX_S, 2),
     }
+
+    # the spatial FSF stage alone (DFT-by-matmul chain), guarded for the
+    # speed-of-light audit in docs/benchmarks.md: Mvox/s at the session
+    # default precision
+    def spatial_only(cube, kern_r, kern_i, norm_fsf, t_num, t_den, mask):
+        out = glr_spatial_matmul(cube, kern_r, kern_i, None, factors)
+        return out, out, out, out
+
+    try:
+        sp_mvox = measure(spatial_only)
+        record["value_spatial"] = round(sp_mvox, 2)
+    except Exception:
+        pass
     # secondary record: the opt-in bf16x3 throughput mode (skipped when it
     # is already the session default or pallas is unavailable)
     if use_pallas and DeviceEngine._pallas_precision() != "bf16x3":
@@ -378,6 +471,19 @@ def main():
     if tight is not None:
         record["steps_tight"] = tight
         record["steps_tight_total"] = round(sum(tight.values()), 2)
+    nb_times, nb_cpus, nb_lanes, nb_note = notebook_step_times()
+    if nb_times is not None:
+        record["steps_notebook"] = nb_times
+        record["steps_notebook_total"] = round(sum(nb_times.values()), 2)
+        record["steps_notebook_cpu"] = nb_cpus
+        record["steps_notebook_cpu_total"] = round(sum(nb_cpus.values()), 2)
+        if nb_lanes:
+            record["lanes_cpu_notebook"] = nb_lanes
+        record["steps_notebook_field"] = nb_note
+        # the reference's recorded step-time total at this geometry
+        # (docs/example.ipynb cell 79: 61.97 s)
+        record["vs_notebook_baseline"] = round(
+            61.97 / max(sum(nb_times.values()), 1e-9), 2)
     print(json.dumps(record))
 
 

@@ -1205,16 +1205,22 @@ class DeviceEngine:
             a2 = self.get(name2)
             e1 = tuple(self.get(g) for g in g1)
             e2 = tuple(self.get(g) for g in g2)
-            out = _count_extract_above_pair(
-                a1, e1, thr1, min(_SPEC_CAP, a1.size),
-                a2, e2, thr2, min(_SPEC_CAP, a2.size),
-            )
         except Exception:  # pragma: no cover - defensive (missing product)
             self._spec_det = None
             return
+
+        def job():
+            # dispatch INSIDE the worker: on a cold process the program's
+            # trace+compile would otherwise block step 06's main thread
+            # for exactly the time this prefetch is meant to save
+            return jax.device_get(_count_extract_above_pair(
+                a1, e1, thr1, min(_SPEC_CAP, a1.size),
+                a2, e2, thr2, min(_SPEC_CAP, a2.size),
+            ))
+
         self._spec_det = (
             self._det_pair_key(spec1, spec2),
-            _copy_pool().submit(jax.device_get, out),
+            _copy_pool().submit(job),
         )
 
     def detections_above_pair(self, spec1, spec2):

@@ -137,6 +137,9 @@ def main():
                     help="number of fields to process in this process; "
                     "compilation caches are warm from the 2nd run on, so "
                     "the last run measures steady-state throughput")
+    ap.add_argument("--reuse-field", action="store_true",
+                    help="reuse an existing synthetic field FITS in --out "
+                    "instead of regenerating it (same seed => same field)")
     ap.add_argument("--hbm-bytes", default="16e9",
                     help="device-memory budget for the tight-mode decision "
                     "when the backend reports no memory_stats limit "
@@ -154,12 +157,16 @@ def main():
 
     for run in range(args.repeat):
         t0 = time.perf_counter()
-        cube, lines = make_field(args.nz, args.ny, args.nx, seed=7 + run)
         os.makedirs(args.out, exist_ok=True)
         cube_fn = os.path.join(args.out, f"field{run}.fits")
-        cube.write(cube_fn)
-        print(f"[run {run}] synthetic field {args.nz}x{args.ny}x{args.nx} "
-              f"({len(lines)} lines) built in {time.perf_counter()-t0:.1f}s")
+        if args.reuse_field and os.path.isfile(cube_fn):
+            print(f"[run {run}] reusing {cube_fn}")
+        else:
+            cube, lines = make_field(args.nz, args.ny, args.nx, seed=7 + run)
+            cube.write(cube_fn)
+            print(f"[run {run}] synthetic field "
+                  f"{args.nz}x{args.ny}x{args.nx} ({len(lines)} lines) "
+                  f"built in {time.perf_counter()-t0:.1f}s")
         _run_pipeline(args, cube_fn, run)
 
 
@@ -192,18 +199,28 @@ def _run_pipeline(args, cube_fn, run):
         ("write", lambda: orig.write()),
     ]
 
+    def _tunnel_cpu(th):
+        """CPU seconds of the device-tunnel client's own threads (axon
+        stream codec, gRPC): byte-proportional rig overhead that a
+        TPU-VM's PCIe does not pay — split out so the pipeline's OWN
+        host cost is comparable across rigs and rounds."""
+        return sum(v for k, v in th.items()
+                   if k.startswith(("axon", "grpc", "Tsl")))
+
     times = {}
     cpu_times = {}
+    cpu_own_times = {}
     total = 0.0
     cpu_total = 0.0
-    print(f"{'step':8s} {'ours (s)':>10s} {'cpu (s)':>9s} {'ref (s)':>9s} "
-          f"{'speedup':>9s}")
+    print(f"{'step':8s} {'ours (s)':>10s} {'cpu (s)':>9s} {'own (s)':>9s} "
+          f"{'ref (s)':>9s} {'speedup':>9s}")
     for name, fn in steps:
         # process_time sums every thread's CPU seconds: it is the
         # link-weather-INDEPENDENT cost of the step on this 1-core host
         # (wall - cpu ~= time spent waiting on the tunnel)
         t0 = time.perf_counter()
         c0 = time.process_time()
+        tc0 = _tunnel_cpu(_thread_cpu())
         th0 = _thread_cpu() if name == "step11" else None
         if name == "step11" and os.environ.get("BENCH_E2E_PROFILE"):
             import cProfile
@@ -233,15 +250,19 @@ def _run_pipeline(args, cube_fn, run):
                     LANE_STATS.items(), key=lambda kv: -kv[1][1]):
                 print(f"  lane {label:18s} n={n:4d} cpu={cpu:6.2f}s "
                       f"wall={wall:6.2f}s bytes={nb/1e6:8.1f}MB")
+        tunnel = max(0.0, _tunnel_cpu(_thread_cpu()) - tc0)
         times[name] = dt
         cpu_times[name] = dc
+        cpu_own_times[name] = own = max(0.0, dc - tunnel)
         total += dt
         cpu_total += dc
         ref = REF_TIMES.get(name)
         sp = f"{ref/dt:8.1f}x" if ref else "      —"
-        print(f"{name:8s} {dt:10.2f} {dc:9.2f} {ref or 0:9.2f} {sp}")
+        print(f"{name:8s} {dt:10.2f} {dc:9.2f} {own:9.2f} {ref or 0:9.2f} "
+              f"{sp}")
     ref_total = sum(REF_TIMES.values())
-    print(f"{'TOTAL':8s} {total:10.2f} {cpu_total:9.2f} {ref_total:9.2f} "
+    print(f"{'TOTAL':8s} {total:10.2f} {cpu_total:9.2f} "
+          f"{sum(cpu_own_times.values()):9.2f} {ref_total:9.2f} "
           f"{ref_total/total:8.1f}x")
 
     ns = orig._get_stat()
@@ -265,7 +286,10 @@ def _run_pipeline(args, cube_fn, run):
             "vs_baseline": round(ref_total / total, 2),
             "steps": {k: round(v, 2) for k, v in times.items()},
             "steps_cpu": {k: round(v, 2) for k, v in cpu_times.items()},
+            "steps_cpu_own": {k: round(v, 2)
+                              for k, v in cpu_own_times.items()},
             "cpu_total": round(cpu_total, 2),
+            "cpu_own_total": round(sum(cpu_own_times.values()), 2),
         }))
 
 
