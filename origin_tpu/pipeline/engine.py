@@ -29,8 +29,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import fitsio
-from ..core.containers import Cube, Quant16, int_window
 from ..ops import compute_local_max, o2test, standardize
 from ..ops.dct import dct_residual
 from ..ops.convolve import fft2_shape

@@ -629,6 +629,26 @@ class Detection(Step):
                 "threshold= and threshold_std="
             )
 
+        # the (host-only) label segmentation FIRST: when step 06
+        # pre-dispatched the detection fetch, its round-trip is in flight
+        # right now — the deblending below overlaps that latency instead
+        # of idling in front of the join
+        if segmap is not None:
+            self.logger.info("using the provided segmentation map")
+            segmap_label = Image(segmap) if isinstance(segmap, str) else segmap
+            if segmap_label.shape != orig.shape[1:]:
+                raise ValueError(
+                    "segmap does not have the same shape as the processed cube"
+                )
+        else:
+            self.logger.info("deblending the continuum segmentation map")
+            deb = deblend_sources(
+                orig.ima_dct.data, orig.segmap_cont.data, npixels=5,
+                mode="linear",
+            )
+            segmap_label = Image(data=deb, wcs=orig.wcs, copy=False)
+        self.put("segmap_label", segmap_label)
+
         self.logger.info(
             "thresholding correl local maxima (> %.2f)", orig.threshold_correl
         )
@@ -664,22 +684,6 @@ class Detection(Step):
         keep = filter_duplicate_lines(cat, cat_std, maxdist_lines)
         cat_std = cat_std[np.asarray(keep, dtype=int)]
         self.logger.info("kept %d lines from std after filtering", len(keep))
-
-        if segmap is not None:
-            self.logger.info("using the provided segmentation map")
-            segmap_label = Image(segmap) if isinstance(segmap, str) else segmap
-            if segmap_label.shape != orig.shape[1:]:
-                raise ValueError(
-                    "segmap does not have the same shape as the processed cube"
-                )
-        else:
-            self.logger.info("deblending the continuum segmentation map")
-            deb = deblend_sources(
-                orig.ima_dct.data, orig.segmap_cont.data, npixels=5,
-                mode="linear",
-            )
-            segmap_label = Image(data=deb, wcs=orig.wcs, copy=False)
-        self.put("segmap_label", segmap_label)
 
         cat = format_catalog(vstack([cat, cat_std]))
         cat["area"] = self.segmap_label.data[
