@@ -195,21 +195,71 @@ def area_segmentation_convex_fusion(label, src):
     return np.array(out)
 
 
+def _close_grow(cu, niter):
+    """Morphological closing-with-growth: dilate ``niter + 1`` then erode
+    ``niter`` iterations (cross structure, eroding border treated as
+    foreground).  Computed as two cityblock distance transforms instead
+    of the 2·niter+1 iterated scipy passes — k-iteration dilation with
+    the connectivity-1 structure is exactly ``dist_to_foreground <= k``,
+    and border_value=1 erosion is ``dist_to_in-field-background > k``
+    (out-of-field pixels never erode).  ~20x fewer array passes; the
+    result is bit-identical (tested against the iterated form)."""
+    if not cu.any():
+        return cu
+    grown = ndi.distance_transform_cdt(~cu, metric="taxicab") <= niter + 1
+    if grown.all():  # no background left: nothing to erode from
+        return grown
+    return ndi.distance_transform_cdt(grown, metric="taxicab") > niter
+
+
 def area_growing(label, mask, niter=20):
     """Grow every area (closing + 1 dilation per pass) until the exposed map
-    is covered; areas never overtake one another."""
+    is covered; areas never overtake one another.
+
+    The free-pixel map (``mask`` minus every OTHER area) is maintained
+    incrementally — one occupancy-count image updated as each area grows
+    — instead of re-summing all other label planes per area per pass
+    (O(L²) full-array sums; with the distance-transform closing that sum
+    was the remaining cost of this function)."""
     order = np.argsort(np.sum(label, axis=(1, 2)))
     out = label.copy().astype(float)
-    nlab = out.shape[0]
+    mask = np.asarray(mask)
+    ny, nx = mask.shape
+    # occupancy count per pixel over all areas (areas may overlap after
+    # the convex closure, so a count, not a union)
+    occ = np.sum(out > 0, axis=0).astype(np.int32)
+    # an area that failed to grow while the label planes were disjoint
+    # can never grow again (its own shape is unchanged and the free map
+    # only shrinks), so it is skipped for the rest of the loop
+    frozen = np.zeros(out.shape[0], dtype=bool)
     while True:
         total = np.sum(out)
+        disjoint = occ.max() <= 1
         for n in order:
+            if frozen[n]:
+                continue
             cu = out[n] > 0
-            others = np.delete(np.arange(nlab), n)
-            border = (1 - (np.sum(out[others], axis=0) > 0)) * mask
-            cu = ndi.binary_dilation(cu, iterations=niter + 1)
-            cu = ndi.binary_erosion(cu, border_value=1, iterations=niter)
-            out[n] = cu * border
+            # the closing's reach is niter+1 pixels: everything outside
+            # the label's bounding box + that margin is provably
+            # untouched (the window-edge ring stays background, so the
+            # in-window distance transforms equal the global ones), and
+            # early passes then work on small windows instead of the
+            # whole field
+            ys, xs = np.nonzero(cu)
+            if ys.size:
+                m = niter + 2
+                w = (slice(max(0, ys.min() - m), min(ny, ys.max() + 1 + m)),
+                     slice(max(0, xs.min() - m), min(nx, xs.max() + 1 + m)))
+            else:
+                w = (slice(0, ny), slice(0, nx))
+            cuw = cu[w]
+            occ[w] -= cuw  # occupancy of the OTHERS
+            border = (occ[w] == 0) * mask[w]
+            new = _close_grow(cuw, niter) * border
+            if disjoint and np.array_equal(new > 0, cuw):
+                frozen[n] = True
+            out[n][w] = new
+            occ[w] += new > 0
         if np.sum(out) == np.sum(mask) or np.sum(out) == total:
             break
     return out

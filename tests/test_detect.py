@@ -128,6 +128,47 @@ def test_area_pipeline_end_to_end():
         assert len(vals) == 1
 
 
+def test_area_growing_matches_iterated_morphology():
+    """The distance-transform closing + windowed/frozen growth loop is
+    bit-identical to the direct iterated-scipy formulation (the
+    reference's semantics, reference lib_origin.py:698-736)."""
+    from scipy import ndimage as ndi
+
+    def reference_growing(label, mask, niter=20):
+        order = np.argsort(np.sum(label, axis=(1, 2)))
+        out = label.copy().astype(float)
+        nlab = out.shape[0]
+        while True:
+            total = np.sum(out)
+            for n in order:
+                cu = out[n] > 0
+                others = np.delete(np.arange(nlab), n)
+                border = (1 - (np.sum(out[others], axis=0) > 0)) * mask
+                cu = ndi.binary_dilation(cu, iterations=niter + 1)
+                cu = ndi.binary_erosion(cu, border_value=1,
+                                        iterations=niter)
+                out[n] = cu * border
+            if np.sum(out) == np.sum(mask) or np.sum(out) == total:
+                break
+        return out
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        ny, nx = rng.integers(40, 100, 2)
+        nlab = int(rng.integers(2, 6))
+        label = np.zeros((nlab, ny, nx))
+        yy, xx = np.mgrid[:ny, :nx]
+        for i in range(nlab):
+            y, x = rng.integers(5, ny - 5), rng.integers(5, nx - 5)
+            label[i][((yy - y) ** 2 + (xx - x) ** 2)
+                     < int(rng.integers(9, 400))] = 1
+        mask = np.ones((ny, nx), int)
+        mask[:, :2] = 0  # an unexposed strip
+        np.testing.assert_array_equal(
+            area_growing(label, mask), reference_growing(label, mask)
+        )
+
+
 # ---------------------------------------------------------------------------
 # merging
 # ---------------------------------------------------------------------------
