@@ -174,9 +174,15 @@ class DeferredCube(Cube):
                 # not poison the product — the next access retries from
                 # the still-held source (_dev / _fetch)
                 fut, self._future = self._future, None
-                arr = fut.result()
+                with _lane_timer("wire:join"):
+                    arr = fut.result()
             elif self._fetch is not None:
-                arr = self._fetch()
+                # no background job was started for this product: the
+                # consumer pays the fetch inline.  The wire:inline lane
+                # makes that visible — a bulk lane row here means a
+                # prefetch ordering bug upstream
+                with _lane_timer("wire:inline"):
+                    arr = self._fetch()
             elif self._dev is None:
                 raise RuntimeError(
                     "product content was discarded before materialization "
