@@ -43,7 +43,18 @@ __all__ = [
 
 
 def rank1_left_vector(m, iters=200, tol=1e-7):
-    """Dominant left singular vector of m (nz, np) by power iteration."""
+    """Dominant left singular vector of m (nz, np) by power iteration.
+
+    The tolerance is deliberately at the float32 floor (the alignment
+    change ``1 - |<u', u>|`` stalls ~2e-6 on noisy spectra, so the loop
+    usually runs its full budget): the reference extracts this vector
+    with ARPACK ``svds`` at machine precision (reference
+    lib_origin.py:940), and a relaxed 1e-5 tolerance — measured 1.6x
+    faster per greedy-PCA step — was REJECTED because it perturbs
+    detection counts on the golden catalog (see the PCA audit in
+    docs/benchmarks.md).  The matvecs themselves run at ~93% of HBM
+    bandwidth, so at fixed fidelity this loop is at its roofline.
+    """
     eps = jnp.asarray(1e-30, m.dtype)
     colnorm = jnp.sum(m * m, axis=0)
     u0 = m[:, jnp.argmax(colnorm)]
