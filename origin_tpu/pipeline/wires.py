@@ -536,20 +536,66 @@ def _dyn_region(dev, z0, y0, x0, zl, h, w):
     return jax.lax.dynamic_slice(dev, (z0, y0, x0), (zl, h, w))
 
 
-def _compact_body(flat, hit, extras, cap):
-    """Flat indices + values of the entries where ``hit`` is True.
+#: block width of the two-stage compaction; 512 keeps the second-stage
+#: scatter at ``cap x 512`` elements (a few MB) regardless of cube size
+_COMPACT_BLOCK = 512
 
-    Stream compaction by cumsum + drop-scatter: O(N), compiles ~3x
-    faster than top_k and an order of magnitude faster than a full-cube
-    sized argwhere, and emits indices already in row-major (np.where)
-    order.  Entries beyond ``cap`` are dropped (callers size cap from an
-    exact device-side count).
-    """
+#: arrays at or below this size use the single-stage compaction (the
+#: two-stage machinery only pays off once the scatter's serialization
+#: dominates)
+_COMPACT_SINGLE_MAX = 1 << 21
+
+
+def _compact_small(flat, hit, extras, cap):
+    """Single-stage cumsum + drop-scatter compaction (small arrays)."""
     pos = jnp.cumsum(hit.astype(jnp.int32))
     tgt = jnp.where(hit, pos - 1, cap)
     fidx = jnp.zeros(cap, jnp.int32).at[tgt].set(
         jnp.arange(flat.size, dtype=jnp.int32), mode="drop"
     )
+    return fidx, flat[fidx], tuple(e.ravel()[fidx] for e in extras)
+
+
+def _compact_body(flat, hit, extras, cap):
+    """Flat indices + values of the first ``cap`` entries where ``hit``
+    is True, in row-major (np.where) order.
+
+    Small arrays: one cumsum + drop-scatter pass.  Large arrays
+    (full-size cubes) use a TWO-STAGE compaction, because a cube-sized
+    scatter serializes on TPU (~1 s per 74 Mvox — it was the whole
+    latency of the step-07 detection fetch): per-block hit counts (a
+    fast reduction), ``top_k`` over the block indices to select the
+    first ``cap`` blocks containing hits (hits beyond ``cap`` blocks
+    cannot be among the first ``cap`` hits), then the cumsum+scatter on
+    the gathered ``cap x 512`` slice only.  Results are identical to
+    the single-stage form; entries beyond ``cap`` are dropped (callers
+    size cap from an exact device-side count).
+    """
+    n = flat.size
+    blk = _COMPACT_BLOCK
+    if n <= _COMPACT_SINGLE_MAX or cap * blk >= n:
+        # small array, or a capacity so large the block selection would
+        # select (nearly) every block anyway — e.g. the dense-count
+        # extrema fetches, where the gathered slice would BE the array
+        return _compact_small(flat, hit, extras, cap)
+    nblk = -(-n // blk)
+    pad = nblk * blk - n
+    hitp = jnp.pad(hit.ravel(), (0, pad)).reshape(nblk, blk)
+    counts = jnp.sum(hitp, axis=1)
+    nbsel = min(cap, nblk)
+    # select the first nbsel hit-carrying blocks (ascending) with the
+    # single-stage compaction at BLOCK granularity — an nblk-sized
+    # scatter is cheap, and unlike top_k it compiles in milliseconds
+    blkhit = counts > 0
+    blkidx = jnp.arange(nblk, dtype=jnp.int32)
+    sel, _, _ = _compact_small(blkidx, blkhit, (), nbsel)
+    vsel = jnp.arange(nbsel) < jnp.sum(blkhit.astype(jnp.int32))
+    ghit = hitp[sel] & vsel[:, None]
+    gidx = (sel[:, None] * blk
+            + jnp.arange(blk, dtype=jnp.int32)[None, :]).ravel()
+    pos = jnp.cumsum(ghit.ravel().astype(jnp.int32))
+    tgt = jnp.where(ghit.ravel(), pos - 1, cap)
+    fidx = jnp.zeros(cap, jnp.int32).at[tgt].set(gidx, mode="drop")
     return fidx, flat[fidx], tuple(e.ravel()[fidx] for e in extras)
 
 

@@ -92,6 +92,30 @@ def test_compact_body_row_major_order():
     np.testing.assert_array_equal(vals[:n], [5.0, 3.0, 7.0])
 
 
+def test_compact_body_two_stage_matches_np_where():
+    """The large-array two-stage compaction (block top_k + windowed
+    scatter) returns exactly the first-cap hits in np.where order."""
+    rng = np.random.default_rng(3)
+    n = wires._COMPACT_SINGLE_MAX + 50_000  # force the two-stage path
+    flat = rng.normal(size=n).astype(np.float32)
+    extra = rng.normal(size=n).astype(np.float32)
+    for thr, cap in ((4.0, 1024), (2.5, 256)):  # sparse / overflowing
+        fj = jnp.asarray(flat)
+        fidx, vals, (ev,) = map(np.asarray, (
+            lambda r: (r[0], r[1], r[2]))(
+            wires._compact_body(fj, fj > thr, (jnp.asarray(extra),), cap)))
+        ei = np.where(flat > thr)[0]
+        m = min(cap, len(ei))
+        assert m > 0
+        np.testing.assert_array_equal(fidx[:m], ei[:m])
+        np.testing.assert_allclose(vals[:m], flat[ei[:m]])
+        np.testing.assert_allclose(ev[:m], extra[ei[:m]])
+        # single-stage reference on the same data
+        f2, v2, (e2,) = wires._compact_small(fj, fj > thr,
+                                             (jnp.asarray(extra),), cap)
+        np.testing.assert_array_equal(fidx[:m], np.asarray(f2)[:m])
+
+
 def test_int16_wire_fetch_releases_device_ref():
     x = (np.random.default_rng(2).normal(size=(6, 4, 4)) * 3).astype(
         np.float32)
