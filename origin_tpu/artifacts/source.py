@@ -21,7 +21,7 @@ import numpy as np
 
 from .. import fitsio
 from ..core.containers import Cube, Image, Spectrum
-from ..core.fsf import MoffatFSF, read_fsf_from_header
+from ..core.fsf import read_fsf_from_header
 from ..core.table import Table
 
 __all__ = ["Source"]

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 from scipy import ndimage as ndi
-from scipy.signal import fftconvolve
 from scipy.spatial import ConvexHull, QhullError
 
 __all__ = [

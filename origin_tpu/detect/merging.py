@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 from scipy.spatial import cKDTree
 
-from ..core.table import Table
 
 __all__ = ["spatiospectral_merging", "filter_duplicate_lines"]
 

@@ -13,7 +13,6 @@ import ctypes
 import logging
 import os
 import subprocess
-import sysconfig
 
 import numpy as np
 

@@ -26,7 +26,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.fft import next_fast_len
 
 from .convolve import fft2_shape, fftconvolve2d_same
 
