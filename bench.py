@@ -36,6 +36,20 @@ E2E_TIMEBOX_S = 600
 def _run_session_steps(cube_fn, seg_fn, name, path, areas_kw=None):
     from origin_tpu import ORIGIN
 
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from bench_e2e import _thread_cpu
+
+    def _tunnel_cpu():
+        # CPU burned by the device-tunnel client's own threads (axon
+        # stream codec, gRPC): byte-proportional RIG overhead a TPU-VM's
+        # PCIe does not pay.  Split out per step so `cpus_own` is the
+        # link-weather-independent pipeline cost (benchmarks.md:556-566).
+        th = _thread_cpu()
+        return sum(v for k, v in th.items()
+                   if k.startswith(("axon", "grpc", "Tsl")))
+
     orig = ORIGIN.init(cube_fn, name=name, path=path, loglevel="ERROR")
     areas_kw = {"minsize": 30, "maxsize": 60} if areas_kw is None else areas_kw
     steps = [
@@ -58,18 +72,29 @@ def _run_session_steps(cube_fn, seg_fn, name, path, areas_kw=None):
     ]
     times = {}
     cpus = {}
+    cpus_own = {}
     for sname, fn in steps:
         t0 = time.perf_counter()
         c0 = time.process_time()
+        tc0 = _tunnel_cpu()
         fn()
         # process_time sums every thread's CPU: the link-weather-
         # INDEPENDENT per-step cost on this host
         cpus[sname] = round(time.process_time() - c0, 3)
+        cpus_own[sname] = round(
+            max(0.0, cpus[sname] - (_tunnel_cpu() - tc0)), 3)
         times[sname] = round(time.perf_counter() - t0, 3)
+    # detection-count pin: a numerics regression moves these before it
+    # moves any timing
+    try:
+        stat = {k: v for k, v in orig._get_stat().items()
+                if isinstance(v, int)}
+    except Exception:
+        stat = None
     orig.close_logfile()
     if "engine" in orig.__dict__:
         orig.engine.release()
-    return times, cpus
+    return times, cpus, cpus_own, stat
 
 
 def _time_boxed(fn, seconds):
@@ -135,7 +160,7 @@ def e2e_step_times():
             out = None
             for run in range(2):
                 lane_stats_reset()  # record the WARM run's lanes only
-                out, _ = _run_session_steps(cube_fn, seg_fn, f"b{run}", tmp)
+                out = _run_session_steps(cube_fn, seg_fn, f"b{run}", tmp)[0]
             lanes = {k: round(v[1], 3) for k, v in sorted(
                 LANE_STATS.items(), key=lambda kv: -kv[1][1])
                 if v[1] >= 0.01}
@@ -161,26 +186,37 @@ def e2e_step_times():
 
 
 NOTEBOOK_TIMEBOX_S = 1200
+NOTEBOOK_WARM_TIMEBOX_S = 600
+NOTEBOOK_TIGHT_TIMEBOX_S = 900
 
 
 def notebook_step_times():
-    """Per-step wall AND host-CPU times at the reference notebook's scale.
+    """Cold + WARM pipeline passes at the reference notebook's scale.
 
-    One full 11-step pipeline pass on the 3681x100x200 synthetic field
+    Two full 11-step pipeline passes on the 3681x100x200 synthetic field
     (tools/bench_e2e.make_field — the configuration whose reference
-    record is 61.97 s of step time, docs/example.ipynb cell 79), with
-    the warm per-lane host-CPU dump.  The CPU totals are link-weather
-    independent, so they regression-guard the notebook-scale e2e result
-    even when the host-device tunnel is congested; wall times ride along
-    for context.  Skipped under BENCH_SKIP_E2E / BENCH_SKIP_NOTEBOOK or
-    when the time box expires (a congested-link day: the record then
-    simply lacks the notebook keys rather than carrying garbage).
+    record is 61.97 s of step time, docs/example.ipynb cell 79).  The
+    second, warm in-process pass (compiled programs + instrument
+    constants resident — the survey steady state, like the minicube
+    pass's 2nd run) is the headline ``vs_notebook_baseline``; the cold
+    pass rides along.  Each pass records the PIPELINE-OWN host-CPU split
+    (process CPU minus the device-tunnel client's codec threads), which
+    is the link-weather-independent regression guard, plus the detection
+    -count pin.  A third pass forces the tight-memory mode
+    (``ORIGIN_TPU_HBM_BYTES=2e9`` < the ~24-cube headroom), driving the
+    slab-chunked GLR / eager-offload machinery a full-size 300x300x3681
+    field needs — pinning its catalog so a tight-path regression moves a
+    driver-visible number (the full field itself cannot fit the driver's
+    time box; docs/benchmarks.md:520-543 records the hand-run record).
 
-    Returns (times, cpus, lanes, stat_line) or (None, None, None, None).
+    Every pass is separately time-boxed so a congested-link day degrades
+    the record key by key instead of dropping it whole.
+
+    Returns a dict of record keys (possibly empty).
     """
     if os.environ.get("BENCH_SKIP_E2E") or os.environ.get(
             "BENCH_SKIP_NOTEBOOK"):
-        return None, None, None, None
+        return {}
     import shutil
     import tempfile
 
@@ -195,41 +231,87 @@ def notebook_step_times():
     os.environ["ORIGIN_TPU_HBM_BYTES"] = os.environ.get(
         "BENCH_NOTEBOOK_HBM", "16e9")
     tmp = tempfile.mkdtemp(prefix="bench_nb_")
-    out = (None, None, None, None)
+    rec = {}
     try:
         cube, _ = make_field(3681, 100, 200, seed=7)
         cube_fn = os.path.join(tmp, "field.fits")
         cube.write(cube_fn)
         del cube
 
-        def run():
+        def run(name):
             from origin_tpu.pipeline.engine import (LANE_STATS,
                                                     lane_stats_reset)
 
             lane_stats_reset()
-            times, cpus = _run_session_steps(cube_fn, None, "nb", tmp,
-                                             areas_kw={})
+            times, cpus, cpus_own, stat = _run_session_steps(
+                cube_fn, None, name, tmp, areas_kw={})
             lanes = {k: round(v[1], 3) for k, v in sorted(
                 LANE_STATS.items(), key=lambda kv: -kv[1][1])
                 if v[1] >= 0.01}
-            return times, cpus, lanes
+            return times, cpus, cpus_own, lanes, stat
 
-        got = _time_boxed(run, NOTEBOOK_TIMEBOX_S)
+        got = _time_boxed(lambda: run("nb"), NOTEBOOK_TIMEBOX_S)
+        if got is None:
+            return rec
+        times, cpus, cpus_own, lanes, stat = got
+        rec["steps_notebook_cold"] = times
+        rec["steps_notebook_cold_total"] = round(sum(times.values()), 2)
+        rec["steps_notebook_cpu_own_cold"] = round(
+            sum(cpus_own.values()), 2)
+
+        got = _time_boxed(lambda: run("nbw"), NOTEBOOK_WARM_TIMEBOX_S)
         if got is not None:
-            times, cpus, lanes = got
-            out = (times, cpus, lanes,
-                   "3681x100x200 synthetic field (reference notebook "
-                   "geometry), single in-process run; step11 includes "
-                   "the session write.  Wall times through a dev tunnel "
-                   "swing with congestion — regression-guard on "
-                   "steps_notebook_cpu / lanes_cpu_notebook")
+            times, cpus, cpus_own, lanes, stat = got
+            rec["steps_notebook"] = times
+            rec["steps_notebook_total"] = round(sum(times.values()), 2)
+            rec["steps_notebook_cpu"] = cpus
+            rec["steps_notebook_cpu_total"] = round(sum(cpus.values()), 2)
+            rec["steps_notebook_cpu_own"] = cpus_own
+            rec["steps_notebook_cpu_own_total"] = round(
+                sum(cpus_own.values()), 2)
+            if lanes:
+                rec["lanes_cpu_notebook"] = lanes
+            if stat:
+                rec["stat_notebook"] = stat
+            rec["steps_notebook_field"] = (
+                "3681x100x200 synthetic field (reference notebook "
+                "geometry); steps_notebook = WARM 2nd in-process run "
+                "(survey steady state), steps_notebook_cold = 1st run; "
+                "step11 includes the session write.  Wall through a dev "
+                "tunnel swings with congestion — regression-guard on "
+                "steps_notebook_cpu_own / lanes_cpu_notebook")
+            # the reference's recorded step-time total at this geometry
+            # (docs/example.ipynb cell 79: 61.97 s)
+            rec["vs_notebook_baseline"] = round(
+                61.97 / max(rec["steps_notebook_total"], 1e-9), 2)
+            rec["vs_notebook_cold"] = round(
+                61.97 / max(rec["steps_notebook_cold_total"], 1e-9), 2)
+
+        def tight():
+            os.environ["ORIGIN_TPU_HBM_BYTES"] = "2e9"
+            try:
+                return run("nbtight")
+            finally:
+                os.environ["ORIGIN_TPU_HBM_BYTES"] = os.environ.get(
+                    "BENCH_NOTEBOOK_HBM", "16e9")
+
+        if not os.environ.get("BENCH_SKIP_TIGHT"):
+            got = _time_boxed(tight, NOTEBOOK_TIGHT_TIMEBOX_S)
+            if got is not None:
+                times, cpus, cpus_own, lanes, stat = got
+                rec["steps_notebook_tight_total"] = round(
+                    sum(times.values()), 2)
+                rec["steps_notebook_tight_cpu_own"] = round(
+                    sum(cpus_own.values()), 2)
+                if stat:
+                    rec["stat_notebook_tight"] = stat
     finally:
         if saved is None:
             os.environ.pop("ORIGIN_TPU_HBM_BYTES", None)
         else:
             os.environ["ORIGIN_TPU_HBM_BYTES"] = saved
         shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return rec
 
 
 def link_bandwidth(mbytes=32):
@@ -471,20 +553,42 @@ def main():
     if tight is not None:
         record["steps_tight"] = tight
         record["steps_tight_total"] = round(sum(tight.values()), 2)
-    nb_times, nb_cpus, nb_lanes, nb_note = notebook_step_times()
-    if nb_times is not None:
-        record["steps_notebook"] = nb_times
-        record["steps_notebook_total"] = round(sum(nb_times.values()), 2)
-        record["steps_notebook_cpu"] = nb_cpus
-        record["steps_notebook_cpu_total"] = round(sum(nb_cpus.values()), 2)
-        if nb_lanes:
-            record["lanes_cpu_notebook"] = nb_lanes
-        record["steps_notebook_field"] = nb_note
-        # the reference's recorded step-time total at this geometry
-        # (docs/example.ipynb cell 79: 61.97 s)
-        record["vs_notebook_baseline"] = round(
-            61.97 / max(sum(nb_times.values()), 1e-9), 2)
-    print(json.dumps(record))
+    record.update(notebook_step_times())
+
+    # The driver keeps only the LAST ~2000 characters of stdout: the full
+    # record (with its per-step/per-lane tables) goes to a file and an
+    # EARLIER stdout line; the final line is a compact headline that
+    # always fits the tail window (round 4's full record outgrew it and
+    # the round's official number was lost — BENCH_r04.json parsed=null).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as fh:
+            json.dump(record, fh, indent=1)
+    except OSError:
+        pass
+    print("BENCH_FULL " + json.dumps(record))
+    compact_keys = (
+        "metric", "value", "unit", "vs_baseline",
+        "value_bf16x3", "vs_baseline_bf16x3", "value_k20",
+        "value_k20_bf16x3", "value_spatial",
+        "link_h2d_MBps", "link_d2h_MBps",
+        "steps_total", "steps_tight_total",
+        "steps_notebook_total", "vs_notebook_baseline",
+        "steps_notebook_cold_total", "vs_notebook_cold",
+        "steps_notebook_cpu_total", "steps_notebook_cpu_own_total",
+        "steps_notebook_cpu_own_cold",
+        "steps_notebook_tight_total", "steps_notebook_tight_cpu_own",
+        "stat_notebook", "stat_notebook_tight",
+    )
+    compact = {k: record[k] for k in compact_keys if k in record}
+    compact["full_record"] = "bench_full.json"
+    out = json.dumps(compact)
+    if len(out) > 1900:  # hard guarantee: never outgrow the tail window
+        out = json.dumps({k: compact[k] for k in (
+            "metric", "value", "unit", "vs_baseline",
+            "steps_notebook_total", "vs_notebook_baseline",
+            "steps_notebook_cpu_own_total") if k in compact})
+    print(out)
 
 
 if __name__ == "__main__":

@@ -94,7 +94,9 @@ class _Base:
             if mask is None:
                 m = ~np.isfinite(self.data) if self.data.dtype.kind == "f" else None
                 self.mask = m if (m is not None and m.any()) else None
-            elif mask is False:
+            elif mask is False or (np.ndim(mask) == 0 and not mask):
+                # False / np.ma.nomask (mpdaf's "no mask" sentinel): the
+                # scalar would also trip numpy 2's copy=False strictness
                 self.mask = None
             else:
                 self.mask = np.array(mask, dtype=bool, copy=copy)
