@@ -62,6 +62,52 @@ def _moffat_weight_cube(ny, nx, step, psf, beta):
     return wcube
 
 
+def _coord_header(obj, is_cube):
+    """WCS/wave FITS cards of one attached data object."""
+    hdr = fitsio.Header()
+    if getattr(obj, "wcs", None) is not None:
+        obj.wcs.to_header(hdr)
+    if getattr(obj, "wave", None) is not None:
+        obj.wave.to_header(hdr, axis=3 if is_cube else 1)
+    return hdr
+
+
+def _cube_hdus(name, cube, coord_header):
+    """The CUB_<name>_DATA[/_STAT] HDUs of one cutout cube.
+
+    Shared by :meth:`Source.write` and :meth:`Source.append_cube` so a
+    deferred-appended detection cutout is byte-identical to an inline
+    one."""
+    hdus = []
+    hdr = coord_header(cube, True)
+    hdr["EXTNAME"] = f"CUB_{name}_DATA"
+    wire = getattr(cube, "wire16", lambda: None)()
+    if (wire is not None and cube.var is None and cube.mask is None
+            and wire.q.shape == tuple(cube.shape)):
+        # quantized statistic cutout (ORI_CORREL/ORI_SNCUBE): store the
+        # int16 window as-is with its scale — no float32 decode, half
+        # the bytes; FITS readers apply BSCALE transparently
+        hdr["BSCALE"] = wire.scale, "physical = BSCALE * stored"
+        hdr["BZERO"] = 0.0
+        hdus.append(fitsio.HDU(data=wire.q, header=hdr))
+        return hdus
+    data = cube.data
+    if data.dtype.kind == "f" and cube.mask is not None:
+        # raw-cube cutouts carry NaN at masked voxels already — skip the
+        # full-cutout fill copy then
+        masked = data[cube.mask]
+        if not np.isnan(masked).all():
+            data = np.where(cube.mask, np.nan, data)
+    hdus.append(fitsio.HDU(
+        data=data.astype(np.float32, copy=False), header=hdr))
+    if cube.var is not None:
+        vhdr = coord_header(cube, True)
+        vhdr["EXTNAME"] = f"CUB_{name}_STAT"
+        hdus.append(fitsio.HDU(
+            data=cube.var.astype(np.float32, copy=False), header=vhdr))
+    return hdus
+
+
 class Source:
     def __init__(self, header=None):
         self.header = header if header is not None else fitsio.Header()
@@ -333,14 +379,7 @@ class Source:
     # -- I/O ------------------------------------------------------------------------
     def write(self, filename):
         hdus = [fitsio.HDU(header=self.header.copy())]
-
-        def coord_header(obj, is_cube):
-            hdr = fitsio.Header()
-            if getattr(obj, "wcs", None) is not None:
-                obj.wcs.to_header(hdr)
-            if getattr(obj, "wave", None) is not None:
-                obj.wave.to_header(hdr, axis=3 if is_cube else 1)
-            return hdr
+        coord_header = _coord_header
 
         for name, img in self.images.items():
             hdr = coord_header(img, False)
@@ -350,33 +389,7 @@ class Source:
                 data = np.where(img.mask, np.nan, data)
             hdus.append(fitsio.HDU(data=data, header=hdr))
         for name, cube in self.cubes.items():
-            hdr = coord_header(cube, True)
-            hdr["EXTNAME"] = f"CUB_{name}_DATA"
-            wire = getattr(cube, "wire16", lambda: None)()
-            if (wire is not None and cube.var is None and cube.mask is None
-                    and wire.q.shape == tuple(cube.shape)):
-                # quantized statistic cutout (ORI_CORREL/ORI_SNCUBE):
-                # store the int16 window as-is with its scale — no
-                # float32 decode, half the bytes; FITS readers apply
-                # BSCALE transparently
-                hdr["BSCALE"] = wire.scale, "physical = BSCALE * stored"
-                hdr["BZERO"] = 0.0
-                hdus.append(fitsio.HDU(data=wire.q, header=hdr))
-                continue
-            data = cube.data
-            if data.dtype.kind == "f" and cube.mask is not None:
-                # raw-cube cutouts carry NaN at masked voxels already —
-                # skip the full-cutout fill copy then
-                masked = data[cube.mask]
-                if not np.isnan(masked).all():
-                    data = np.where(cube.mask, np.nan, data)
-            hdus.append(fitsio.HDU(
-                data=data.astype(np.float32, copy=False), header=hdr))
-            if cube.var is not None:
-                vhdr = coord_header(cube, True)
-                vhdr["EXTNAME"] = f"CUB_{name}_STAT"
-                hdus.append(fitsio.HDU(
-                    data=cube.var.astype(np.float32, copy=False), header=vhdr))
+            hdus.extend(_cube_hdus(name, cube, coord_header))
         for name, sp in self.spectra.items():
             hdr = coord_header(sp, False)
             hdr["EXTNAME"] = f"SPE_{name}_DATA"
@@ -400,6 +413,17 @@ class Source:
             )
             hdus.append(fitsio.HDU(data=cols, header=hdr))
         fitsio.write(filename, hdus)
+
+    @staticmethod
+    def append_cube(filename, name, cube):
+        """Append one cube extension to an already-written source file.
+
+        The two-phase writer (source_creation) writes everything except
+        the detection-cube cutout while that cube's device-to-host wire
+        is still in flight, then appends the ``CUB_<name>_DATA``
+        extension here; extension lookup is by EXTNAME, so the position
+        in the file carries no meaning."""
+        fitsio.append(filename, _cube_hdus(name, cube, _coord_header))
 
     @classmethod
     def from_file(cls, filename):

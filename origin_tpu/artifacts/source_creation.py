@@ -57,6 +57,7 @@ def _create_source(
     cube_ori=None,
     spectra_pre=None,
     line_images_pre=None,
+    defer_ori=False,
 ):
     """Create one Source file (reference source_creation.py:26-436).
 
@@ -64,6 +65,13 @@ def _create_source(
     :func:`create_all_sources`; otherwise the full cubes are read from the
     given filenames (the reference re-reads them for every source, which
     costs ~3 full-cube FITS reads per source on large fields).
+
+    With ``defer_ori`` the ORI_CORREL/ORI_SNCUBE cutout is NOT attached
+    (the caller appends its extension later, once the detection cube's
+    device-to-host wire has landed — see :func:`create_all_sources`);
+    every consumer of that cube must then be device-precomputed
+    (``spectra_pre`` with maxmap + corr spectrum, ``line_images_pre``
+    covering every line).
     """
     ids = np.asarray(source_table["ID"])
     k = int(np.where(ids == source_id)[0][0])
@@ -201,20 +209,32 @@ def _create_source(
         has_fsf = False
     data_cube = source.cubes["MUSE_CUBE"]
 
-    if cube_ori is None:
-        from ..pipeline.recipes import load_cube
-
-        # lazy: a recipe-stored cube_std rebuilds only this source's
-        # window instead of the full field (update_sources re-runs cut
-        # one cutout per call)
-        cube_ori = load_cube(cube_std_filename if comp
-                             else cube_cor_filename, lazy=True)
     ori_tag = "ORI_SNCUBE" if comp else "ORI_CORREL"
-    if cube_ori.shape[1:] == (mask_size, mask_size):
-        source.cubes[ori_tag] = cube_ori
+    if defer_ori:
+        if maxmap_pre is None or corr_spec_pre is None:
+            raise ValueError(
+                "defer_ori requires device-precomputed maxmap and corr "
+                "spectrum (spectra_pre)"
+            )
+        # two-phase write: the ORI cutout extension is appended by the
+        # caller once the detection cube's wire lands.  Its grid is the
+        # MUSE_CUBE cutout's (same center/size cut by the same subcube
+        # convention), so that cutout stands in for wcs/wave below.
+        cube_ori = data_cube
     else:
-        source.add_cube(cube_ori, ori_tag, size=mask_size)
-    cube_ori = source.cubes[ori_tag]
+        if cube_ori is None:
+            from ..pipeline.recipes import load_cube
+
+            # lazy: a recipe-stored cube_std rebuilds only this source's
+            # window instead of the full field (update_sources re-runs
+            # cut one cutout per call)
+            cube_ori = load_cube(cube_std_filename if comp
+                                 else cube_cor_filename, lazy=True)
+        if cube_ori.shape[1:] == (mask_size, mask_size):
+            source.cubes[ori_tag] = cube_ori
+        else:
+            source.add_cube(cube_ori, ori_tag, size=mask_size)
+        cube_ori = source.cubes[ori_tag]
 
     # nearby sources table
     radius = mask_size / 2
@@ -326,6 +346,10 @@ def _create_source(
             [f"NB_LINE_{num_line}", lbda_ori, nb_fwhm * fwhm_ori, 10.0, 3.0]
         )
         pre_img = (line_images_pre or {}).get(num_line)
+        if pre_img is None and defer_ori:
+            raise ValueError(
+                f"defer_ori without a device line image for {num_line}"
+            )
         if pre_img is not None:
             # device-computed narrow-band max image (same values as the
             # host nanmax over the cutout slab)
@@ -465,6 +489,7 @@ def create_all_sources(
     from ..utils import progressbar
 
     jobs = []
+    deferred = []
     for source_id in progressbar(ids, desc="sources", leave=False):
         source_lines = cat3_lines[np.asarray(cat3_lines["ID"]) == source_id]
         mask_size = Image(mask_filename_tpl % source_id).shape[0]
@@ -475,6 +500,27 @@ def create_all_sources(
                 num: img for (sid, num), img in line_images_pre.items()
                 if sid == source_id
             } or None
+        pre = (spectra_pre or {}).get(source_id)
+        # two-phase write (sequential runs with full device artifacts):
+        # the source file is written WITHOUT the ORI_CORREL/ORI_SNCUBE
+        # extension while the detection cube's device-to-host wire is
+        # still streaming — nothing else in the file needs that cube
+        # when the maxmap/corr-spectrum/line images came from the device
+        # — and the cutout extension is appended afterwards (below).
+        # The write CPU then overlaps the transfer instead of idling
+        # behind it (measured: 9-18 s of first-source wait otherwise).
+        unmerged_nums = set(
+            int(n) for n, m in zip(source_lines["num_line"],
+                                   source_lines["merged_in"])
+            if int(m) == -9999
+        )
+        defer = (
+            n_jobs == 1
+            and pre is not None
+            and "ORI_MAXMAP_IMG" in pre and "ORI_CORR" in pre
+            and line_imgs is not None
+            and unmerged_nums <= set(line_imgs)
+        )
         jobs.append(
             delayed(create_source)(
                 source_id=source_id,
@@ -500,10 +546,31 @@ def create_all_sources(
                 # overlaps the cube's in-flight device-to-host transfer
                 # instead of queuing behind it.  Parallel (process) runs
                 # precut here so jobs never pickle a full cube.
-                cube_ori=(ori if n_jobs == 1
+                cube_ori=(None if defer else ori if n_jobs == 1
                           else _precut(ori, source_id, mask_size)),
-                spectra_pre=(spectra_pre or {}).get(source_id),
+                spectra_pre=pre,
                 line_images_pre=line_imgs,
+                defer_ori=defer,
             )
         )
+        if defer:
+            deferred.append((source_id, out_tpl % source_id, mask_size))
     Parallel(n_jobs=n_jobs)(jobs)
+
+    # phase 2: append the detection-cube cutouts.  The first _precut
+    # joins the wire (by now landed or nearly so — and the join releases
+    # the foreground gate, so parked-checkpoint byte-processing uses any
+    # remaining wait); int16 windows keep the appended extension
+    # byte-identical to an inline write.
+    for source_id, out_fn, mask_size in deferred:
+        comp = comps[source_id]
+        sub = _precut(cube_std if comp else cube_cor, source_id, mask_size)
+        with _lane_timer_append():
+            Source.append_cube(out_fn, "ORI_SNCUBE" if comp
+                               else "ORI_CORREL", sub)
+
+
+def _lane_timer_append():
+    from ..pipeline.engine import _lane_timer
+
+    return _lane_timer("source:append")

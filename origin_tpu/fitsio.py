@@ -461,6 +461,38 @@ def _write_bintable(columns, header):
 # reading
 # ---------------------------------------------------------------------------
 
+def scan(filename):
+    """Headers and payload byte offsets of every HDU — no payload read.
+
+    Returns a list of ``(header, data_offset, data_nbytes)`` tuples (the
+    offset of the first payload byte and its unpadded length; 0 bytes for
+    headerless HDUs).  Lets streaming consumers (pipeline.ingest) read
+    image payloads region by region instead of loading whole cubes.
+    """
+    out = []
+    with open(filename, "rb") as fh:
+        while True:
+            hdr = _read_header(fh)
+            if hdr is None:
+                break
+            naxis = int(hdr.get("NAXIS", 0))
+            dims = [int(hdr[f"NAXIS{i}"]) for i in range(1, naxis + 1)]
+            nelem = int(np.prod(dims)) if dims else 0
+            if str(hdr.get("XTENSION", "")).strip() == "BINTABLE":
+                nbytes = int(hdr["NAXIS1"]) * int(hdr["NAXIS2"]) + int(
+                    hdr.get("PCOUNT", 0)
+                )
+            elif naxis == 0 or nelem == 0:
+                nbytes = 0
+            else:
+                nbytes = nelem * _BITPIX_TO_DTYPE[int(hdr["BITPIX"])].itemsize
+            out.append((hdr, fh.tell(), nbytes))
+            fh.seek(_padded(nbytes), 1)
+    if not out:
+        raise OSError(f"empty FITS file: {filename}")
+    return out
+
+
 def read(filename):
     """Read all HDUs of a FITS file. Returns list of HDU objects."""
     hdus = []
@@ -660,6 +692,46 @@ def write(filename, hdus, overwrite=True):
     # (auto_da_alloc), turning every product write into a disk wait on
     # the writer's critical path
     with open(filename, "wb") as fh:
+        for part in parts:
+            if len(part):
+                fh.write(part)
+
+
+def append(filename, hdus):
+    """Append extension HDUs to an existing FITS file.
+
+    FITS files grow by appending whole HDU blocks; no rewrite of the
+    existing content is needed.  Used by the two-phase per-source writer
+    (artifacts.source_creation): the detection-cube cutout extension is
+    appended once its wire lands, while the rest of the file was written
+    during the transfer."""
+    parts = []
+    for hdu in hdus:
+        data = hdu.data
+        if isinstance(data, (dict, OrderedDict)):
+            thdr, raw = _write_bintable(data, hdu.header)
+            text_cards = [
+                _format_card(k, v, thdr.comment(k) or None)
+                for k, v in thdr.items()
+            ]
+            for t in thdr.history:
+                text_cards.append(_format_card("HISTORY", t))
+            for t in thdr.comments_raw:
+                text_cards.append(_format_card("COMMENT", t))
+            text_cards.append("END".ljust(CARDLEN))
+            text = "".join(text_cards)
+            pad = (-len(text)) % BLOCK
+            parts.append((text + " " * pad).encode("ascii"))
+            parts.append(raw + b"\0" * ((-len(raw)) % BLOCK))
+        else:
+            if data is not None:
+                data = np.asarray(data)
+            parts.append(_header_bytes(hdu.header, False, data,
+                                       xtension="IMAGE"))
+            payload, padding = _data_bytes(data)
+            parts.append(payload)
+            parts.append(padding)
+    with open(filename, "ab") as fh:
         for part in parts:
             if len(part):
                 fh.write(part)

@@ -300,6 +300,13 @@ def estimation_line_arrays(
         # whenever that moves fewer bytes.
         use_engine = False
     if not use_engine:
+        # raw/var may be passed as None with an engine (the caller then
+        # skips materializing the filled host views — two full-cube fill
+        # passes — unless this host-cut fallback actually runs)
+        if raw is None:
+            raw = engine.orig.cube_raw
+        if var is None:
+            var = engine.orig.var
         raw = np.asarray(raw, dtype=np.float32)
         var_arr = np.asarray(var, dtype=np.float32)
     d0 = None

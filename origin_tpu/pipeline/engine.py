@@ -160,10 +160,11 @@ def _count_above(arr, threshold):
 @jax.jit
 def _derive_inputs(raw, var_raw):
     """Zero-filled cube, inf-filled variance and NaN mask from the raw
-    uploads (bit-equal to the host-side filled()/var_filled() views)."""
+    uploads (bit-equal to the host-side filled()/var_filled() views:
+    the variance fills inf at the DATA mask too, containers.var_filled)."""
     mask = ~jnp.isfinite(raw)
     cube = jnp.where(mask, 0.0, raw)
-    var = jnp.where(jnp.isfinite(var_raw), var_raw, jnp.inf)
+    var = jnp.where(mask | ~jnp.isfinite(var_raw), jnp.inf, var_raw)
     return cube, var, mask
 
 
@@ -413,6 +414,43 @@ class DeviceEngine:
         """
         if self._inputs_future is None and "cube" not in self._inputs:
             self._inputs_future = _upload_pool().submit(self._upload_inputs)
+
+    def stream_inputs(self, plan):
+        """Decode the raw cube AND upload it, overlapped slab by slab.
+
+        ``plan`` is a :class:`origin_tpu.pipeline.ingest.IngestPlan`; its
+        reader hands every decoded z-slab to the upload worker the moment
+        it is byteswapped, so the host-to-device transfer rides the link
+        WHILE the next slab decodes (a cold disk read of a full MUSE
+        field otherwise serializes ~1 min of upload behind ~3 min of
+        decode).  Returns the host Cube; the device inputs land in the
+        same ``_inputs_future`` step 01 joins, as one concatenated array
+        per input plus the shared ``_derive_inputs`` pass (bit-identical
+        to the eager upload path).
+        """
+        pool = _upload_pool()
+        futs = {"data": [], "var": []}
+
+        def _up(kind):
+            return lambda slab: futs[kind].append(
+                pool.submit(jnp.asarray, slab))
+
+        cube = plan.read(upload_data=_up("data"), upload_var=_up("var"))
+
+        def _assemble():
+            data = [f.result() for f in futs["data"]]
+            raw = data[0] if len(data) == 1 else jnp.concatenate(data, 0)
+            if futs["var"]:
+                vs = [f.result() for f in futs["var"]]
+                var_raw = vs[0] if len(vs) == 1 else jnp.concatenate(vs, 0)
+            else:
+                var_raw = jnp.ones(plan.shape, jnp.float32)
+            return _derive_inputs(raw, var_raw)
+
+        # same single-worker pool: _assemble queues behind every slab
+        # upload it joins, so no ordering deadlock is possible
+        self._inputs_future = pool.submit(_assemble)
+        return cube
 
     def _ensure_inputs(self, name):
         if name in self._inputs:
@@ -665,7 +703,12 @@ class DeviceEngine:
             return float(w.scale) * float(np.sqrt(max(var, 0.0)))
         if off_device:
             return float(np.std(obj.data))
-        return float(_std_jit(self.get(name)))
+        out = float(_std_jit(self.get(name)))
+        if isinstance(obj, DeferredCube):
+            # stash for consumers arriving after a wire materialization
+            # may have dropped the device copy (early bulk prefetches)
+            obj._std_scalar = out
+        return out
 
     def get(self, name):
         """Device array for a cube-sized session product.

@@ -164,19 +164,34 @@ class ORIGIN(PlotMixin):
 
         self.logger.info("Read the Data Cube %s", filename)
         self.param["cubename"] = filename
-        self.cube = Cube(filename)
-        self.Nz, self.Ny, self.Nx = self.shape = self.cube.shape
+        plan = None
+        if fresh_session and self.mesh is None:
+            # a fresh single-device session is about to run step 01:
+            # decode the cube in z-slabs and upload each slab as it is
+            # byteswapped, so the (large) input transfer overlaps the
+            # FITS read itself instead of only the tail of init
+            # (pipeline.ingest; falls back for layouts it cannot stream)
+            from .ingest import IngestPlan
+
+            plan = IngestPlan.scan(filename)
+        if plan is not None:
+            self.Nz, self.Ny, self.Nx = self.shape = plan.shape
+            self.cube = self.engine.stream_inputs(plan)
+        else:
+            self.cube = Cube(filename)
+            self.Nz, self.Ny, self.Nx = self.shape = self.cube.shape
 
         self.wcs = self.cube.wcs
         self.wave = self.cube.wave
 
-        if fresh_session:
-            # a fresh session is about to run step 01: start the (large)
-            # input uploads now so they stream behind the remaining init
-            # work (FSF build, white image).  Restored sessions skip this
-            # — status/info inspection must not touch the device.  A bad
-            # session mesh surfaces here (fail fast; __init__ releases
-            # the just-opened logfile on any construction failure).
+        if fresh_session and plan is None:
+            # eager-read path: start the input uploads now so they
+            # stream behind the remaining init work (FSF build, white
+            # image); step 01 then just joins them.  Restored sessions
+            # skip this — status/info inspection must not touch the
+            # device.  A bad session mesh surfaces here (fail fast;
+            # __init__ releases the just-opened logfile on any
+            # construction failure).
             self.engine.prefetch_inputs()
 
         if profiles is None:

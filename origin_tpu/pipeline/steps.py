@@ -746,6 +746,7 @@ class Detection(Step):
         )
 
 
+
 class ComputeSpectra(Step):
     """Refined line positions, fluxes and deconvolved spectra.
 
@@ -766,7 +767,11 @@ class ComputeSpectra(Step):
             np.asarray(cat1["x0"], int),
             np.asarray(cat1["y0"], int),
             np.asarray(cat1["z0"], int),
-            orig.cube_raw, orig.var, orig.PSF, weights=orig.wfields,
+            # None defers the filled host views (cube_raw / var are
+            # cached properties costing two full-cube fill passes) to
+            # the host-cut fallback inside — the device gather path
+            # never touches them
+            None, None, orig.PSF, weights=orig.wfields,
             size_grid=grid_dxy, criteria="flux", order_dct=30, horiz_psf=1,
             horiz=5, engine=orig.engine,
         )
@@ -1047,6 +1052,18 @@ class SaveSources(Step):
         cube_std = orig.cube_std if (comps == 1).any() else None
         spectra = orig.spectra
         segmaps = {"LABEL": orig.segmap_label, "MERGED": orig.segmap_merged}
+
+        # HOST-cutout runs (no device artifacts, or a process pool that
+        # precuts up front) need the detection cube's full wire before
+        # the first source: join it BEFORE entering the foreground
+        # phase, so the wait burns no CPU while the write-behind park
+        # jobs spend it on their byte-processing.  The sequential
+        # device-artifact path skips this — its two-phase writer
+        # (source_creation) overlaps the wire with the source writes
+        # and appends the cutout extensions at the end.
+        if (spectra_pre is None or n_jobs != 1) \
+                and hasattr(cube_cor, "materialize"):
+            cube_cor.materialize()
 
         # the source loop is the foreground host-CPU phase: on few-core
         # hosts the background park jobs hold their byte-processing until

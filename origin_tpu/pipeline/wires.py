@@ -174,7 +174,10 @@ class DeferredCube(Cube):
                 # not poison the product — the next access retries from
                 # the still-held source (_dev / _fetch)
                 fut, self._future = self._future, None
-                with _lane_timer("wire:join"):
+                with _lane_timer("wire:join"), _foreground_paused():
+                    # a join burns no CPU: release the foreground gate
+                    # while blocked so ready background write jobs use
+                    # the idle core instead of waiting out the phase
                     arr = fut.result()
             elif self._fetch is not None:
                 # no background job was started for this product: the
@@ -556,6 +559,42 @@ def _compact_small(flat, hit, extras, cap):
     return fidx, flat[fidx], tuple(e.ravel()[fidx] for e in extras)
 
 
+def _compact_dense(flat, hit, extras, cap):
+    """Blocked sort-based compaction for DENSE hit patterns.
+
+    When hits land in (nearly) every 512-block, the two-stage block
+    selection cannot skip anything and the single-stage fallback pays
+    the serializing cube-sized scatter (~1 s / 74 Mvox).  This
+    formulation has NO large scatter: a stable per-row argsort of the
+    (nblk, 512) hit matrix moves each row's hits to the front (order
+    preserved — XLA vectorizes the small sorts across rows), per-block
+    counts give each rank's block by a cap-sized ``searchsorted`` over
+    the count cumsum, and the result is pure gathers.  Output matches
+    the single-stage form for the first ``count`` entries (row-major
+    np.where order); the slots beyond carry index 0 / value 0, which
+    every consumer already treats as trimmed padding.
+    """
+    n = flat.size
+    blk = _COMPACT_BLOCK
+    nblk = -(-n // blk)
+    pad = nblk * blk - n
+    hitp = jnp.pad(hit.ravel(), (0, pad)).reshape(nblk, blk)
+    counts = jnp.sum(hitp.astype(jnp.int32), axis=1)
+    ends = jnp.cumsum(counts)
+    starts = ends - counts
+    order = jnp.argsort(~hitp, axis=1, stable=True)
+    lidx = order.astype(jnp.int32) \
+        + (jnp.arange(nblk, dtype=jnp.int32) * blk)[:, None]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    b = jnp.minimum(jnp.searchsorted(ends, j, side="right"), nblk - 1)
+    local = jnp.clip(j - starts[b], 0, blk - 1)
+    valid = j < ends[-1]
+    fidx = jnp.where(valid, lidx[b, local], 0)
+    vals = jnp.where(valid, flat[fidx], 0)
+    return fidx, vals, tuple(
+        jnp.where(valid, e.ravel()[fidx], 0) for e in extras)
+
+
 def _compact_body(flat, hit, extras, cap):
     """Flat indices + values of the first ``cap`` entries where ``hit``
     is True, in row-major (np.where) order.
@@ -567,17 +606,19 @@ def _compact_body(flat, hit, extras, cap):
     fast reduction), ``top_k`` over the block indices to select the
     first ``cap`` blocks containing hits (hits beyond ``cap`` blocks
     cannot be among the first ``cap`` hits), then the cumsum+scatter on
-    the gathered ``cap x 512`` slice only.  Results are identical to
-    the single-stage form; entries beyond ``cap`` are dropped (callers
-    size cap from an exact device-side count).
+    the gathered ``cap x 512`` slice only.  DENSE hit patterns (the
+    local-extrema wires: caps so large the block selection would keep
+    nearly every block) take the sort-based :func:`_compact_dense`
+    instead.  Results are identical to the single-stage form; entries
+    beyond ``cap`` are dropped (callers size cap from an exact
+    device-side count).
     """
     n = flat.size
     blk = _COMPACT_BLOCK
-    if n <= _COMPACT_SINGLE_MAX or cap * blk >= n:
-        # small array, or a capacity so large the block selection would
-        # select (nearly) every block anyway — e.g. the dense-count
-        # extrema fetches, where the gathered slice would BE the array
+    if n <= _COMPACT_SINGLE_MAX:
         return _compact_small(flat, hit, extras, cap)
+    if cap * blk >= n:
+        return _compact_dense(flat, hit, extras, cap)
     nblk = -(-n // blk)
     pad = nblk * blk - n
     hitp = jnp.pad(hit.ravel(), (0, pad)).reshape(nblk, blk)
@@ -708,6 +749,27 @@ class foreground_cpu:
         with _FG_COND:
             _FG_HOLDERS.discard(_threading.get_ident())
             _FG_COND.notify_all()
+        return False
+
+
+class _foreground_paused:
+    """Temporarily release this thread's foreground claim (no-op when it
+    holds none).  Used around pure waits (wire joins): the blocked
+    foreground burns no CPU, so letting gated background byte-processing
+    run during the wait costs nothing and shortens the checkpoint tail."""
+
+    def __enter__(self):
+        self._held = _threading.get_ident() in _FG_HOLDERS
+        if self._held:
+            with _FG_COND:
+                _FG_HOLDERS.discard(_threading.get_ident())
+                _FG_COND.notify_all()
+        return self
+
+    def __exit__(self, *exc):
+        if self._held:
+            with _FG_COND:
+                _FG_HOLDERS.add(_threading.get_ident())
         return False
 
 

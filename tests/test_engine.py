@@ -1101,3 +1101,49 @@ def test_minicubes_large_window_and_small_field_fallback(problem):
                                        err_msg=f"sg={sg} j={j}")
             np.testing.assert_allclose(np.asarray(varr)[j], expv,
                                        err_msg=f"sg={sg} j={j}")
+
+
+def test_stream_ingest_matches_eager(tmp_path, monkeypatch):
+    """pipeline.ingest slab reads reproduce Cube(filename) exactly, hand
+    every float32 z-slab to the upload callbacks in order, and the
+    concatenated slabs equal the full arrays (what the engine uploads)."""
+    from make_minicube import make_minicube
+
+    from origin_tpu.core.containers import Cube
+    from origin_tpu.pipeline.ingest import IngestPlan
+
+    fn = str(tmp_path / "mini.fits")
+    make_minicube(fn)
+    # small slabs: force several upload hand-offs even on the minicube
+    monkeypatch.setattr("origin_tpu.pipeline.ingest._SLAB_BYTES", 10 ** 6)
+
+    plan = IngestPlan.scan(fn)
+    assert plan is not None
+    got = {"data": [], "var": []}
+    cube = plan.read(upload_data=got["data"].append,
+                     upload_var=got["var"].append)
+
+    eager = Cube(fn)
+    assert plan.shape == tuple(eager.shape) == tuple(cube.shape)
+    np.testing.assert_array_equal(np.asarray(cube.data),
+                                  np.asarray(eager.data))
+    np.testing.assert_array_equal(np.asarray(cube.var),
+                                  np.asarray(eager.var))
+    np.testing.assert_array_equal(
+        np.asarray(cube.mask) if cube.mask is not None else None,
+        np.asarray(eager.mask) if eager.mask is not None else None)
+    assert len(got["data"]) > 3  # genuinely slabbed
+    for kind in ("data", "var"):
+        cat = np.concatenate(got[kind], axis=0)
+        ref = np.asarray(eager.data if kind == "data" else eager.var,
+                         np.float32)
+        np.testing.assert_array_equal(cat, ref)
+    # coordinates parsed identically to the eager loader
+    np.testing.assert_allclose(cube.wave.coord(), eager.wave.coord())
+    np.testing.assert_allclose(cube.wcs.cd, eager.wcs.cd)
+    # non-streamable layouts bail to the eager reader
+    import origin_tpu.fitsio as fitsio
+
+    img = str(tmp_path / "img.fits")
+    fitsio.writeto(img, np.zeros((4, 5), np.float32))
+    assert IngestPlan.scan(img) is None

@@ -29,9 +29,83 @@ import time
 
 import numpy as np
 
+# a numpy baseline tool must never initialize (or contend for) the TPU;
+# the origin_tpu imports below pull in jax
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def backend_times(session, max_lines=0):
+    """Same-host numpy timings of the BACK-END oracles on a real
+    session's inputs (VERDICT r4 item 6): greedy PCA per area on the
+    session's cube_std/areamap/thresO2 (the exact step-04 inputs,
+    reference lib_origin.py:848-954) and the per-line PCA-LS estimator
+    on the session's Cat1 detections over the raw cube (the dominant
+    cost of reference estimation_line, lib_origin.py:1804-1938: two
+    ARPACK rank-1 SVDs + weighted LS deconvolution per (Nz, 25, 25)
+    minicube; the surrounding peak search and catalog bookkeeping are
+    negligible next to the SVDs and are not timed).
+    """
+    import oracle
+
+    from origin_tpu import ORIGIN
+
+    orig = ORIGIN.load(session)
+    out = {}
+    try:
+        cube_std = np.asarray(orig.cube_std.data, dtype=np.float32)
+        areamap = np.asarray(orig.areamap.data, dtype=int)
+        thres = [float(t) for t in orig.thresO2]
+        nz = cube_std.shape[0]
+
+        t0 = time.perf_counter()
+        iters = 0
+        for area in range(1, int(orig.nbAreas) + 1):
+            sel = areamap == area
+            cube2d = cube_std[:, sel]
+            test = np.mean(cube2d ** 2, axis=0)
+            _, mapo2, _ = oracle.greedy_pca_oracle(
+                cube2d, test, thres[area - 1], 50, 100)
+            iters += int(mapo2.max()) if mapo2.size else 0
+        out["pca_greedy_s"] = round(time.perf_counter() - t0, 1)
+        out["pca_areas"] = int(orig.nbAreas)
+        out["pca_max_iters"] = iters
+
+        cat1 = orig.Cat1
+        xs = np.asarray(cat1["x0"], int)
+        ys = np.asarray(cat1["y0"], int)
+        zs = np.asarray(cat1["z0"], int)
+        if max_lines:
+            xs, ys, zs = xs[:max_lines], ys[:max_lines], zs[:max_lines]
+        raw = orig.cube_raw
+        var = orig.var
+        psf = np.asarray(orig.PSF, np.float32)
+        size = psf.shape[-1]
+        ny, nx = raw.shape[1:]
+        h = size // 2
+        t0 = time.perf_counter()
+        for x, y, z in zip(xs, ys, zs):
+            dat = np.zeros((nz, size, size), np.float32)
+            varw = np.full((nz, size, size), np.inf, np.float32)
+            sy0, sy1 = max(0, y - h), min(ny, y + h + 1)
+            sx0, sx1 = max(0, x - h), min(nx, x + h + 1)
+            dy0, dx0 = sy0 - (y - h), sx0 - (x - h)
+            dat[:, dy0:dy0 + sy1 - sy0, dx0:dx0 + sx1 - sx0] = \
+                raw[:, sy0:sy1, sx0:sx1]
+            varw[:, dy0:dy0 + sy1 - sy0, dx0:dx0 + sx1 - sx0] = \
+                var[:, sy0:sy1, sx0:sx1]
+            oracle.method_pca_wgt_oracle(dat, varw, psf, 30)
+        out["estimation_s"] = round(time.perf_counter() - t0, 1)
+        out["estimation_lines"] = int(len(xs))
+        if max_lines and len(cat1) > max_lines:
+            out["estimation_note"] = (
+                f"timed {max_lines} of {len(cat1)} lines; scale linearly")
+    finally:
+        orig.close_logfile()
+    return out
 
 
 def main():
@@ -42,7 +116,24 @@ def main():
     ap.add_argument("--nprof", type=int, default=3)
     ap.add_argument("--spaxel-sample", type=int, default=2000)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--session", default=None,
+                    help="also time the numpy BACK-END oracles (greedy "
+                    "PCA, per-line estimation) on this session's inputs")
+    ap.add_argument("--max-lines", type=int, default=0,
+                    help="time at most N estimation lines (0 = all)")
+    ap.add_argument("--backend-only", action="store_true",
+                    help="skip the front-end timings (requires --session)")
     args = ap.parse_args()
+
+    if args.backend_only:
+        out = backend_times(args.session, args.max_lines)
+        out["backend_total_s"] = round(
+            out["pca_greedy_s"] + out["estimation_s"], 1)
+        for k, v in out.items():
+            print(f"{k}: {v}")
+        if args.json:
+            print(json.dumps(out))
+        return
 
     import oracle
 
@@ -90,6 +181,11 @@ def main():
     out["geometry"] = f"{nz}x{ny}x{nx}, {len(profiles)} profiles"
     out["front_end_total_s"] = round(
         out["dct_gls_s"] + out["glr_s"] + out["local_max_s"], 1)
+    if args.session:
+        out.update(backend_times(args.session, args.max_lines))
+        out["e2e_total_s"] = round(
+            out["front_end_total_s"] + out["pca_greedy_s"]
+            + out["estimation_s"], 1)
     for k, v in out.items():
         print(f"{k}: {v}")
     if args.json:
