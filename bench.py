@@ -250,6 +250,11 @@ def notebook_step_times():
                 if v[1] >= 0.01}
             return times, cpus, cpus_own, lanes, stat
 
+        # the earlier passes left ~2 GB of dirty pages; on this rig's
+        # ~27 MB/s disk the kernel's writeback throttling would charge
+        # their flush to THIS pass's writers (measured: source:write
+        # lane 8.5 -> 23.6 s CPU).  Drain them untimed first.
+        os.sync()
         got = _time_boxed(lambda: run("nb"), NOTEBOOK_TIMEBOX_S)
         if got is None:
             return rec
@@ -259,6 +264,7 @@ def notebook_step_times():
         rec["steps_notebook_cpu_own_cold"] = round(
             sum(cpus_own.values()), 2)
 
+        os.sync()  # drain the cold pass's writes before timing the warm
         got = _time_boxed(lambda: run("nbw"), NOTEBOOK_WARM_TIMEBOX_S)
         if got is not None:
             times, cpus, cpus_own, lanes, stat = got
@@ -296,6 +302,7 @@ def notebook_step_times():
                     "BENCH_NOTEBOOK_HBM", "16e9")
 
         if not os.environ.get("BENCH_SKIP_TIGHT"):
+            os.sync()
             got = _time_boxed(tight, NOTEBOOK_TIGHT_TIMEBOX_S)
             if got is not None:
                 times, cpus, cpus_own, lanes, stat = got

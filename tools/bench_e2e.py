@@ -167,6 +167,11 @@ def main():
             print(f"[run {run}] synthetic field "
                   f"{args.nz}x{args.ny}x{args.nx} ({len(lines)} lines) "
                   f"built in {time.perf_counter()-t0:.1f}s")
+        # drain the previous run's dirty pages (≈2 GB of session +
+        # source files): on a ~27 MB/s disk the kernel's writeback
+        # throttling would otherwise charge their flush to this run's
+        # writers — the sync wait is untimed
+        os.sync()
         _run_pipeline(args, cube_fn, run)
 
 

@@ -91,6 +91,10 @@ def main():
         import gc
 
         gc.collect()
+        # drain the warmup's ~2 GB of dirty pages before the captured
+        # pass: writeback throttling on a slow disk would otherwise
+        # charge their flush to the captured writers (untimed wait)
+        os.sync()
 
     dev = jax.devices()[0]
     hardware = f"{dev.platform} ({dev.device_kind})"
