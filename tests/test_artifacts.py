@@ -198,3 +198,62 @@ def test_update_source_table():
     np.testing.assert_allclose(row["flux"], 100.0)
     # flux-weighted position now pulled toward line 1
     assert row["x"] < 10.2
+
+
+def test_append_cube_matches_inline_write(tmp_path):
+    """A deferred-appended detection cutout (two-phase source writer)
+    must read back identical to an inline one, and the shared HDU
+    builder keeps the int16-wire form (BSCALE extension)."""
+    from origin_tpu.core.containers import Quant16
+    from origin_tpu.artifacts.source import Source
+
+    rng = np.random.default_rng(5)
+    nl, s = 40, 7
+    wave = WaveCoord(crpix=1, crval=4750.0, cdelt=1.25, shape=nl)
+    wcs = WCS(crpix=(3, 3), crval=(-30.0, 53.0), shape=(s, s))
+    data = rng.normal(size=(nl, s, s)).astype(np.float32)
+    cut = Cube(data=data, wave=wave, wcs=wcs, mask=False, copy=False)
+
+    def make_source():
+        src = Source.from_data(1, -30.0, 53.0, ("ORIGIN", "x", "c", "v"))
+        src.images["ORI_MASK_OBJ"] = Image(
+            data=np.ones((s, s)), wcs=wcs, mask=False, copy=False)
+        return src
+
+    inline = make_source()
+    inline.cubes["ORI_CORREL"] = cut
+    fn_inline = str(tmp_path / "inline.fits")
+    inline.write(fn_inline)
+
+    deferred = make_source()
+    fn_app = str(tmp_path / "appended.fits")
+    deferred.write(fn_app)
+    Source.append_cube(fn_app, "ORI_CORREL", cut)
+
+    a = Source.from_file(fn_inline)
+    b = Source.from_file(fn_app)
+    assert set(a.cubes) == set(b.cubes) == {"ORI_CORREL"}
+    np.testing.assert_array_equal(np.asarray(a.cubes["ORI_CORREL"].data),
+                                  np.asarray(b.cubes["ORI_CORREL"].data))
+    np.testing.assert_array_equal(np.asarray(b.cubes["ORI_CORREL"].data),
+                                  data)
+
+    # int16-wire cutouts append as scaled BITPIX-16 extensions, decoding
+    # to the same values as the wire
+    q, scale = (np.clip(np.round(data / 1e-4), -32767, 32767)
+                .astype(np.int16), 1e-4)
+    wcut = Cube.__new__(Cube)
+    Cube.__init__(wcut, data=q.astype(np.float32) * scale, wave=wave,
+                  wcs=wcs, mask=False, copy=False)
+    wcut._wire16 = Quant16(q, scale)
+    fn_q = str(tmp_path / "quant.fits")
+    make_source().write(fn_q)
+    Source.append_cube(fn_q, "ORI_CORREL", wcut)
+    from origin_tpu import fitsio
+
+    hdus = fitsio.read(fn_q)
+    h = next(h for h in hdus if h.name == "CUB_ORI_CORREL_DATA")
+    c = Source.from_file(fn_q).cubes["ORI_CORREL"]
+    np.testing.assert_allclose(np.asarray(c.data),
+                               q.astype(np.float32) * scale, rtol=0,
+                               atol=scale / 2)
