@@ -548,6 +548,13 @@ _COMPACT_BLOCK = 512
 #: dominates)
 _COMPACT_SINGLE_MAX = 1 << 21
 
+#: above this size the dense-hit sort compaction falls back to the
+#: single-stage scatter: the blocked argsort materializes ~10 bytes per
+#: element of sort buffers, which at full-field scale (331 Mvox x the
+#: four-cube fused extrema fetch) exceeds a 16 GB chip — the scatter is
+#: slower but allocates only the output
+_COMPACT_DENSE_MAX = 1 << 27
+
 
 def _compact_small(flat, hit, extras, cap):
     """Single-stage cumsum + drop-scatter compaction (small arrays)."""
@@ -618,6 +625,9 @@ def _compact_body(flat, hit, extras, cap):
     if n <= _COMPACT_SINGLE_MAX:
         return _compact_small(flat, hit, extras, cap)
     if cap * blk >= n:
+        if n > _COMPACT_DENSE_MAX:
+            # memory over speed at full-field scale (see constant above)
+            return _compact_small(flat, hit, extras, cap)
         return _compact_dense(flat, hit, extras, cap)
     nblk = -(-n // blk)
     pad = nblk * blk - n
