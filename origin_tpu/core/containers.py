@@ -94,6 +94,8 @@ class _Base:
             if mask is None:
                 m = ~np.isfinite(self.data) if self.data.dtype.kind == "f" else None
                 self.mask = m if (m is not None and m.any()) else None
+                if self.data.dtype.kind == "f":
+                    self._stamp_nonfinite_mask()
             elif mask is False or (np.ndim(mask) == 0 and not mask):
                 # False / np.ma.nomask (mpdaf's "no mask" sentinel): the
                 # scalar would also trip numpy 2's copy=False strictness
@@ -126,6 +128,8 @@ class _Base:
     @data.setter
     def data(self, val):
         self._data_arr = val
+        # replaced content: a stamped derived-mask shortcut is stale
+        self._mask_is_nonfinite = False
         # replaced content invalidates a kept int16 wire (loaded session
         # statistic files keep theirs for sparse/int16 re-parks and
         # half-size engine re-uploads; see _load)
@@ -180,15 +184,34 @@ class _Base:
         return self._mask
 
     def masked_invalid(self):
+        # loaded/streamed cubes derived their mask as EXACTLY the data's
+        # non-finite pattern: serve it instead of re-scanning the full
+        # array (10+ s per access at full-field scale).  The shortcut is
+        # dropped when the data or the mask object was replaced since.
+        if getattr(self, "_mask_is_nonfinite", False) and \
+                self.mask is getattr(self, "_derived_mask", ()):
+            m = self.mask
+            return m if m is not None else np.zeros(self.shape, bool)
         m = ~np.isfinite(self.data)
         if self.mask is not None:
             m |= self.mask
         return m
 
+    def _stamp_nonfinite_mask(self):
+        """Record that ``self.mask`` IS the data's non-finite pattern
+        (or None with all-finite data) — see :meth:`masked_invalid`."""
+        self._mask_is_nonfinite = True
+        self._derived_mask = self.mask
+
     def filled(self, fill_value=0.0):
         """Data with masked entries replaced by fill_value."""
-        if self.mask is None and np.isfinite(self.data).all():
-            return self.data
+        if self.mask is None:
+            # stamped loads know mask None means all-finite: skip the
+            # full-array scan (seconds at full-field scale)
+            if (getattr(self, "_mask_is_nonfinite", False)
+                    and self._derived_mask is None) \
+                    or np.isfinite(self.data).all():
+                return self.data
         out = np.array(self.data, copy=True)
         out[self.masked_invalid()] = fill_value
         return out
@@ -456,6 +479,7 @@ class _Base:
             if self.data.dtype.kind == "f":
                 m = ~np.isfinite(self.data)
                 self.mask = m if m.any() else None
+                self._stamp_nonfinite_mask()
             else:
                 self.mask = None
         hdr = data_hdu.header

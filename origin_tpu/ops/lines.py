@@ -299,16 +299,25 @@ def estimation_line_arrays(
         # host raw data and upload just them (2*n*Nz*sg^2 floats)
         # whenever that moves fewer bytes.
         use_engine = False
+    sanitize = False
     if not use_engine:
-        # raw/var may be passed as None with an engine (the caller then
-        # skips materializing the filled host views — two full-cube fill
-        # passes — unless this host-cut fallback actually runs)
-        if raw is None:
-            raw = engine.orig.cube_raw
-        if var is None:
-            var = engine.orig.var
-        raw = np.asarray(raw, dtype=np.float32)
-        var_arr = np.asarray(var, dtype=np.float32)
+        # raw/var may be passed as None with an engine: cut the windows
+        # straight from the session cube's RAW (NaN-carrying) arrays and
+        # zero/inf-fill PER WINDOW below — materializing the filled full
+        # views (orig.cube_raw / orig.var) costs several full-cube scan
+        # + copy passes (measured 40+ s of host CPU at full-field scale
+        # for a handful of windows)
+        if raw is None or var is None:
+            c = engine.orig.cube
+            raw = np.asarray(c.data, dtype=np.float32)
+            var = c.var
+            var_arr = (np.asarray(var, np.float32) if var is not None
+                       else np.ones_like(raw))
+            cube_mask = c.mask  # explicit-mask sessions: fill those too
+            sanitize = True
+        else:
+            raw = np.asarray(raw, dtype=np.float32)
+            var_arr = np.asarray(var, dtype=np.float32)
     d0 = None
     if order_dct is not None:
         d0 = jnp.asarray(dctmat(nl, order_dct))
@@ -366,6 +375,20 @@ def estimation_line_arrays(
                     red_wgt[j, :, dy0 : dy0 + sy1 - sy0, dx0 : dx0 + sx1 - sx0] = wmaps[
                         :, sy0:sy1, sx0:sx1
                     ]
+                if sanitize:
+                    # same semantics as cube_raw / var_filled, applied to
+                    # just this window: data zero-filled at its non-finite
+                    # (+ explicit-mask) voxels, variance inf-filled there
+                    # and at its own non-finite entries
+                    dwin = red_dat[j, :, dy0:dy0 + sy1 - sy0,
+                                   dx0:dx0 + sx1 - sx0]
+                    vwin = red_var[j, :, dy0:dy0 + sy1 - sy0,
+                                   dx0:dx0 + sx1 - sx0]
+                    bad = ~np.isfinite(dwin)
+                    if cube_mask is not None:
+                        bad |= cube_mask[:, sy0:sy1, sx0:sx1]
+                    dwin[bad] = 0.0
+                    vwin[bad | ~np.isfinite(vwin)] = np.inf
             if pad:
                 bp = ((0, pad), (0, 0), (0, 0), (0, 0))
                 red_dat = jnp.pad(jnp.asarray(red_dat), bp)

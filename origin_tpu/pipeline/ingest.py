@@ -138,6 +138,9 @@ class IngestPlan:
         m = ~np.isfinite(data)
         cube = Cube(data=data, var=var, mask=m if m.any() else None,
                     copy=False)
+        # the mask above IS the non-finite pattern: let masked_invalid
+        # serve it without re-scanning the cube
+        cube._stamp_nonfinite_mask()
         cube.filename = self.filename
         cube.primary_header = self._hdus[0][0]
         hdr = self._hdus[self._data_idx][0]

@@ -243,7 +243,7 @@ class ORIGIN(PlotMixin):
     # -- raw data views ------------------------------------------------------
     @cached_property
     def cube_raw(self):
-        return self.cube.filled(0).astype(np.float32)
+        return self.cube.filled(0).astype(np.float32, copy=False)
 
     @cached_property
     def mask(self):
@@ -254,7 +254,7 @@ class ORIGIN(PlotMixin):
         var = self.cube.var_filled(np.inf)
         if var is None:
             var = np.ones(self.shape, dtype=np.float32)
-        return var.astype(np.float32)
+        return var.astype(np.float32, copy=False)
 
     # -- constructors --------------------------------------------------------
     @classmethod

@@ -1147,3 +1147,56 @@ def test_stream_ingest_matches_eager(tmp_path, monkeypatch):
     img = str(tmp_path / "img.fits")
     fitsio.writeto(img, np.zeros((4, 5), np.float32))
     assert IngestPlan.scan(img) is None
+
+
+def test_estimation_host_cut_sanitize_matches_filled_views(tmp_path):
+    """With raw=None/var=None and the device inputs dropped (tight
+    full-field state), estimation_line_arrays cuts windows from the RAW
+    session cube and zero/inf-fills per window — results must equal the
+    filled-full-view path (orig.cube_raw / orig.var), which costs
+    several full-cube passes the window path avoids."""
+    from make_minicube import make_minicube
+
+    from origin_tpu import ORIGIN
+    from origin_tpu.ops.lines import estimation_line_arrays
+
+    fn = str(tmp_path / "m.fits")
+    # ny*nx large enough that n*sg^2 < ny*nx routes to the host cut
+    make_minicube(fn, nz=120, ny=48, nx=52)
+    orig = ORIGIN.init(fn, name="s", path=str(tmp_path), loglevel="ERROR")
+    eng = orig.engine
+    x0 = np.array([10, 40, 25])
+    y0 = np.array([12, 30, 40])
+    z0 = np.array([40, 60, 80])
+    ref = estimation_line_arrays(x0, y0, z0, orig.cube_raw, orig.var,
+                                 orig.PSF, engine=None, batch=4)
+    eng.input_cube()  # join the streamed upload, then force the host cut
+    eng.drop_inputs("cube", "var", "mask")
+    assert not eng.inputs_resident()
+    got = estimation_line_arrays(x0, y0, z0, None, None, orig.PSF,
+                                 engine=eng, batch=4)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(got[k]),
+                                   rtol=2e-5, atol=1e-5, err_msg=str(k))
+    orig.close_logfile()
+
+
+def test_masked_invalid_stamp(tmp_path):
+    """Loaded/streamed cubes serve masked_invalid from the stamped
+    derived mask without re-scanning; replacing data drops the stamp."""
+    from origin_tpu.core.containers import Cube
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(6, 5, 4)).astype(np.float32)
+    data[2, 1, 1] = np.nan
+    fn = str(tmp_path / "c.fits")
+    Cube(data=data, mask=False, copy=False).write(fn)
+    c = Cube(fn)
+    assert c._mask_is_nonfinite
+    m = c.masked_invalid()
+    assert m is c.mask  # served, not recomputed
+    np.testing.assert_array_equal(m, ~np.isfinite(data))
+    # replacing the data invalidates the shortcut
+    c.data = np.zeros_like(data)
+    assert not c._mask_is_nonfinite
+    assert not c.masked_invalid().any() or c.mask is not None
