@@ -30,8 +30,14 @@ import time
 import numpy as np
 
 # a numpy baseline tool must never initialize (or contend for) the TPU;
-# the origin_tpu imports below pull in jax
+# the origin_tpu imports below pull in jax.  This environment pre-imports
+# jax with the axon TPU platform, so the env var alone is too late — the
+# live config must be overridden before any backend initializes (same
+# trick as tests/conftest.py)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
