@@ -173,3 +173,33 @@ def test_reference_parity_surface_resolves():
     # canonical homes unchanged
     from origin_tpu.detect import spatiospectral_merging
     assert origin_tpu.spatiospectral_merging is spatiospectral_merging
+import os
+import subprocess
+import sys
+
+def test_make_walkthrough_small_warm(tmp_path):
+    """The walkthrough generator's --small self-test, with --warm: runs
+    the reduced pipeline twice and writes a complete artifact with the
+    capture-conditions note and a total row."""
+    out = tmp_path / "walk.md"
+    env = dict(os.environ)
+    # keep the subprocess OFF the tunneled TPU: drop the axon
+    # sitecustomize from PYTHONPATH (it force-registers the axon
+    # platform before any env var can bite) and pin CPU
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon_site" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "make_walkthrough.py"),
+         "--small", "--warm", "--out", str(out),
+         "--workdir", str(tmp_path / "wd")],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    text = out.read_text()
+    assert "capture conditions: WARM pass" in text
+    assert "| **total** |" in text
+    assert "step11_save_sources" in text
+    assert "Final catalog:" in text

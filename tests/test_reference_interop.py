@@ -84,10 +84,17 @@ def exported(tmp_path_factory):
 def ref_loaded(exported):
     """The real package's load+write executed on the export (once)."""
     folder, expect = exported
+    env = dict(os.environ)
+    # keep the subprocess OFF the tunneled TPU (the axon sitecustomize
+    # on PYTHONPATH force-registers the platform before env vars bite)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon_site" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         [sys.executable, os.path.join(STUBS, "run_reference_load.py"),
          folder],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert proc.returncode == 0, (
         f"reference load failed\nstdout:\n{proc.stdout[-4000:]}\n"
